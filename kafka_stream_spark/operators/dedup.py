@@ -1,0 +1,332 @@
+"""Document deduplication operators (SURVEY.md §2.5 A6 + north-star M6).
+
+Four tiers, each a real large-scale strategy:
+
+- **exact**: md5-hash groupBy — one shuffle on the hash, no pairwise work.
+- **n-gram Jaccard**: exact pairwise similarity via shingle-posting-list
+  self-join — the posting-list join shuffles on the shingle, so cost is
+  bounded by shingle collision counts (not |docs|²).
+- **MinHash + LSH**: signature → band-bucket join → candidate pairs →
+  exact Jaccard verify, the only member that survives 100 TB: pair
+  generation is bounded by band-bucket collisions.
+- **SimHash**: 32-bit fingerprints; near-dup = small Hamming distance.
+
+All hashes derive from md5 (identical bytes in Spark and DuckDB), so every
+step is oracle-verifiable — no engine-specific hash (murmur3, xxhash)
+appears in the data path.
+
+ANSI-mode note: Spark 4 runs ANSI SQL — ``element_at`` past array end
+throws, so shingle index sequences are guarded; all modular arithmetic is
+kept under 2^62 so bigint multiplication can't overflow in either engine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# shared shingle machinery (3-token shingles over whitespace tokens)
+# ---------------------------------------------------------------------------
+
+# Spark-side: distinct 3-shingles per doc. element_at is 1-based (as in DuckDB).
+_SHINGLES_EXPR = """
+  array_distinct(
+    CASE WHEN size(toks) >= 3
+         THEN transform(sequence(1, size(toks) - 2),
+                        i -> concat_ws(' ', element_at(toks, i),
+                                            element_at(toks, i + 1),
+                                            element_at(toks, i + 2)))
+         ELSE array()
+    END)
+"""
+
+# DuckDB-side identical construction (lists are 1-based there too).
+_SHINGLES_SQL = """
+  list_distinct(CASE WHEN len(toks) >= 3
+       THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             for i in range(1, len(toks) - 1)]
+       ELSE [] END)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("sh"))
+    )
+
+
+_SHINGLE_CTE = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM tok)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text_hash
+    ORDER BY text_hash
+    """,
+    description="Exact dedup: hash-groupBy, keep min doc_id (SURVEY.md A6)",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return (
+        documents.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact pairwise via posting-list join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+               JOIN sz sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    description="Near-dup pairs by exact 3-shingle Jaccard >= 0.5 (posting-list join)",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(sz.select(F.col("doc_id"), F.col("n").alias("na"))),
+                   F.col("doc_a") == F.col("doc_id")).drop("doc_id")
+        .join(F.broadcast(sz.select(F.col("doc_id"), F.col("n").alias("nb"))),
+              F.col("doc_b") == F.col("doc_id")).drop("doc_id")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH dedup
+# ---------------------------------------------------------------------------
+
+# 16 universal-hash params (a*x + b mod p), p = 2^31-1; a,b fixed so the
+# DuckDB oracle computes bit-identical signatures. a*x < 2^31 * 2^31 = 2^62.
+_MH_P = 2147483647
+_MH_PARAMS = [
+    (1103515245, 12345), (1140671485, 12820163), (1664525, 1013904223),
+    (22695477, 1), (65793, 4282663), (134775813, 1), (214013, 2531011),
+    (16843009, 826366247), (69069, 1327217885), (1103527590, 377401575),
+    (1229443, 351750571), (279470273, 102913196), (18000, 23894),
+    (36969, 18273), (29943829, 1013904223), (302875107, 94906249),
+]
+_MH_BANDS = 4  # 4 bands x 4 rows
+
+# hex60(md5(s)) → bigint, identically in both engines
+_SPARK_H60 = "cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint) % 2147483647"
+_DUCK_H60 = "(('0x' || substr(md5(sh), 1, 15))::BIGINT) % 2147483647"
+
+
+def _mh_spark_hashes() -> str:
+    """Array of 16 minhash values as a Spark SQL expression over column x."""
+    terms = ", ".join(f"({a}L * x + {b}L) % {_MH_P}L" for a, b in _MH_PARAMS)
+    return f"array({terms})"
+
+
+def _mh_duck_params_values() -> str:
+    return ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hx AS (SELECT doc_id, sh, {_DUCK_H60} AS x FROM sh),
+    hp(i, a, b) AS (VALUES {_mh_duck_params_values()}),
+    sig AS (
+      SELECT doc_id, i, min((a * x + b) % {_MH_P}) AS minv
+      FROM hx CROSS JOIN hp GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {len(_MH_PARAMS) // _MH_BANDS} AS band,
+             string_agg(minv::VARCHAR, ',' ORDER BY i) AS band_sig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common JOIN sz sa ON doc_a = sa.doc_id
+                JOIN sz sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+    description="MinHash(16) + LSH(4 bands) candidates, exact-Jaccard verified >= 0.7 — the 100 TB dedup path",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows_per_band = len(_MH_PARAMS) // _MH_BANDS
+    sh = _doc_shingles(spark, sf_dir).cache()
+    hx = sh.withColumn("x", F.expr(_SPARK_H60))
+    # explode the 16 hash values with their index; min per (doc, i)
+    sig = (
+        hx.select("doc_id", F.posexplode(F.expr(_mh_spark_hashes())).alias("i", "hv"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("minv"))
+    )
+    bands = (
+        sig.withColumn("band", F.expr(f"i div {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minv"))),
+                    lambda s: s["minv"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # candidate-driven common-shingle count: cand ⋈ shingles(doc_a) ⋈ shingles(doc_b)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sha, ["doc_a"]).join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), ["doc_a"])
+        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))), ["doc_b"])
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+    th AS (SELECT doc_id, cnt, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tc),
+    bits AS (
+      SELECT doc_id, j,
+             sum(cnt * (CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) AS s
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ORDER BY doc_a, doc_b
+    """,
+    description="32-bit SimHash fingerprints; near-dup pairs at Hamming <= 6",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    th = tc.withColumn(
+        "h",
+        F.expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint)"),
+    )
+    bits = (
+        th.select(
+            "doc_id", "cnt", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("s")
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

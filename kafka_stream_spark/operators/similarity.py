@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north-star M6).
+
+``embeddings.embedding`` is ``array<float>`` (64-dim). The baseline is
+brute-force cosine top-k — expressed entirely with JVM-side higher-order
+functions (``zip_with`` + ``aggregate``), no Python in the hot path.
+
+Scale path: brute force is O(|queries| × |corpus|) but embarrassingly
+parallel — the corpus stays partitioned, the (small) query set broadcasts,
+so there is NO shuffle of the corpus. An IVF-style variant (cluster-id
+bucketing to prune the corpus per query) lives in
+``kafka_stream_spark.operators.similarity_ivf`` patterns; with the
+testdata's coarse ``label`` as the bucket key it becomes a bucket-equi-join.
+
+Determinism: cosines are computed in double and rounded to 6dp before the
+threshold/ranking comparisons, with ``vec_id`` tie-breaks, so Spark and
+DuckDB agree bit-for-bit despite float summation-order differences.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+# dot(a, b) over array<double> via zip_with + aggregate (whole-stage codegen,
+# sequential accumulation — same order DuckDB's list_inner_product uses)
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _to_double(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_inner_product(qe, e)
+                   / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))),
+                   6) AS cosine
+      FROM q CROSS JOIN v
+      WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+    description="Brute-force cosine top-10 for 5 query vectors (broadcast queries, no corpus shuffle)",
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.expr(_cosine_expr("qe", "e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+                 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.e, b.e)
+                / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+                6) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+    description="Embedding-cosine near-duplicate pairs (threshold 0.35)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = F.round(F.expr(_cosine_expr("ea", "eb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "knn_label_centroids",
+    oracle="""
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+    expl AS (
+      SELECT label, i, e[i] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    )
+    SELECT label, i AS dim, round(avg(x), 6) AS centroid
+    FROM expl
+    GROUP BY label, i
+    HAVING i <= 4
+    ORDER BY label, dim
+    """,
+    description="Per-label centroid (IVF coarse-quantizer build step), first 4 dims",
+)
+def knn_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    # posexplode is 0-based; oracle list index is 1-based → use pos+1
+    return (
+        emb.select("label", F.posexplode(F.expr(_to_double("embedding"))).alias("pos", "x"))
+        .withColumn("dim", F.col("pos") + 1)
+        .filter(F.col("dim") <= 4)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,175 @@
+"""Text-analysis operators for training-data pipelines (north-star M6).
+
+Language-ID (stopword-marker heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and content fingerprinting — all pure
+Catalyst expressions (split/regexp/md5/array ops), no Python UDFs, so they
+run inside whole-stage codegen and scale linearly with no shuffle except
+the final ordering.
+
+The reference's text surface is the multilingual reddit corpus
+(``reddit.value.json:75-78``, UTF-8 bodies; SURVEY.md §2.8 F9); these
+operators are its analysis layer rebuilt for bulk data curation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+# simple English marker set (deterministic; accuracy is secondary to
+# plumbing here — the synthetic corpus shares one vocabulary)
+_EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _markers_sql_list() -> str:
+    return ", ".join(f"'{m}'" for m in _EN_MARKERS)
+
+
+@query(
+    "text_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_ISH}')) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="Token counting: whitespace + BPE-ish regex tokenizer",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        # F.lit pattern (not an SQL string literal — Spark SQL literals eat '\s')
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0))).alias("bpe_ish_tokens"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,
+           round(n_chars * 1.0 / len(toks), 6) AS avg_token_len,
+           round(0.5 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                 + 0.5 * least(len(toks) / 100.0, 1.0), 6) AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+    description="Quality scoring: length/diversity ratios -> composite score",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    t = documents.select("doc_id", F.split("text", " ").alias("toks"), "n_chars")
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    distinct_ratio = n_distinct / n_tokens
+    return t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(F.col("n_chars") / n_tokens, 6).alias("avg_token_len"),
+        F.round(
+            0.5 * distinct_ratio + 0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ({_markers_sql_list()}))) * 1.0
+               / len(toks) AS marker_ratio
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN marker_ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang,
+           round(marker_ratio, 6) AS marker_ratio
+    FROM scored
+    ORDER BY doc_id
+    """,
+    description="Language-ID heuristic via stopword-marker ratio",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    marker_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(list(_EN_MARKERS)))) / F.size(toks)
+    )
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(marker_ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+        F.round(marker_ratio, 6).alias("marker_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="Content fingerprint: md5 of sorted distinct token set",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split("text", " "))), " "
+            ).cast("binary")
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "scalar_funcs_events",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS type_upper,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           base64(encode(event_type)) AS type_b64,
+           regexp_extract(event_type, '([a-z]+)', 1) AS type_word,
+           concat(event_type, ':', CAST(user_id AS VARCHAR)) AS tagged
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    description="Scalar function surface: json/regex/base64/string (SURVEY.md §2.8)",
+)
+def scalar_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.upper("event_type").alias("type_upper"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.base64(F.col("event_type").cast("binary")).alias("type_b64"),
+            F.regexp_extract("event_type", "([a-z]+)", 1).alias("type_word"),
+            F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("tagged"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,54 @@
+"""Query registry: one place where Spark queries and their DuckDB oracles live.
+
+Every operator claimed in SURVEY.md §2 registers here as a named query
+(``(spark, sf_dir) -> DataFrame``) plus, when SQL-expressible, an ANSI-SQL
+oracle string DuckDB runs over the same parquet tables. Keeping both in one
+``@query`` call is what keeps column names/aliases in sync — the driver's
+compare hashes values under sorted column names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    description: str = ""
+    bench: bool = False  # include in bench.py headline suite
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, description: str = "", bench: bool = False):
+    """Decorator registering a (builder, oracle) pair under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registration) and return QUERIES."""
+    from kafka_stream_spark.operators import (  # noqa: F401
+        relational,
+        windows,
+        dedup,
+        similarity,
+        text_analysis,
+        multimodal,
+    )
+    from kafka_stream_spark.plans import kcql_queries  # noqa: F401
+
+    return QUERIES
