@@ -49,6 +49,15 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """RocksDB state store for large streaming state (SURVEY.md §4: Kafka
+    Streams' RocksDB analog). Applies to queries started afterwards."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def pin_utc(spark: SparkSession) -> SparkSession:
     """Force deterministic UTC time semantics on an externally-provided session.
 

@@ -1,0 +1,133 @@
+"""Streaming operator builders (SURVEY.md §2.5 A1-A6, §2.4 J1-J2, §2.9 T1-T8).
+
+Each function takes a *streaming* DataFrame and returns the transformed
+streaming DataFrame — the same expressions the batch operators in
+``operators/windows.py`` use (one logical definition, two execution modes;
+the duality the reference gets from Kafka Streams' KStream/KTable model).
+
+State-scale notes (T4): windowed aggs + dedup keep per-key state in the
+state store — set the RocksDB provider for big keyspaces
+(``session.enable_rocksdb_state``); watermarks bound state growth (T2);
+``maxOffsetsPerTrigger`` on the source bounds batch size (T7).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window_size: str,
+    keys: list[str],
+    aggs: list,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/hopping window aggregate with late-data watermark (A2/A3/T2)."""
+    win = (
+        F.window(ts_col, window_size, slide) if slide else F.window(ts_col, window_size)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *keys)
+        .agg(*aggs)
+    )
+
+
+def session_agg(
+    stream: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: list,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregate (A4, Kafka Streams SessionWindows)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), *keys)
+        .agg(*aggs)
+    )
+
+
+def running_agg(stream: DataFrame, keys: list[str], aggs: list) -> DataFrame:
+    """Unwindowed continuously-updated aggregate (A1) — update/complete mode."""
+    return stream.groupBy(*keys).agg(*aggs)
+
+
+def dedup_within_watermark(
+    stream: DataFrame, subset: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming exact dedup with bounded state (A6)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
+
+
+def stream_static_join(
+    stream: DataFrame, dim: DataFrame, on, how: str = "inner", broadcast: bool = True
+) -> DataFrame:
+    """Stream-table enrichment (J1): dim re-read per micro-batch; broadcast
+    keeps the stream side shuffle-free."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream windowed equi-join (J2, Kafka Streams JoinWindows).
+
+    ``right_ts ∈ [left_ts - lower, left_ts + upper]``; both sides
+    watermarked so join state is droppable.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {lower}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame, path: str, keys: list[str], order_col: str
+) -> DataStreamWriter:
+    """Changelog → compacted-table sink (T5/A5): per-batch MERGE-style upsert.
+
+    Kafka sinks are append-only; update-mode outputs (e.g. running aggs or
+    latest-by-key tables) land via foreachBatch: union existing + batch,
+    keep arg-max(order_col) per key, rewrite. Exactly-once-ish through
+    idempotent overwrite per batch id (SURVEY.md §2.9 T5).
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os
+
+        others = [c for c in batch_df.columns if c not in keys]
+        ord_key = F.struct(F.col(order_col))
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            current = spark.read.parquet(path)
+            merged = current.unionByName(batch_df)
+        else:
+            merged = batch_df
+        compacted = merged.groupBy(*keys).agg(
+            *[F.max_by(c, ord_key).alias(c) for c in others]
+        )
+        # materialize before overwrite (reading + overwriting the same path)
+        compacted.cache()
+        compacted.count()
+        compacted.write.mode("overwrite").parquet(path)
+        compacted.unpersist()
+
+    return stream.writeStream.foreachBatch(upsert)
