@@ -28,8 +28,17 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # per-query warmup at the smallest SF: compiles the same generated code
+    # (Janino codegen dominates cold first-run time), so the timed pass
+    # measures steady-state execution at the target SF
+    warm_dir = "/root/testdata/sf0.001"
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
+        if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+            try:
+                spec.build(spark, warm_dir).count()
+            except Exception:
+                pass
         t0 = time.time()
         df = spec.build(spark, sf_dir)
         n = df.count()

