@@ -1,0 +1,86 @@
+"""Observability (SURVEY.md §2.11): the engine-side analog of the
+reference's JMX metrics + topics UI + connector status surface.
+
+- ``MetricsListener``: a ``StreamingQueryListener`` collecting per-query
+  progress (rows/sec, batch durations, state rows) — the JMX analog
+  (``setup-and-run.sh:12-16`` exposes JMX on every service).
+- ``list_active``: running-query inventory (``spark.streams.active`` —
+  the Connect status / Lenses processor-list analog).
+- ``topic_stats``: per-dataset row/partition stats (topics-UI counts,
+  ``kafka-tests.yml:14-18`` record-count assertions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class QueryMetrics:
+    name: str
+    run_id: str
+    batches: int = 0
+    total_input_rows: int = 0
+    last_rows_per_second: float = 0.0
+    last_batch_duration_ms: float = 0.0
+    state_rows: int = 0
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects per-query progress; attach with ``spark.streams.addListener``."""
+
+    def __init__(self) -> None:
+        self.metrics: dict[str, QueryMetrics] = {}
+
+    def onQueryStarted(self, event) -> None:
+        self.metrics[str(event.runId)] = QueryMetrics(
+            name=event.name or str(event.id), run_id=str(event.runId)
+        )
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        m = self.metrics.setdefault(
+            str(p.runId), QueryMetrics(name=p.name or str(p.id), run_id=str(p.runId))
+        )
+        m.batches += 1
+        m.total_input_rows += int(p.numInputRows or 0)
+        m.last_rows_per_second = float(p.processedRowsPerSecond or 0.0)
+        m.last_batch_duration_ms = float((p.durationMs or {}).get("triggerExecution", 0))
+        state = p.stateOperators or []
+        m.state_rows = sum(int(s.numRowsTotal or 0) for s in state)
+
+    def onQueryTerminated(self, event) -> None:  # keep final metrics
+        pass
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def snapshot(self) -> list[QueryMetrics]:
+        return sorted(self.metrics.values(), key=lambda m: m.name)
+
+
+def list_active(spark: SparkSession) -> list[dict]:
+    """Running streaming queries (Lenses processor list / Connect status)."""
+    return [
+        {"id": str(q.id), "runId": str(q.runId), "name": q.name, "active": q.isActive}
+        for q in spark.streams.active
+    ]
+
+
+def topic_stats(df: DataFrame, partition_col: str | None = "partition") -> dict:
+    """Record/partition counts for a dataset (topics-UI sizing surface)."""
+    total = df.count()
+    out = {"rows": total}
+    if partition_col and partition_col in df.columns:
+        per = (
+            df.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("n"), F.max("offset").alias("max_offset"))
+            .orderBy(partition_col)
+            .collect()
+        )
+        out["partitions"] = {int(r[partition_col]): int(r["n"]) for r in per}
+    return out

@@ -1,0 +1,236 @@
+"""Extended relational surface (SURVEY.md §2 long tail).
+
+Covers the operators Spark gives for free once exposed (§2.5 "grouping
+sets / rollup ... nonetheless free via Catalyst", §2.6 W3 analytic frames,
+§2.7 U1 union-of-topics) plus P2 regex extraction and correlated
+subqueries — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+
+@query(
+    "q6_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    description="Single-scan filter+agg (TPC-H Q6 shape): pure pushdown, no join",
+    bench=True,
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "rollup_order_status",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    description="ROLLUP hierarchy totals (free via Catalyst, SURVEY.md §2.5 note)",
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "union_event_streams",
+    oracle="""
+    SELECT kind, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT 'engagement' AS kind, value FROM events WHERE event_type IN ('click', 'view')
+      UNION ALL
+      SELECT 'conversion' AS kind, value FROM events WHERE event_type IN ('signup', 'purchase')
+    )
+    GROUP BY kind
+    ORDER BY kind
+    """,
+    description="Union/merge of topic streams (SURVEY.md U1: nullsink 4-topic fan-in)",
+)
+def union_event_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    eng = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.lit("engagement").alias("kind"), "value"
+    )
+    conv = events.filter(F.col("event_type").isin("signup", "purchase")).select(
+        F.lit("conversion").alias("kind"), "value"
+    )
+    return (
+        eng.unionByName(conv)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("kind")
+    )
+
+
+@query(
+    "count_records",
+    oracle="""
+    SELECT 'events' AS dataset, count(*) AS n FROM events
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    ORDER BY dataset
+    """,
+    description="Topic record counts (SURVEY.md A7: topics-UI sizing, perf-test counts)",
+)
+def count_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, lineitem, documents = load(spark, sf_dir, "events", "lineitem", "documents")
+    rows = [
+        events.agg(F.lit("events").alias("dataset"), F.count(F.lit(1)).alias("n")),
+        lineitem.agg(F.lit("lineitem").alias("dataset"), F.count(F.lit(1)).alias("n")),
+        documents.agg(F.lit("documents").alias("dataset"), F.count(F.lit(1)).alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("dataset")
+
+
+@query(
+    "running_revenue_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="Window frames: running total + 3-row moving average (W3)",
+)
+def running_revenue_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("running_total"),
+            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "above_avg_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_above
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = orders.o_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    description="Correlated scalar subquery: orders above the customer's own average",
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ak")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(per_cust, F.col("o_custkey") == F.col("ak"))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "regex_extract_source",
+    oracle="""
+    SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) AS source_num,
+           count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY source_num
+    ORDER BY source_num
+    """,
+    description="Regex field extraction + restructure (SURVEY.md P2, put.sh:47-55 shape)",
+)
+def regex_extract_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("source_num"),
+            "n_chars",
+        )
+        .groupBy("source_num")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+        .orderBy("source_num")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    description="Agg-filter-join pipeline (TPC-H Q18 shape): HAVING pushes the join input down",
+    bench=True,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = load(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty"))
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "sum_qty")
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )

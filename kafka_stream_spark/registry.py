@@ -43,6 +43,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return QUERIES."""
     from kafka_stream_spark.operators import (  # noqa: F401
         relational,
+        relational_ext,
         windows,
         dedup,
         similarity,
