@@ -95,9 +95,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = load(spark, sf_dir, "customer", "orders", "lineitem")
     cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
     return (
+        # no broadcast hint on customer: at 100 TB it's a big table — AQE
+        # picks broadcast at small SFs and shuffled-hash/SMJ at scale
         customer.filter(F.col("c_mktsegment") == "BUILDING")
-        # customer is small → broadcast; orders⋈lineitem shuffles on orderkey
-        .hint("broadcast")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < cutoff)
         .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -146,14 +146,16 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(region.filter(F.col("r_name") == "ASIA"))
         .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    # broadcast only the bounded dims (region x nation <= 25 rows at any
+    # SF); customer/supplier grow with the data — AQE sizes those joins
     return (
         lineitem.join(
             orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -117,6 +117,98 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    expl AS (
+      SELECT label, i, e[i] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    cent AS (  -- IVF coarse quantizer: per-label centroid
+      SELECT label, array_agg(cx ORDER BY i) AS c
+      FROM (SELECT label, i, avg(x) AS cx FROM expl GROUP BY label, i)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    probe AS (  -- rank buckets per query by rounded centroid cosine
+      SELECT query_id, label, row_number() OVER (
+               PARTITION BY query_id ORDER BY
+               round(list_inner_product(qe, c)
+                     / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(c, c))), 6) DESC,
+               label) AS brank
+      FROM q CROSS JOIN cent
+    ),
+    scored AS (  -- search only the 3 nearest buckets
+      SELECT p.query_id, v.vec_id,
+             round(list_inner_product(q.qe, v.e)
+                   / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(v.e, v.e))), 6) AS cosine
+      FROM probe p JOIN q ON p.query_id = q.query_id
+                   JOIN v ON v.label = p.label AND v.vec_id <> p.query_id
+      WHERE p.brank <= 3
+    )
+    SELECT query_id, vec_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+    description="IVF-style ANN: centroid-pruned bucket search (the 100 TB scale path; ~bucket_frac of brute-force cost)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.expr(_to_double("embedding")).alias("e"))
+    # coarse quantizer: per-label mean vector (explode → avg → re-assemble)
+    expl = v.select("label", F.posexplode("e").alias("pos", "x"))
+    cent = (
+        expl.groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("c")
+        )
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # probe: rank buckets by rounded centroid cosine (round-before-rank keeps
+    # bucket choice identical across engines despite fp summation order)
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "label", "qe",
+            F.round(F.expr(_cosine_expr("qe", "c")), 6).alias("cdist"),
+        )
+        .withColumn(
+            "brank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("brank") <= 3)
+        .select("query_id", "label", "qe")
+    )
+    # search only the selected buckets: corpus filtered by (query, label) join
+    scored = (
+        v.join(F.broadcast(probe), ["label"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(F.expr(_cosine_expr("qe", "e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
+
+
+@query(
     "knn_label_centroids",
     oracle="""
     WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),

@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         text_analysis,
         multimodal,
+        sql_surface,
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401
 
