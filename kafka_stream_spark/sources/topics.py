@@ -90,10 +90,16 @@ class FileTopic:
     per-partition maxima (driver-side metadata read, cheap).
     """
 
-    def __init__(self, spark: SparkSession, root: str, name: str, partitions: int = 4):
+    #: per-topic compression (variables.env:10 analog) → parquet codecs
+    CODECS = {"uncompressed": "uncompressed", "lz4": "lz4", "gzip": "gzip",
+              "snappy": "snappy", "zstd": "zstd"}
+
+    def __init__(self, spark: SparkSession, root: str, name: str, partitions: int = 4,
+                 compression: str = "snappy"):
         self.spark = spark
         self.name = name
         self.partitions = partitions
+        self.compression = self.CODECS[compression]
         self.path = os.path.join(root, name)
 
     def exists(self) -> bool:
@@ -139,7 +145,7 @@ class FileTopic:
         else:
             with_off = with_off.withColumn("offset", F.col("rn") - 1)
         out = with_off.select(*TOPIC_COLUMNS)
-        out.write.mode("append").parquet(self.path)
+        out.write.mode("append").option("compression", self.compression).parquet(self.path)
 
     def read(self) -> DataFrame:
         """Batch scan (S1)."""

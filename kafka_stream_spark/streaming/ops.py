@@ -16,6 +16,17 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import TimestampNTZType
+
+
+def _watermarkable(stream: DataFrame, ts_col: str) -> DataFrame:
+    """withWatermark requires TIMESTAMP (instant); NTZ event-time columns
+    (e.g. derived from nanos) are cast here — sessions are UTC-pinned, so
+    the instant interpretation is deterministic."""
+    field = stream.schema[ts_col]
+    if isinstance(field.dataType, TimestampNTZType):
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
 
 
 def windowed_agg(
@@ -32,7 +43,7 @@ def windowed_agg(
         F.window(ts_col, window_size, slide) if slide else F.window(ts_col, window_size)
     )
     return (
-        stream.withWatermark(ts_col, watermark)
+        _watermarkable(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(win.alias("window"), *keys)
         .agg(*aggs)
     )
@@ -44,7 +55,7 @@ def session_agg(
 ) -> DataFrame:
     """Session-window aggregate (A4, Kafka Streams SessionWindows)."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        _watermarkable(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("session"), *keys)
         .agg(*aggs)
     )
@@ -59,7 +70,7 @@ def dedup_within_watermark(
     stream: DataFrame, subset: list[str], ts_col: str, watermark: str
 ) -> DataFrame:
     """Streaming exact dedup with bounded state (A6)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
+    return _watermarkable(stream, ts_col).withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
 
 
 def stream_static_join(
@@ -87,8 +98,8 @@ def interval_join(
     ``right_ts ∈ [left_ts - lower, left_ts + upper]``; both sides
     watermarked so join state is droppable.
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = _watermarkable(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _watermarkable(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {lower}"))

@@ -1,0 +1,130 @@
+"""Streaming and batch executions of the same logical operator must agree —
+the KStream/KTable duality claim (SURVEY.md §1.1) made testable.
+
+Pattern: run the operator over events.parquet (sf0.001) as a batch plan
+AND as an availableNow streaming plan into a memory sink; compare rows.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.streaming import ops
+
+EVENTS_NTZ = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_ntz_dir(spark, sf_dir, tmp_path_factory):
+    """events with the nanos ts already converted to NTZ (what a Kafka
+    source + from_avro decode would deliver)."""
+    (events,) = load(spark, sf_dir, "events")
+    path = str(tmp_path_factory.mktemp("ntz") / "events")
+    events.coalesce(2).write.parquet(path)
+    return path
+
+
+def _collect_stream(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_agg_stream_equals_batch(spark, sf_dir, events_ntz_dir):
+    (events,) = load(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sv")
+    )
+    stream = spark.readStream.schema(EVENTS_NTZ).parquet(events_ntz_dir)
+    streamed = ops.windowed_agg(
+        stream, "ts", "10 minutes", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")],
+        watermark="30 minutes",
+    ).select(F.col("window.start").alias("ws"), "event_type", "n", "sv")
+    got = _collect_stream(spark, streamed, "eq_tumble", "update")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s
+
+
+def test_running_agg_stream_equals_batch(spark, sf_dir, events_ntz_dir):
+    (events,) = load(spark, sf_dir, "events")
+    batch = sorted(
+        map(
+            tuple,
+            events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .collect(),
+        )
+    )
+    stream = spark.readStream.schema(EVENTS_NTZ).parquet(events_ntz_dir)
+    streamed = ops.running_agg(
+        stream, ["user_id"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")],
+    )
+    got = _collect_stream(spark, streamed, "eq_running", "complete")
+    assert sorted(map(tuple, got.collect())) == batch
+
+
+def test_latest_by_key_stream_equals_batch(spark, sf_dir, events_ntz_dir, tmp_path):
+    (events,) = load(spark, sf_dir, "events")
+    batch = {
+        r.user_id: r.event_id
+        for r in events.groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .collect()
+    }
+    stream = spark.readStream.schema(EVENTS_NTZ).parquet(events_ntz_dir)
+    sink = str(tmp_path / "latest")
+    q = (
+        ops.foreach_batch_upsert(
+            stream.select("user_id", "ts", "event_id"), sink,
+            keys=["user_id"], order_col="ts",
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.event_id for r in spark.read.parquet(sink).collect()}
+    assert got == batch
+
+
+def test_cc_payments_fraud_join(spark):
+    """FIXTURES.md §8: cc_payments ⋈ cc_data on creditCardId, blocked=true —
+    the canonical fraud streaming join, run as stream-static enrichment."""
+    cc_data = spark.createDataFrame(
+        [("4001", "Ada", "GB", False), ("4002", "Bob", "US", True), ("4003", "Eve", "DE", True)],
+        ["number", "customerFirstName", "country", "blocked"],
+    )
+    payments = spark.createDataFrame(
+        [("p1", 10.0, "4001"), ("p2", 99.0, "4002"), ("p3", 5.0, "4003"), ("p4", 7.0, "4001")],
+        ["id", "amount", "creditCardId"],
+    )
+    flagged = ops.stream_static_join(
+        payments, cc_data.filter("blocked"), payments["creditCardId"] == cc_data["number"]
+    )
+    got = sorted(r.id for r in flagged.collect())
+    assert got == ["p2", "p3"]
