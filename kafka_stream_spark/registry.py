@@ -50,6 +50,8 @@ def load_all() -> dict[str, QuerySpec]:
         text_analysis,
         multimodal,
         sql_surface,
+        skew,
+        analytics_ext,
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401
 
