@@ -1,0 +1,215 @@
+"""Pure-Python Avro binary codec (record subset) + Spark integration.
+
+Closes SURVEY.md S3 without the spark-avro jar: the reference's data path
+is Confluent-framed Avro (magic byte + schema id + Avro binary body —
+``kafka-tests.yml:231-238``); ``functions/confluent.py`` handles the
+frame, this module handles the body. Implements the Avro 1.x binary
+encoding (public spec): zig-zag varint longs/ints, little-endian
+float/double, length-prefixed bytes/strings, 1-byte booleans, index-
+prefixed unions, block-encoded arrays; records are field-ordered
+concatenation.
+
+Supported type surface = what `avro_schema.py` maps (the reference's six
+schemas need exactly: int, long, float, double, boolean, string, bytes,
+[null,T] unions, arrays, nested records).
+
+Spark integration is Arrow-batched ``mapInPandas`` (decode) / pandas UDF
+(encode) — the Python-side cost is paid only on topics that actually use
+Avro; JSON topics stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StructType
+
+from kafka_stream_spark.functions import confluent
+
+# ---------------------------------------------------------------------------
+# binary primitives (Avro spec, public)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
+    if isinstance(schema, list):  # [null, T] union: index then value
+        if v is None:
+            out += _zigzag_encode(schema.index("null"))
+            return
+        idx = 1 if schema[0] == "null" else 0
+        out += _zigzag_encode(idx)
+        _encode_value(v, schema[idx], out)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        for f in schema["fields"]:
+            _encode_value(v.get(f["name"]) if isinstance(v, dict) else getattr(v, f["name"]), f["type"], out)
+    elif t in ("int", "long"):
+        out += _zigzag_encode(int(v))
+    elif t == "float":
+        out += struct.pack("<f", float(v))
+    elif t == "double":
+        out += struct.pack("<d", float(v))
+    elif t == "boolean":
+        out.append(1 if v else 0)
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        out += _zigzag_encode(len(b))
+        out += b
+    elif t == "bytes":
+        out += _zigzag_encode(len(v))
+        out += bytes(v)
+    elif t == "array":
+        items = list(v)
+        if items:
+            out += _zigzag_encode(len(items))
+            for item in items:
+                _encode_value(item, schema["items"], out)
+        out += _zigzag_encode(0)
+    else:
+        raise ValueError(f"unsupported Avro type for encode: {t!r}")
+
+
+def _decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
+    if isinstance(schema, list):
+        idx, pos = _zigzag_decode(buf, pos)
+        branch = schema[idx]
+        if branch == "null":
+            return None, pos
+        return _decode_value(buf, pos, branch)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode_value(buf, pos, f["type"])
+        return rec, pos
+    if t in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if t == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == "boolean":
+        return buf[pos] == 1, pos + 1
+    if t == "string":
+        n, pos = _zigzag_decode(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _zigzag_decode(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if t == "array":
+        items = []
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # block with byte size prefix
+                _, pos = _zigzag_decode(buf, pos)
+                n = -n
+            for _ in range(n):
+                item, pos = _decode_value(buf, pos, schema["items"])
+                items.append(item)
+        return items, pos
+    raise ValueError(f"unsupported Avro type for decode: {t!r}")
+
+
+def encode_record(record: dict, avro_schema: dict) -> bytes:
+    out = bytearray()
+    _encode_value(record, avro_schema, out)
+    return bytes(out)
+
+
+def decode_record(payload: bytes, avro_schema: dict) -> dict:
+    rec, pos = _decode_value(payload, 0, avro_schema)
+    if pos != len(payload):
+        raise ValueError(f"trailing bytes after Avro record: {len(payload) - pos}")
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: framed encode/decode over DataFrames
+# ---------------------------------------------------------------------------
+
+
+def encode_df(df: DataFrame, avro_schema: dict, schema_id: int, out_col: str = "value") -> DataFrame:
+    """struct columns → Confluent-framed Avro binary column.
+
+    Python encode runs in a pandas UDF (Arrow batches); the 5-byte frame is
+    prepended JVM-side (``confluent.frame``) so the frame logic is shared
+    with jar-backed deployments.
+    """
+    import json as _json
+
+    schema_json = _json.dumps(avro_schema)
+    cols = [f["name"] for f in avro_schema["fields"]]
+
+    @F.pandas_udf(BinaryType())
+    def enc(*series: pd.Series) -> pd.Series:
+        import json
+
+        sch = json.loads(schema_json)
+        out = []
+        for vals in zip(*series):
+            rec = dict(zip(cols, (None if pd.isna(v) and not isinstance(v, (list, tuple, dict, bytes)) else v for v in vals)))
+            out.append(encode_record(rec, sch))
+        return pd.Series(out)
+
+    body = enc(*[F.col(c) for c in cols])
+    return df.withColumn(out_col, confluent.frame(schema_id, body))
+
+
+def decode_df(
+    df: DataFrame, avro_schema: dict, spark_schema: StructType, value_col: str = "value"
+) -> DataFrame:
+    """Confluent-framed Avro binary column → typed columns (S3 scan).
+
+    Frame stripping is JVM-side; body decode is Arrow-batched Python.
+    Emits the record fields as top-level columns typed by ``spark_schema``.
+    """
+    import json as _json
+
+    schema_json = _json.dumps(avro_schema)
+    stripped = df.withColumn("__body", confluent.unframe_body(F.col(value_col)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        sch = json.loads(schema_json)
+        names = [f["name"] for f in sch["fields"]]
+        for pdf in batches:
+            recs = [decode_record(bytes(b), sch) for b in pdf["__body"]]
+            yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
+
+    return stripped.select("__body").mapInPandas(gen, schema=spark_schema)
