@@ -28,7 +28,7 @@ import pandas as pd
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BinaryType, StructType
+from pyspark.sql.types import BinaryType, StructField, StructType
 
 from kafka_stream_spark.functions import confluent
 
@@ -191,17 +191,35 @@ def encode_df(df: DataFrame, avro_schema: dict, schema_id: int, out_col: str = "
 
 
 def decode_df(
-    df: DataFrame, avro_schema: dict, spark_schema: StructType, value_col: str = "value"
+    df: DataFrame,
+    avro_schema: dict,
+    spark_schema: StructType,
+    value_col: str = "value",
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """Confluent-framed Avro binary column → typed columns (S3 scan).
 
     Frame stripping is JVM-side; body decode is Arrow-batched Python.
     Emits the record fields as top-level columns typed by ``spark_schema``.
+
+    ``mode``: FAILFAST raises on a corrupt record (whole-task failure);
+    PERMISSIVE nulls the record's fields and captures the raw payload in a
+    ``_corrupt_record`` binary column (the ``from_json`` convention).
     """
     import json as _json
 
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
     schema_json = _json.dumps(avro_schema)
+    permissive = mode == "PERMISSIVE"
     stripped = df.withColumn("__body", confluent.unframe_body(F.col(value_col)))
+    out_schema = spark_schema
+    if permissive:
+        # corrupt records null every field → all fields must be nullable
+        out_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in spark_schema.fields]
+            + [StructField("_corrupt_record", BinaryType(), True)]
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -209,7 +227,19 @@ def decode_df(
         sch = json.loads(schema_json)
         names = [f["name"] for f in sch["fields"]]
         for pdf in batches:
-            recs = [decode_record(bytes(b), sch) for b in pdf["__body"]]
-            yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
+            recs, corrupt = [], []
+            for b in pdf["__body"]:
+                try:
+                    recs.append(decode_record(bytes(b), sch))
+                    corrupt.append(None)
+                except Exception:
+                    if not permissive:
+                        raise
+                    recs.append({n: None for n in names})
+                    corrupt.append(bytes(b))
+            data = {n: [r[n] for r in recs] for n in names}
+            if permissive:
+                data["_corrupt_record"] = corrupt
+            yield pd.DataFrame(data)
 
-    return stripped.select("__body").mapInPandas(gen, schema=spark_schema)
+    return stripped.select("__body").mapInPandas(gen, schema=out_schema)

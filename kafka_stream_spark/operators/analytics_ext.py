@@ -61,6 +61,7 @@ def quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id
     """,
     description="Pivot: per-user event-type count matrix (explicit value list → no extra pass)",
+    bench=True,
 )
 def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")

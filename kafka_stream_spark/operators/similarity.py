@@ -154,6 +154,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, cosine DESC, vec_id
     """,
     description="IVF-style ANN: centroid-pruned bucket search (the 100 TB scale path; ~bucket_frac of brute-force cost)",
+    bench=True,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")

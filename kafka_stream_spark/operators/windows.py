@@ -98,6 +98,7 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_start
     """,
     description="30-minute-gap session windows per user (SURVEY.md A4)",
+    bench=True,
 )
 def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
@@ -128,6 +129,7 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id
     """,
     description="Log-compaction materialization: latest record per key (SURVEY.md A5)",
+    bench=True,
 )
 def latest_by_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")

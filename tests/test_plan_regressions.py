@@ -1,0 +1,55 @@
+"""Physical-plan regression tests: the scale properties SCALING.md claims
+must stay true as queries evolve (pushdown, pruning, broadcast choice,
+top-k without global sort).
+"""
+
+import pytest
+
+from kafka_stream_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the needed 8 columns reach the scan
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert "HashAggregate" in p  # partial agg before exchange
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    for name in ("brand_agg_broadcast", "enrich_join_events"):
+        p = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_interval_join_is_equi_keyed(spark, sf_dir):
+    # the time range must be a residual on an equi-join, not a nested loop
+    p = plan_of(spark, sf_dir, "interval_join_events")
+    assert "BroadcastNestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_ann_corpus_not_shuffled(spark, sf_dir):
+    # queries broadcast; corpus side must not exchange before scoring
+    p = plan_of(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_semi_anti_planned_natively(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "anti_join_customers")
+    assert "LeftAnti" in p
+    p = plan_of(spark, sf_dir, "semi_join_customers")
+    assert "LeftSemi" in p
