@@ -299,6 +299,112 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# banded variant: 24 planes = 4 bands × 6 bits; candidate if ANY band
+# matches (the minhash banding trick applied to hyperplane signatures) —
+# collision prob 1-(1-p^6)^4 with p = 1-θ/π, vs p^12 for the single bucket
+_B_PLANES = 24
+_B_BANDS = 4
+_B_BITS = _B_PLANES // _B_BANDS
+
+
+def _b_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"b{j}-{i}".encode()).hexdigest()[:8], 16) % 2) * 2 - 1
+            for i in range(1, _DIMS + 1)
+        ]
+        for j in range(_B_PLANES)
+    ]
+
+
+_BSIGNS = _b_signs()
+
+
+@query(
+    "embedding_lsh_banded",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             {" + ".join(
+                 f"(CASE WHEN round(list_inner_product(e, "
+                 + "[" + ", ".join(f"{s}.0" for s in _BSIGNS[j]) + "]::DOUBLE[]"
+                 + f"), 9) > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+                 for j in range(_B_PLANES)
+             )} AS s
+      FROM v
+    ),
+    bands AS (
+      SELECT vec_id, b.band, (s >> (b.band * {_B_BITS})) & {(1 << _B_BITS) - 1} AS bval
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_B_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round(list_inner_product(x.e, y.e)
+                 / (sqrt(list_inner_product(x.e, x.e)) * sqrt(list_inner_product(y.e, y.e))), 6) AS cosine
+    FROM cand JOIN v x ON x.vec_id = vec_a JOIN v y ON y.vec_id = vec_b
+    WHERE round(list_inner_product(x.e, y.e)
+                / (sqrt(list_inner_product(x.e, x.e)) * sqrt(list_inner_product(y.e, y.e))), 6) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    description="Banded hyperplane LSH (4x6 bits): OR-of-bands candidates, exact verify — the recall-bearing embedding dedup",
+)
+def embedding_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e")).cache()
+
+    def signs_spark(j: int) -> str:
+        return "array(" + ", ".join(f"cast({s} as double)" for s in _BSIGNS[j]) + ")"
+
+    bits = " + ".join(
+        f"(CASE WHEN round({_DOT.format(a='e', b=signs_spark(j))}, 9) > 0"
+        f" THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
+        for j in range(_B_PLANES)
+    )
+    sig = v.select("vec_id", F.expr(bits).alias("s"))
+    mask = (1 << _B_BITS) - 1
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(s, {b * _B_BITS}) & {mask}").alias("bval"),
+                    )
+                    for b in range(_B_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    y = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = F.round(F.expr(_cosine_expr("ea", "eb")), 6)
+    return (
+        cand.join(x, ["vec_a"]).join(y, ["vec_b"])
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @query(
     "knn_label_centroids",
     oracle="""

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         sql_surface,
         skew,
         analytics_ext,
+        tpch_more,
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401
 
