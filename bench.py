@@ -39,6 +39,9 @@ def main() -> None:
                 spec.build(spark, warm_dir).count()
             except Exception:
                 pass
+        # cache isolation: each query pays its own full cost — no accidental
+        # cross-query reuse of cached shingle/token tables
+        spark.catalog.clearCache()
         t0 = time.time()
         df = spec.build(spark, sf_dir)
         n = df.count()

@@ -145,6 +145,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_frequency",
+    oracle="""
+    WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT toks[i] || ' ' || toks[i+1] AS gram
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i)
+      WHERE i <= len(toks) - 1
+    )
+    SELECT gram, count(*) AS n
+    FROM grams
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 30
+    """,
+    description="Corpus-wide top-k bigram frequency (vocabulary statistics for tokenizer training)",
+)
+def ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    # token barrier (cache) as in dedup: stop CollapseProject from inlining
+    # split() into the n-gram lambda
+    toks = documents.select(F.split("text", " ").alias("toks")).cache()
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                """CASE WHEN size(toks) >= 2
+                   THEN transform(sequence(1, size(toks) - 1),
+                                  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+                   ELSE array() END"""
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(30)
+    )
+
+
+@query(
     "curation_pipeline",
     oracle="""
     WITH t AS (

@@ -108,7 +108,13 @@ class PipelineRegistry:
             return df
         if callable(transform):
             return transform(df)
-        if isinstance(transform, str):  # KCQL statement (P1)
+        if isinstance(transform, str):
+            if transform.lstrip().upper().startswith("SELECT"):
+                # Lenses-processor shape (§3.3b): SQL text over the stream,
+                # which is registered as the view `source`
+                df.createOrReplaceTempView("source")
+                return self.spark.sql(transform)
+            # otherwise KCQL (P1)
             stmt = kcql.parse(transform)
             return kcql.apply(df, stmt)
         raise TypeError(f"unsupported transform: {type(transform)}")

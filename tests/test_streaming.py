@@ -213,6 +213,31 @@ def test_pipeline_registry_crud(spark, tmp_path):
     assert reg.list() == []
 
 
+def test_pipeline_sql_transform(spark, tmp_path):
+    """Lenses-processor spec: SQL text as the pipeline transform (§3.3b)."""
+    src_dir = tmp_path / "sqlsrc"
+    src_dir.mkdir()
+    (src_dir / "a.txt").write_text("x\nyy\nzzz\n")
+    reg = PipelineRegistry(spark)
+    p = reg.start(
+        {
+            "name": "sql_proc",
+            "source": {
+                "format": "text",
+                "path": str(src_dir),
+                "schema": StructType([StructField("value", StringType())]),
+            },
+            "transform": "SELECT length(value) AS n FROM source WHERE value <> 'x'",
+            "sink": {"format": "memory", "table": "sql_proc_out"},
+            "trigger": {"availableNow": True},
+            "checkpoint": str(tmp_path / "ck_sql"),
+        }
+    )
+    p.query.awaitTermination(60)
+    assert sorted(r.n for r in spark.sql("SELECT * FROM sql_proc_out").collect()) == [2, 3]
+    reg.delete("sql_proc")
+
+
 def test_pipeline_validation_errors(spark):
     reg = PipelineRegistry(spark)
     problems = reg.validate({"name": "", "source": {}, "sink": {"format": "bogus"}})
