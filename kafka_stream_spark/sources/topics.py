@@ -173,3 +173,27 @@ class FileTopic:
     def compacted(self) -> DataFrame:
         """The cleanup.policy=compact view: latest value per key (A5/J1)."""
         return latest_by_key(self.read(), ["key"])
+
+    def delete(self) -> None:
+        """Topic delete (kafka-tests.yml:33-34; delete.topic.enable analog)."""
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def list_topics(root: str) -> list[str]:
+    """Topic listing (kafka-tests.yml:30-32 analog)."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+
+
+def reset_application(checkpoint_dir: str) -> None:
+    """Streams-app reset: wipe a query's checkpoint so the next start
+    replays from the beginning (binaries/kafka-streams-application-reset
+    analog; consumer-group delete kafka-tests.yml:61-63)."""
+    import shutil
+
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
