@@ -1,0 +1,302 @@
+"""Deeper TPC-H coverage (Q9/Q13/Q14/Q15/Q17/Q19/Q22 shapes), adapted to
+the testdata star schema. The testdata has no partsupp/shipmode/phone/
+commitdate columns (TESTDATA.md), so each query keeps the reference
+join/agg/subquery STRUCTURE with the available columns; adaptations are
+noted per query.
+
+Scale notes (100 TB stance):
+- nation is always broadcast (25 rows at any SF).
+- part/supplier joins are left to AQE: at bench SF they resolve to
+  broadcast; at cluster scale they become shuffle joins on the key —
+  both are the right plan for their size, so no hint is forced except
+  where a FILTERED dim is provably small (q9's name-filtered part).
+- The Q13 left-join aggregates customer×orders with a map-side-combinable
+  count — two shuffles (join + second groupBy on c_count), the second one
+  tiny (distinct counts ≤ a few hundred at any scale).
+- The Q15/Q17/Q22 scalar/argmax subqueries reduce to one-row (or
+  per-group) aggregates joined back — Spark plans these as broadcast
+  exchanges of the aggregate, which stays O(groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN part     ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    description=(
+        "Profit by nation/year (TPC-H Q9 shape; no partsupp, so supply cost "
+        "is proxied as 0.6 * p_retailprice)"
+    ),
+    bench=True,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, part, supplier, orders, lineitem = load(
+        spark, sf_dir, "nation", "part", "supplier", "orders", "lineitem"
+    )
+    widget = part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description=(
+        "Customer order-count histogram (TPC-H Q13 shape; the comment-LIKE "
+        "filter becomes an order-priority filter inside the left join)"
+    ),
+    bench=True,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    filtered = orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    return (
+        customer.join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    description="Promotion revenue share over one quarter (TPC-H Q14 shape)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = load(spark, sf_dir, "part", "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    description=(
+        "Supplier(s) with max half-year revenue (TPC-H Q15 shape: agg view + "
+        "scalar-max subquery; revenue rounded BEFORE the max compare so both "
+        "engines agree on ties)"
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem = load(spark, sf_dir, "supplier", "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-07-01 00:00:00").cast("timestamp_ntz")
+    revenue = (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    description=(
+        "Small-quantity-order revenue (TPC-H Q17 shape: per-part correlated "
+        "avg subquery; 0.5 threshold instead of 0.2 for non-empty results on "
+        "the uniform synthetic quantities)"
+    ),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = load(spark, sf_dir, "part", "lineitem")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    description=(
+        "Disjunctive multi-predicate revenue (TPC-H Q19 shape: OR-of-ANDs "
+        "across both join sides — exercises CNF pushdown of the p_brand/"
+        "p_size legs into the part scan)"
+    ),
+    bench=True,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = load(spark, sf_dir, "part", "lineitem")
+    legs = [
+        ("Brand#1", 1, 15, 1, 20),
+        ("Brand#2", 10, 30, 10, 30),
+        ("Brand#3", 20, 50, 20, 50),
+    ]
+    # part-side prefilter (union of the brand/size legs) is pushed to the
+    # scan; the mixed part×lineitem predicate is applied post-join
+    part_pred = None
+    joint_pred = None
+    for brand, s_lo, s_hi, q_lo, q_hi in legs:
+        p = (F.col("p_brand") == brand) & F.col("p_size").between(s_lo, s_hi)
+        j = p & F.col("l_quantity").between(q_lo, q_hi)
+        part_pred = p if part_pred is None else (part_pred | p)
+        joint_pred = j if joint_pred is None else (joint_pred | j)
+    filtered_part = part.filter(part_pred).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.join(F.broadcast(filtered_part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(joint_pred)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH wealthy AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM wealthy
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    description=(
+        "Wealthy customers with no recent orders (TPC-H Q22 shape: scalar-avg "
+        "subquery + anti join; phone cntrycode becomes c_nationkey, and the "
+        "'never ordered' test becomes 'no orders since 2000' so the synthetic "
+        "data yields rows)"
+    ),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

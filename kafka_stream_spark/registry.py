@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         skew,
         analytics_ext,
         tpch_more,
+        tpch_deep,
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401
 
