@@ -246,3 +246,55 @@ def test_pipeline_validation_errors(spark):
     assert any("sink.format" in p for p in problems)
     with pytest.raises(ValueError):
         reg.start({"name": "x", "source": {}, "sink": {"format": "bogus"}})
+
+
+def test_foreach_batch_merge_compacts_and_prunes(spark, tmp_path, events_dir):
+    """The partition-pruned MERGE sink: same semantics as the full-rewrite
+    upsert, but a second batch touching one key must rewrite ONLY that
+    key's bucket partition (the other bucket's files stay untouched)."""
+    import glob
+    import os
+
+    sink = str(tmp_path / "merged_state")
+    n_buckets = 8
+
+    def drain(src_dir, ckpt):
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+        latest = stream.select("user_id", "ts", "event_type", "value")
+        q = (
+            ops.foreach_batch_merge(
+                latest, sink, keys=["user_id"], order_col="ts", num_buckets=n_buckets
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    drain(events_dir, str(tmp_path / "ckpt1"))
+    out = {r.user_id: r.event_type for r in ops.read_merged(spark, sink).collect()}
+    assert out == {1: "click", 2: "click"}  # same as foreach_batch_upsert
+
+    files_before = {p: os.path.getmtime(p) for p in glob.glob(f"{sink}/_bucket=*/*.parquet")}
+    bucket_of = {
+        r.user_id: r._bucket
+        for r in spark.read.parquet(sink).select("user_id", "_bucket").collect()
+    }
+
+    # second feed updates ONLY user 1
+    src2 = tmp_path / "events2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [("2024-01-01 02:00:00", 1, "refund", 5.0)], ["ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(str(src2))
+    drain(str(src2), str(tmp_path / "ckpt2"))
+
+    out2 = {r.user_id: r.event_type for r in ops.read_merged(spark, sink).collect()}
+    assert out2 == {1: "refund", 2: "click"}
+    if bucket_of[1] != bucket_of[2]:  # hash collision would merge the buckets
+        untouched = [
+            p for p in files_before if f"_bucket={bucket_of[2]}/" in p or f"_bucket={bucket_of[2]}{os.sep}" in p
+        ]
+        assert untouched, "expected files in user 2's bucket"
+        for p in untouched:
+            assert os.path.getmtime(p) == files_before[p], "untouched bucket was rewritten"
