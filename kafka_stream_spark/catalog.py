@@ -37,13 +37,25 @@ def load_tables(
     tables: tuple[str, ...] = ALL_TABLES,
     register_views: bool = True,
 ) -> dict[str, DataFrame]:
-    """Load the named parquet tables under ``sf_dir``; optionally register views."""
+    """Load the named parquet tables under ``sf_dir``; optionally register views.
+
+    Self-configures the session (UTC + nanosAsLong) so it works on a vanilla
+    driver-owned SparkSession — ``events`` is TIMESTAMP(NANOS) parquet, which
+    Spark cannot read without the legacy conf (see NOTES.md sharp edge #1).
+    """
+    from kafka_stream_spark.functions.time import enable_nanos_as_long, with_event_ts
+    from kafka_stream_spark.session import pin_utc
+
+    pin_utc(spark)
+    enable_nanos_as_long(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
+        if name == "events":
+            df = with_event_ts(df)
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

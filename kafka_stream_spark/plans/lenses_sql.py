@@ -1,0 +1,82 @@
+"""Lenses-SQL dialect shell (SURVEY.md §3.3, entry point C).
+
+Lenses 1.0 fronts Kafka with a SQL surface that mixes plain queries with
+admin statements (reference `README.md:41-43` "A scalable SQL engine";
+the stack's admin operations it fronts are in-repo:
+topic list `integration-tests/kafka-tests.yml:30-32`, schema subjects
+`kafka-tests.yml:127-148`). Catalyst handles every relational statement;
+this shell adds only the non-relational dialect statements on top of
+``spark.sql``:
+
+    SHOW TOPICS                  -> catalog listing (name, n_columns)
+    SHOW QUERIES                 -> running streaming queries (§2.11)
+    DESCRIBE [TOPIC] <name>      -> column name/type rows
+    SET 'key' = 'value'          -> session conf (Lenses SET statements)
+    INSERT INTO <t> SELECT ...   -> processor: materialize result as view <t>
+    anything else                -> spark.sql(...) verbatim
+
+Everything returns a DataFrame so results compose with the rest of the
+engine. The relational path is 100% Catalyst — no custom parser for
+queries, exactly as SURVEY.md §3.3 prescribes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.catalog import Catalog
+
+_SET_RE = re.compile(r"^\s*SET\s+'?([\w.\-]+)'?\s*=\s*'?([^';]*?)'?\s*;?\s*$", re.I)
+_DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(?:TOPIC\s+)?(\w+)\s*;?\s*$", re.I)
+_SHOW_TOPICS_RE = re.compile(r"^\s*SHOW\s+TOPICS\s*;?\s*$", re.I)
+_SHOW_QUERIES_RE = re.compile(r"^\s*SHOW\s+QUERIES\s*;?\s*$", re.I)
+_INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", re.I | re.S)
+
+
+class LensesShell:
+    """Stateful SQL session over a :class:`Catalog` (one shell ≈ one Lenses
+    SQL tab). ``execute`` dispatches dialect statements; plain SQL goes to
+    Catalyst untouched."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.spark: SparkSession = catalog.spark
+
+    def execute(self, statement: str) -> DataFrame:
+        m = _SET_RE.match(statement)
+        if m:
+            key, value = m.group(1), m.group(2)
+            self.spark.conf.set(key, value)
+            return self.spark.createDataFrame([(key, value)], ["key", "value"])
+
+        if _SHOW_TOPICS_RE.match(statement):
+            rows = [
+                (name, len(self.catalog.table(name).columns))
+                for name in self.catalog.names()
+            ]
+            return self.spark.createDataFrame(rows, ["topic", "n_columns"])
+
+        if _SHOW_QUERIES_RE.match(statement):
+            rows = [
+                (q.name or "", q.id.__str__(), bool(q.isActive))
+                for q in self.spark.streams.active
+            ]
+            schema = "name string, id string, active boolean"
+            return self.spark.createDataFrame(rows, schema)
+
+        m = _DESCRIBE_RE.match(statement)
+        if m:
+            df = self.catalog.table(m.group(1))
+            rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema]
+            return self.spark.createDataFrame(rows, ["column", "type", "nullable"])
+
+        m = _INSERT_RE.match(statement)
+        if m:
+            target, select = m.group(1), m.group(2)
+            result = self.spark.sql(select)
+            result.createOrReplaceTempView(target)
+            return result
+
+        return self.spark.sql(statement)

@@ -1,0 +1,60 @@
+"""Lenses-SQL dialect shell tests (SURVEY.md §3.3 entry point C +
+§2.11 admin surface: SHOW/DESCRIBE/SET alongside plain Catalyst SQL)."""
+
+from kafka_stream_spark.catalog import Catalog
+from kafka_stream_spark.plans.lenses_sql import LensesShell
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _shell(spark):
+    return LensesShell(Catalog(spark, SF_DIR))
+
+
+def test_show_topics(spark):
+    out = _shell(spark).execute("SHOW TOPICS").collect()
+    topics = {r.topic for r in out}
+    assert {"lineitem", "orders", "events", "documents"} <= topics
+    row = {r.topic: r.n_columns for r in out}
+    assert row["lineitem"] == 11
+
+
+def test_describe_topic(spark):
+    out = _shell(spark).execute("DESCRIBE TOPIC orders").collect()
+    cols = {r.column: r.type for r in out}
+    assert cols["o_orderkey"] == "bigint"
+    assert cols["o_totalprice"] == "double"
+    # DESCRIBE without the TOPIC keyword also works
+    assert _shell(spark).execute("DESCRIBE orders").count() == len(cols)
+
+
+def test_set_statement(spark):
+    sh = _shell(spark)
+    sh.execute("SET 'spark.sql.shuffle.partitions' = '17';")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+    sh.execute("SET spark.sql.shuffle.partitions=32")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+
+
+def test_plain_sql_passthrough(spark):
+    out = _shell(spark).execute(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    assert out.count() == 5
+
+
+def test_insert_into_select_materializes_view(spark):
+    sh = _shell(spark)
+    res = sh.execute(
+        "INSERT INTO big_orders SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_totalprice > 400000"
+    )
+    n = res.count()
+    # the processor target is queryable as a view afterwards
+    assert sh.execute("SELECT count(*) AS n FROM big_orders").collect()[0].n == n
+
+
+def test_show_queries_lists_active(spark):
+    out = _shell(spark).execute("SHOW QUERIES")
+    assert out.columns == ["name", "id", "active"]

@@ -88,3 +88,46 @@ def test_jdbc_incremental_source_watermark(spark, tmp_path):
     # watermark advance logic
     src.last_seen = 2
     assert "id > 2" in f"id > {src.last_seen}"
+
+
+def test_dbapi_incremental_source_sqlite_roundtrip(spark, tmp_path):
+    """The reference's JDBC-source test shape (kafka-tests.yml:209-257):
+    sqlite accounts table -> incremental polls -> topic 'coyote-ca-accounts'
+    containing alice and bob."""
+    import sqlite3
+
+    from kafka_stream_spark.sources.connectors import DbapiIncrementalSource
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    db = str(tmp_path / "test.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE accounts(id INTEGER PRIMARY KEY, name TEXT)")
+    con.execute("INSERT INTO accounts(name) VALUES ('alice'), ('bob')")
+    con.commit()
+    con.close()
+
+    src = DbapiIncrementalSource(
+        spark, lambda: sqlite3.connect(db), "accounts", "id", topic_prefix="coyote-ca-"
+    )
+    assert src.topic == "coyote-ca-accounts"
+
+    topic = FileTopic(spark, str(tmp_path), src.topic, partitions=1)
+    batch1 = src.poll()
+    topic.append(
+        batch1.select(F.col("id").cast("string").alias("key"), F.col("name").alias("value"))
+    )
+    names = {bytes(r.value).decode() for r in topic.read().collect()}
+    assert names == {"alice", "bob"}  # the coyote stdout_has assertion
+
+    # watermark: a later insert is picked up alone; no re-emission
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO accounts(name) VALUES ('carol')")
+    con.commit()
+    con.close()
+    batch2 = src.poll()
+    assert [r.name for r in batch2.collect()] == ["carol"]
+
+    # drained table -> empty batch with the cached schema
+    batch3 = src.poll()
+    assert batch3.count() == 0
+    assert batch3.schema == batch2.schema
