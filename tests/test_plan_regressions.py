@@ -53,3 +53,31 @@ def test_semi_anti_planned_natively(spark, sf_dir):
     assert "LeftAnti" in p
     p = plan_of(spark, sf_dir, "semi_join_customers")
     assert "LeftSemi" in p
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    # the OR-of-ANDs legs must reach BOTH parquet scans as data filters
+    p = plan_of(spark, sf_dir, "q19_discounted_revenue")
+    part_scan = [l for l in p.splitlines() if "part.parquet" in l and "FileScan" in l]
+    li_scan = [l for l in p.splitlines() if "lineitem" in l and "FileScan" in l]
+    assert part_scan and "p_brand" in part_scan[0]
+    assert li_scan and "l_quantity" in li_scan[0]
+    assert "BroadcastHashJoin" in p  # filtered part dim stays broadcast
+
+
+def test_q9_filtered_part_broadcast(spark, sf_dir):
+    # the name-filtered part dim must broadcast; nation always broadcasts
+    p = plan_of(spark, sf_dir, "q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 2
+    # the p_name LIKE filter is pushed into the part scan
+    part_scan = [l for l in p.splitlines() if "part.parquet" in l and "FileScan" in l]
+    assert part_scan and ("widget" in part_scan[0] or "StringContains" in part_scan[0])
+
+
+def test_q13_left_join_preserves_all_customers(spark, sf_dir):
+    # outer join must not degrade to inner (the priority filter sits on the
+    # orders side BEFORE the join, not as a post-join filter)
+    p = plan_of(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in p
+    order_scan = [l for l in p.splitlines() if "orders.parquet" in l and "FileScan" in l]
+    assert order_scan and "o_orderpriority" in order_scan[0]
