@@ -275,3 +275,54 @@ def scalar_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_split — deterministic train/val/test assignment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT source,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+            FROM documents)
+    )
+    SELECT source, split, count(*) AS n
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    description=(
+        "Deterministic 80/10/10 train/val/test split by md5(doc_id) bucket — "
+        "the training-pipeline split op: stable under reruns/reshuffles and "
+        "across engines, no RNG, stratification audited per source"
+    ),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket split assignment (LLM-pipeline op, brief §north-star).
+
+    Scale: a pure per-row projection (md5 + modulo) — no shuffle to ASSIGN
+    splits at any scale; the single groupBy here is only the audit
+    aggregation. Writers would partitionBy('split') on the way out.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.expr("cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
+        % 100
+    )
+    split = (
+        F.when(F.col("b") < 80, "train").when(F.col("b") < 90, "val").otherwise("test")
+    )
+    return (
+        documents.withColumn("b", bucket)
+        .withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "split")
+    )
