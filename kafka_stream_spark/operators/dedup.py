@@ -71,10 +71,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(ncpu, "doc_id")
         .cache()
     )
+    # per-doc dedup INSIDE the array (array_distinct) instead of
+    # explode().distinct(): the distinct would shuffle every (doc_id, sh)
+    # row, while array_distinct is shuffle-free AND leaves the stream
+    # partitioned by doc_id, so the downstream signature/size groupBys
+    # reuse the repartition above with no exchange (matches the oracle's
+    # list_distinct placement exactly)
     return (
-        toks.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        toks.select("doc_id", F.array_distinct(F.expr(_SHINGLES_EXPR)).alias("shingles"))
         .select("doc_id", F.explode("shingles").alias("sh"))
-        .distinct()
     )
 
 

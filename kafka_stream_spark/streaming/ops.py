@@ -85,23 +85,30 @@ def stream_static_join(
 def interval_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | None,
     left_ts: str,
     right_ts: str,
     lower: str,
     upper: str,
     watermark: str = "10 minutes",
     how: str = "inner",
+    left_key: str | None = None,
+    right_key: str | None = None,
 ) -> DataFrame:
     """Stream-stream windowed equi-join (J2, Kafka Streams JoinWindows).
 
     ``right_ts ∈ [left_ts - lower, left_ts + upper]``; both sides
-    watermarked so join state is droppable.
+    watermarked so join state is droppable. ``how`` supports inner /
+    leftOuter / fullOuter (outer rows emit with nulls once the watermark
+    passes — Kafka Streams' leftOuter/outerJoin grace semantics). Pass
+    ``key`` when both sides share the column name, or ``left_key`` +
+    ``right_key`` when they differ.
     """
+    lk, rk = left_key or key, right_key or key
     lw = _watermarkable(left, left_ts).withWatermark(left_ts, watermark)
     rw = _watermarkable(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
-        (lw[key] == rw[key])
+        (lw[lk] == rw[rk])
         & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {lower}"))
         & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}"))
     )

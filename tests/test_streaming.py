@@ -298,3 +298,30 @@ def test_foreach_batch_merge_compacts_and_prunes(spark, tmp_path, events_dir):
         assert untouched, "expected files in user 2's bucket"
         for p in untouched:
             assert os.path.getmtime(p) == files_before[p], "untouched bucket was rewritten"
+
+
+def test_streaming_interval_join_left_outer(spark, events_dir):
+    """J2 outer variant (Kafka Streams leftOuter JoinWindows): clicks with
+    no purchase within the window emit with nulls once the watermark passes."""
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .filter("event_type = 'click'")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    )
+    buys = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .filter("event_type = 'purchase'")
+        .select(F.col("user_id").alias("bu"), F.col("ts").alias("buy_ts"))
+    )
+    joined = ops.interval_join(
+        clicks, buys, key=None, left_ts="click_ts", right_ts="buy_ts",
+        lower="0 MINUTES", upper="10 MINUTES", watermark="1 minutes",
+        how="leftOuter", left_key="cu", right_key="bu",
+    )
+    _run_to_memory(joined, "ij_outer")
+    rows = spark.sql("SELECT cu, click_ts, buy_ts FROM ij_outer").collect()
+    matched = {(r.cu, r.click_ts.minute, r.buy_ts.minute) for r in rows if r.buy_ts}
+    unmatched = {(r.cu, r.click_ts.minute) for r in rows if r.buy_ts is None}
+    assert matched == {(1, 1, 4), (2, 55, 57)}
+    # the click with no purchase in-window surfaces with a null right side
+    assert (2, 58) in unmatched or (1, 14) in unmatched
