@@ -131,3 +131,34 @@ def test_dbapi_incremental_source_sqlite_roundtrip(spark, tmp_path):
     batch3 = src.poll()
     assert batch3.count() == 0
     assert batch3.schema == batch2.schema
+
+
+def test_dataset_split_partitioned_write(spark, tmp_path):
+    """The split op's write path: partitionBy('split') lays out
+    train/val/test as separate partition dirs (the shape a downstream
+    trainer consumes), with every doc in exactly one split."""
+    import pyspark.sql.functions as F2
+    from kafka_stream_spark.operators._common import load
+
+    (documents,) = load(spark, "/root/testdata/sf0.001", "documents")
+    bucket = (
+        F2.expr(
+            "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    split = F2.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    out = str(tmp_path / "corpus")
+    documents.withColumn("split", split).write.partitionBy("split").parquet(out)
+
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == {"split=train", "split=val", "split=test"}
+    total = documents.count()
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    # partition pruning: reading one split scans only that directory
+    train_only = back.filter(F2.col("split") == "train")
+    plan = train_only._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
