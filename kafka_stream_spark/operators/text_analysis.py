@@ -303,6 +303,7 @@ def scalar_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the training-pipeline split op: stable under reruns/reshuffles and "
         "across engines, no RNG, stratification audited per source"
     ),
+    bench=True,
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-bucket split assignment (LLM-pipeline op, brief §north-star).

@@ -154,6 +154,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scalar-max subquery; revenue rounded BEFORE the max compare so both "
         "engines agree on ties)"
     ),
+    bench=True,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem = load(spark, sf_dir, "supplier", "lineitem")
@@ -191,16 +192,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg subquery; 0.5 threshold instead of 0.2 for non-empty results on "
         "the uniform synthetic quantities)"
     ),
+    bench=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem = load(spark, sf_dir, "part", "lineitem")
-    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+    brand = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    # prune lineitem to the brand's parts BEFORE the per-part avg: the
+    # correlated subquery is per-part, so averaging only surviving parts is
+    # identical — and the avg shuffle shrinks from |parts| to the brand's
+    # selectivity (1/25 here), which at 100 TB is the difference between
+    # aggregating the whole fact table and a sliver of it
+    brand_items = lineitem.join(
+        F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+    ).cache()
+    per_part = brand_items.groupBy(F.col("l_partkey").alias("pk")).agg(
         (0.5 * F.avg("l_quantity")).alias("qty_threshold")
     )
-    brand = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     return (
-        lineitem.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
-        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        brand_items.join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -277,6 +286,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'never ordered' test becomes 'no orders since 2000' so the synthetic "
         "data yields rows)"
     ),
+    bench=True,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = load(spark, sf_dir, "customer", "orders")
