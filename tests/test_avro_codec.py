@@ -87,3 +87,49 @@ def test_framed_ais_value_roundtrip(spark):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_mixed_version_topic_evolving_decode(spark):
+    """Schema evolution on the DATA path (the behavior the registry compat
+    tests at kafka-tests.yml:144-156 exist to protect): a topic holding v1
+    and v2 records decodes to one uniform reader-typed frame — v1 records
+    take the reader default for the added field, and a field dropped by the
+    reader is ignored."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v1_spark = StructType(
+        [StructField("id", LongType(), False), StructField("name", StringType(), False)]
+    )
+    v2_spark = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("name", StringType(), False),
+            StructField("address", StringType(), True),
+        ]
+    )
+    v1 = avro_of(v1_spark, "User")
+    v2 = avro_of(v2_spark, "User")
+    # reader schema: v2 with an explicit default for the added field
+    reader = json.loads(json.dumps(v2))
+    for f in reader["fields"]:
+        if f["name"] == "address":
+            f["default"] = None
+
+    old = avro_codec.encode_df(
+        spark.createDataFrame([(1, "alice")], v1_spark), v1, schema_id=1
+    )
+    new = avro_codec.encode_df(
+        spark.createDataFrame([(2, "bob", "oak st")], v2_spark), v2, schema_id=2
+    )
+    topic = old.select("value").unionByName(new.select("value"))
+
+    out = avro_codec.decode_df_evolving(
+        topic, writer_schemas={1: v1, 2: v2}, reader_schema=reader, spark_schema=v2_spark
+    )
+    rows = {r.id: (r.name, r.address) for r in out.collect()}
+    assert rows == {1: ("alice", None), 2: ("bob", "oak st")}
