@@ -325,3 +325,29 @@ def test_streaming_interval_join_left_outer(spark, events_dir):
     assert matched == {(1, 1, 4), (2, 55, 57)}
     # the click with no purchase in-window surfaces with a null right side
     assert (2, 58) in unmatched or (1, 14) in unmatched
+
+
+def test_streaming_interval_join_full_outer(spark, events_dir):
+    """J2 fullOuter (Kafka Streams outerJoin): unmatched rows on BOTH sides
+    emit with nulls after the watermark."""
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .filter("event_type = 'click'")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    )
+    buys = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .filter("event_type = 'purchase'")
+        .select(F.col("user_id").alias("bu"), F.col("ts").alias("buy_ts"))
+    )
+    joined = ops.interval_join(
+        clicks, buys, key=None, left_ts="click_ts", right_ts="buy_ts",
+        lower="0 MINUTES", upper="2 MINUTES", watermark="1 minutes",
+        how="fullOuter", left_key="cu", right_key="bu",
+    )
+    _run_to_memory(joined, "ij_full")
+    rows = spark.sql("SELECT cu, bu, click_ts, buy_ts FROM ij_full").collect()
+    # a narrow 2-min window: user1 click@01 has no buy within 2 min (buy@04),
+    # so both the orphan click AND the orphan buy must surface
+    assert any(r.cu is not None and r.bu is None for r in rows), "left orphan missing"
+    assert any(r.cu is None and r.bu is not None for r in rows), "right orphan missing"
