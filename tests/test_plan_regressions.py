@@ -81,3 +81,12 @@ def test_q13_left_join_preserves_all_customers(spark, sf_dir):
     assert "LeftOuter" in p
     order_scan = [l for l in p.splitlines() if "orders.parquet" in l and "FileScan" in l]
     assert order_scan and "o_orderpriority" in order_scan[0]
+
+
+def test_simhash_has_no_cartesian(spark, sf_dir):
+    # pigeonhole banding must keep pair generation an equi-join on
+    # (band, bandval) — an all-pairs formulation would show up as a
+    # nested-loop/cartesian and die at scale
+    p = plan_of(spark, sf_dir, "dedup_simhash")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
