@@ -71,15 +71,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(ncpu, "doc_id")
         .cache()
     )
-    # per-doc dedup INSIDE the array (array_distinct) instead of
-    # explode().distinct(): the distinct would shuffle every (doc_id, sh)
-    # row, while array_distinct is shuffle-free AND leaves the stream
-    # partitioned by doc_id, so the downstream signature/size groupBys
-    # reuse the repartition above with no exchange (matches the oracle's
-    # list_distinct placement exactly)
+    # explode + distinct, NOT array_distinct: Spark's array_distinct is
+    # O(k²) per doc for string arrays (non-primitive path) — fine for these
+    # short synthetic docs, catastrophic for long documents. The distinct
+    # here costs NO exchange: HashPartitioning(doc_id) from the repartition
+    # above satisfies ClusteredDistribution(doc_id, sh) (partition keys ⊆
+    # grouping keys), so the dedup aggregate runs partition-local — linear
+    # per doc AND shuffle-free (A/B-measured faster than array_distinct at
+    # sf0.1 steady-state: 1.35s vs 1.75s for the full minhash query).
     return (
-        toks.select("doc_id", F.array_distinct(F.expr(_SHINGLES_EXPR)).alias("shingles"))
+        toks.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
         .select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
     )
 
 

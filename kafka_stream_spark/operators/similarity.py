@@ -100,7 +100,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6) >= 0.35
     ORDER BY vec_a, vec_b
     """,
-    description="Embedding-cosine near-duplicate pairs (threshold 0.35)",
+    description=(
+        "Embedding-cosine near-duplicate pairs (threshold 0.35) — the exact "
+        "all-pairs BASELINE (per brief); embedding_lsh_near_dup / "
+        "embedding_lsh_banded are the sub-quadratic scale paths"
+    ),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
