@@ -40,13 +40,20 @@ def main() -> None:
             except Exception:
                 pass
         # cache isolation: each query pays its own full cost — no accidental
-        # cross-query reuse of cached shingle/token tables
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = spec.build(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        # cross-query reuse of cached shingle/token tables. min-of-N runs
+        # (BENCH_REPEATS, default 2) filters GC/compilation jitter so
+        # round-over-round comparisons track real plan changes.
+        repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+        best, n = None, 0
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = spec.build(spark, sf_dir)
+            n = df.count()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {times[name]}s (min of {repeats})", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
