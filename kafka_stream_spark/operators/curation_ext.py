@@ -1,0 +1,489 @@
+"""Training-data curation extensions (north-star M6, second wave).
+
+Five pipeline operators a 100 TB pretraining-data build needs beyond
+dedup/similarity/text-analysis:
+
+- **decontaminate_documents** — benchmark n-gram overlap: flag training
+  docs sharing too many 5-grams with a held-out eval set. The join is on
+  the gram string, so cost is bounded by gram collisions; the benchmark
+  side is broadcast (eval sets are tiny next to the corpus).
+- **repetition_signals** — Gopher-style per-doc repetition fractions
+  (top-word, top-bigram). explode + two-level groupBy keyed by
+  (doc_id, gram): map-side partial agg keeps the shuffle proportional to
+  distinct grams, not tokens.
+- **stratified_sample_documents** — deterministic per-language quota
+  sampling via md5 buckets (no RNG, stable across engines/reruns).
+- **pack_sequences** — concat-and-chunk sequence packing: per
+  (source, shard) token streams cut into fixed-capacity chunks by
+  running offset. Sharding bounds the sequential (window) chain per key,
+  which is what keeps packing parallel at 100 TB.
+- **quantize_embeddings** — int8 symmetric quantization of the embedding
+  column with per-vector scale + integer checksums (the storage-halving
+  prep step for large ANN indexes).
+
+Everything is Catalyst-native (split/explode/window/higher-order fns);
+all hashes are md5-derived so each op is DuckDB-oracle-verifiable.
+Reference anchor: the multilingual text surface (reddit bodies,
+``reddit.value.json:75-78``) and keyed-partition model
+(``sample-data/variables.env:3-10``) — these are its bulk-curation layer.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# decontamination — benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+_BENCH_SOURCE = "src0"  # held-out "benchmark" slice of the corpus
+_NGRAM = 5
+_CONTAM_THRESHOLD = 0.5
+
+# 5-gram construction, guarded for short docs (ANSI element_at throws past end)
+_GRAMS_EXPR = """
+  CASE WHEN size(toks) >= 5
+       THEN transform(sequence(1, size(toks) - 4),
+                      i -> concat_ws(' ', element_at(toks, i),
+                                          element_at(toks, i + 1),
+                                          element_at(toks, i + 2),
+                                          element_at(toks, i + 3),
+                                          element_at(toks, i + 4)))
+       ELSE array()
+  END
+"""
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, source, gram) rows, parallelized before the per-doc work.
+
+    Same shape as dedup._doc_shingles: repartition by doc_id first (a single
+    parquet file would otherwise serialize the gram CPU onto one task), cache
+    the token projection as an optimizer barrier (CollapseProject would inline
+    split() into every element_at — quadratic per doc), then explode +
+    exchange-free distinct (doc_id partitioning satisfies the (doc_id, gram)
+    clustered distribution).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        documents.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    return (
+        toks.select("doc_id", "source", F.expr(_GRAMS_EXPR).alias("grams"))
+        .select("doc_id", "source", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+
+
+@query(
+    "decontaminate_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'),
+    cand AS (SELECT doc_id, gram FROM grams WHERE source <> '{_BENCH_SOURCE}'),
+    scored AS (
+      SELECT c.doc_id,
+             count(*) AS n_grams,
+             count(b.gram) AS n_hit
+      FROM cand c LEFT JOIN bench b USING (gram)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           round(n_hit * 1.0 / n_grams, 6) AS overlap_ratio,
+           CASE WHEN n_hit * 1.0 / n_grams >= {_CONTAM_THRESHOLD} THEN 1 ELSE 0 END
+             AS contaminated
+    FROM scored
+    ORDER BY doc_id
+    """,
+    description=(
+        "Benchmark decontamination: 5-gram overlap of each training doc "
+        "against a held-out eval slice; flag docs above the overlap threshold"
+    ),
+    bench=True,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan (the pre-training hygiene step).
+
+    Scale: the benchmark gram set is broadcast — eval suites are thousands
+    of documents against a 100 TB corpus, so the candidate side never
+    shuffles; per-doc scoring is a map-side-combinable groupBy(doc_id).
+    Docs shorter than the gram width produce no grams and drop out (same
+    WHERE in the oracle).
+    """
+    grams = _doc_grams(spark, sf_dir)
+    bench = (
+        grams.filter(F.col("source") == _BENCH_SOURCE)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = grams.filter(F.col("source") != _BENCH_SOURCE).select("doc_id", "gram")
+    scored = (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    ratio = F.col("n_hit") / F.col("n_grams")
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(ratio, 6).alias("overlap_ratio"),
+        F.when(ratio >= _CONTAM_THRESHOLD, 1).otherwise(0).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals — Gopher-style quality heuristics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(toks) AS w FROM tok
+    ),
+    word_counts AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    word_top AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS n_tokens
+      FROM word_counts GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - 1
+    ),
+    bigram_counts AS (
+      SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g
+    ),
+    bigram_top AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams
+      FROM bigram_counts GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_tokens,
+           round(w.top_c * 1.0 / w.n_tokens, 6) AS top_word_frac,
+           round(b.top_c * 1.0 / b.n_bigrams, 6) AS top_bigram_frac,
+           CASE WHEN w.top_c * 1.0 / w.n_tokens > 0.20
+                  OR b.top_c * 1.0 / b.n_bigrams > 0.18 THEN 1 ELSE 0 END
+             AS repetitive
+    FROM word_top w JOIN bigram_top b USING (doc_id)
+    ORDER BY doc_id
+    """,
+    description=(
+        "Per-doc repetition fractions (top word / top bigram share) with a "
+        "repetitive flag — Gopher-style quality gate signals"
+    ),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document.
+
+    Scale: both counts go explode → groupBy(doc_id, gram) → groupBy(doc_id).
+    Partial (map-side) aggregation collapses repeats before the shuffle, so
+    shuffle volume is distinct grams per doc, and the final per-doc reduce
+    is a same-key reshuffle Catalyst plans as one exchange on doc_id that
+    both branches share via the repartition in the token projection.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # cache barrier: see dedup._doc_shingles (CollapseProject would inline
+    # split() into the bigram lambda, re-tokenizing per element)
+    toks = (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    word_top = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("w_top_c"), F.sum("c").alias("n_tokens"))
+    )
+    bigram_expr = """
+      CASE WHEN size(toks) >= 2
+           THEN transform(sequence(1, size(toks) - 1),
+                          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+           ELSE array()
+      END
+    """
+    bigram_top = (
+        toks.select("doc_id", F.explode(F.expr(bigram_expr)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("b_top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    word_frac = F.col("w_top_c") / F.col("n_tokens")
+    bigram_frac = F.col("b_top_c") / F.col("n_bigrams")
+    return (
+        word_top.join(bigram_top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(word_frac, 6).alias("top_word_frac"),
+            F.round(bigram_frac, 6).alias("top_bigram_frac"),
+            F.when((word_frac > 0.20) | (bigram_frac > 0.18), 1)
+            .otherwise(0)
+            .alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling — deterministic per-language quotas
+# ---------------------------------------------------------------------------
+
+# keep-rates per language: upsample nothing, downsample the head language
+_LANG_RATES = {"en": 0.50, "de": 1.00, "es": 1.00, "fr": 1.00, "zh": 0.75}
+_DEFAULT_RATE = 0.25
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(_LANG_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
+
+
+@query(
+    "stratified_sample_documents",
+    oracle=f"""
+    WITH rated AS (
+      SELECT lang,
+             {_rate_case_sql()} AS rate,
+             ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+               AS b
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_in,
+           sum(CASE WHEN b < rate * 10000 THEN 1 ELSE 0 END) AS n_kept,
+           round(sum(CASE WHEN b < rate * 10000 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS kept_frac
+    FROM rated
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description=(
+        "Deterministic stratified sampling: per-language keep-rates applied "
+        "via md5 buckets (no RNG — stable under reruns and engine swaps), "
+        "with a per-stratum audit"
+    ),
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling per language stratum (corpus rebalancing op).
+
+    Scale: the rates table is a broadcast join (a handful of rows); the
+    keep/drop decision is a pure per-row projection — no shuffle to sample
+    at any scale. The groupBy here is only the audit; the write path would
+    filter on ``kept`` and stream out.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    rates = documents.sparkSession.createDataFrame(
+        [(lang, rate) for lang, rate in sorted(_LANG_RATES.items())], "lang string, rate double"
+    )
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('strat:', cast(doc_id as string)) as binary)),"
+            " 1, 15), 16, 10) as bigint)"
+        )
+        % 10000
+    )
+    rated = (
+        documents.join(F.broadcast(rates), "lang", "left")
+        .withColumn("rate", F.coalesce("rate", F.lit(_DEFAULT_RATE)))
+        .withColumn("b", bucket)
+    )
+    kept = F.when(F.col("b") < F.col("rate") * 10000, 1).otherwise(0)
+    return (
+        rated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — concat-and-chunk by running token offset
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 128  # tokens per packed sequence (small to exercise chunking at test SF)
+_PACK_SHARDS = 4
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % {_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    offs AS (
+      SELECT source, shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM tok
+    ),
+    chunks AS (
+      SELECT source, shard, start_off // {_PACK_CAPACITY} AS chunk_id, doc_id, n_tok
+      FROM offs
+    )
+    SELECT source, shard, chunk_id,
+           count(*) AS n_docs,
+           sum(n_tok) AS n_tokens,
+           min(doc_id) AS first_doc_id
+    FROM chunks
+    GROUP BY source, shard, chunk_id
+    ORDER BY source, shard, chunk_id
+    """,
+    description=(
+        "Sequence packing: concat-and-chunk — per (source, shard) token "
+        "streams cut into fixed-capacity training sequences by running "
+        "offset; docs assigned to the chunk containing their start"
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing (the pretraining batch-prep step).
+
+    Scale: a window cumsum is sequential per partition key — that's why
+    the stream is sharded by md5(doc_id) first: parallelism is
+    sources × shards regardless of corpus size, and each chain stays
+    short. Chunk assignment is then a pure projection; the groupBy is
+    map-side combinable on the already-clustered (source, shard) keys.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    shard = (
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('shard:', cast(doc_id as string)) as binary)),"
+            " 1, 15), 16, 10) as bigint)"
+        )
+        % _PACK_SHARDS
+    )
+    tok = documents.select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = tok.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    chunks = offs.withColumn(
+        "chunk_id", F.floor(F.col("start_off") / _PACK_CAPACITY)
+    )
+    return (
+        chunks.groupBy("source", "shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("source", "shard", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization — int8 symmetric, per-vector scale
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantize_embeddings",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    ),
+    quant AS (
+      SELECT vec_id, label, scale,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+               AS q
+      FROM scaled
+      WHERE scale > 0
+    )
+    SELECT vec_id, label,
+           round(scale, 6) AS scale_r,
+           list_sum(q) AS sum_q,
+           list_sum(list_transform(q, v -> abs(v))) AS l1_q,
+           list_max(q) AS max_q
+    FROM quant
+    ORDER BY vec_id
+    """,
+    description=(
+        "Int8 symmetric embedding quantization (per-vector scale) with "
+        "integer checksums — the storage-halving prep for billion-vector "
+        "ANN indexes"
+    ),
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit.
+
+    Scale: pure per-row higher-order-function math (no shuffle, no UDF);
+    the real write path would emit ``q`` as array<tinyint> + scale float.
+    floor(x + 0.5) is used instead of round() because both engines define
+    floor identically (round() half-away ties can differ per dialect);
+    all element math is widened to double so Spark and DuckDB run the
+    same IEEE ops.
+    """
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double") / 127.0
+    )
+    scaled = embeddings.select("vec_id", "label", scale.alias("scale"), "embedding")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("bigint"),
+    )
+    quant = scaled.filter(F.col("scale") > 0).select(
+        "vec_id", "label", "scale", q.alias("q")
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("sum_q"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, v: acc + F.abs(v)).alias(
+            "l1_q"
+        ),
+        F.array_max("q").alias("max_q"),
+    ).orderBy("vec_id")

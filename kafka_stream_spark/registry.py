@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         sql_surface,
         skew,
         analytics_ext,
+        curation_ext,
         tpch_more,
         tpch_deep,
     )

@@ -1,0 +1,90 @@
+"""Plan-shape and invariant tests for the curation extensions
+(decontamination, repetition signals, stratified sampling, sequence
+packing, embedding quantization). Value-level correctness is covered by
+the oracle parametrization in test_queries.py; these tests pin the
+properties that matter at scale.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+
+from kafka_stream_spark.operators import curation_ext
+from kafka_stream_spark.operators._common import load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    df = curation_ext.decontaminate_documents(spark, sf_dir)
+    plan = _plan(df)
+    # the eval-set gram table must broadcast: the corpus side never shuffles
+    # for the join itself at 100 TB
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    # benchmark docs themselves are not scored
+    (documents,) = load(spark, sf_dir, "documents")
+    bench_ids = {
+        r.doc_id
+        for r in documents.filter(
+            F.col("source") == curation_ext._BENCH_SOURCE
+        ).collect()
+    }
+    assert bench_ids and not bench_ids & {r.doc_id for r in rows}
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_grams
+        assert r.contaminated == (1 if r.n_hit / r.n_grams >= 0.5 else 0)
+
+
+def test_stratified_sample_is_deterministic_and_bounded(spark, sf_dir):
+    a = curation_ext.stratified_sample_documents(spark, sf_dir).collect()
+    b = curation_ext.stratified_sample_documents(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert 0 <= r.n_kept <= r.n_in
+        assert math.isclose(r.kept_frac, round(r.n_kept / r.n_in, 6), abs_tol=1e-9)
+
+
+def test_pack_sequences_chunks_are_contiguous_and_conserve_tokens(spark, sf_dir):
+    rows = curation_ext.pack_sequences(spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.source, r.shard), []).append(r)
+    assert by_shard
+    (documents,) = load(spark, sf_dir, "documents")
+    total_tokens = documents.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    for chunks in by_shard.values():
+        ids = sorted(c.chunk_id for c in chunks)
+        # chunk ids start at 0 and are contiguous (no empty chunks emitted)
+        assert ids == list(range(len(ids)))
+
+
+def test_quantize_embeddings_int8_range_and_roundtrip(spark, sf_dir):
+    rows = curation_ext.quantize_embeddings(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_q <= 127
+    # recompute one vector driver-side and match the checksums
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    first = embeddings.orderBy("vec_id").first()
+    scale = max(abs(x) for x in first.embedding) / 127.0
+    q = [math.floor(float(x) / scale + 0.5) for x in first.embedding]
+    got = next(r for r in rows if r.vec_id == first.vec_id)
+    assert got.sum_q == sum(q)
+    assert got.l1_q == sum(abs(v) for v in q)
+    assert got.max_q == max(q) == 127 or max(q) < 127  # max-abs element hits +/-127
+
+
+def test_repetition_signals_fractions_bounded(spark, sf_dir):
+    rows = curation_ext.repetition_signals(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_word_frac <= 1
+        assert 0 < r.top_bigram_frac <= 1
+        # top-gram share can't be below uniform share
+        assert r.top_word_frac >= round(1.0 / r.n_tokens, 6)
