@@ -1,0 +1,255 @@
+"""Dedup-cluster connected components + quantized ANN (north-star M6).
+
+Near-dup pair generation (LSH) yields an EDGE LIST; production dedup needs
+one keeper per *transitive* cluster (a~b, b~c ⇒ keep one of {a,b,c}).
+``dedup_cluster_components`` closes the pair graph with iterative min-label
+propagation — the canonical distributed connected-components loop (each
+round is one join + one map-side-combinable groupBy; rounds ≈ graph
+diameter, and near-dup graphs are shallow). At 1000-executor scale the same
+loop runs unchanged; for adversarially deep graphs you'd switch the loop
+body to large-star/small-star (O(log n) rounds) — the driver-side
+convergence check stays identical.
+
+``ann_quantized_topk`` searches on int8-quantized vectors (the
+``quantize_embeddings`` output shape): integer dot products make scoring
+EXACTLY deterministic (no float summation-order drift) and cut index
+memory 4× — the memory-bound regime is what kills billion-vector
+brute-force, not FLOPs.
+
+Oracle notes: the component oracle is a recursive CTE computing the same
+fixpoint; label propagation is pruned to labels smaller than the
+destination node, which is lossless for the min-label result (the
+component minimum is never pruned — every other member is larger).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.operators.similarity import (
+    _B_BANDS,
+    _B_BITS,
+    _B_PLANES,
+    _BSIGNS,
+    _DOT,
+    _cosine_expr,
+    _to_double,
+    embedding_lsh_banded,
+)
+from kafka_stream_spark.registry import query
+
+_CC_THRESHOLD = 0.3  # same verify threshold as embedding_lsh_banded
+_CC_MAX_ITERS = 50
+
+
+def _banded_pairs_sql() -> str:
+    """DuckDB CTE body reproducing embedding_lsh_banded's verified pairs."""
+    sig_bits = " + ".join(
+        f"(CASE WHEN round(list_inner_product(e, "
+        + "[" + ", ".join(f"{s}.0" for s in _BSIGNS[j]) + "]::DOUBLE[]"
+        + f"), 9) > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(_B_PLANES)
+    )
+    return f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, {sig_bits} AS s FROM v),
+    bands AS (
+      SELECT vec_id, b.band, (s >> (b.band * {_B_BITS})) & {(1 << _B_BITS) - 1} AS bval
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_B_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT vec_a, vec_b
+      FROM cand JOIN v x ON x.vec_id = vec_a JOIN v y ON y.vec_id = vec_b
+      WHERE round(list_inner_product(x.e, y.e)
+                  / (sqrt(list_inner_product(x.e, x.e))
+                     * sqrt(list_inner_product(y.e, y.e))), 6) >= {_CC_THRESHOLD}
+    )
+    """
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_banded_pairs_sql()},
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM verified
+      UNION ALL
+      SELECT vec_b AS a, vec_a AS b FROM verified
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b AS node, w.lbl
+      FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.lbl < e.b
+    ),
+    comp AS (SELECT node AS vec_id, min(lbl) AS component FROM walk GROUP BY node)
+    SELECT c.vec_id, c.component, s.cluster_size,
+           CASE WHEN c.vec_id = c.component THEN 1 ELSE 0 END AS is_keeper
+    FROM comp c
+    JOIN (SELECT component, count(*) AS cluster_size
+          FROM comp GROUP BY component) s USING (component)
+    ORDER BY c.component, c.vec_id
+    """,
+    description=(
+        "Transitive dedup clusters: connected components over banded-LSH "
+        "near-dup pairs via iterative min-label propagation; one keeper "
+        "(min id) per cluster"
+    ),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation to a fixpoint over the near-dup pair graph.
+
+    The loop is driver-controlled but all data work is distributed: per
+    round one shuffle on the node id (join + min-agg share the exchange).
+    ``localCheckpoint`` truncates lineage so plans don't grow with rounds.
+    Convergence = sum(labels) unchanged (labels are monotone decreasing).
+    Rounds ≈ graph diameter (14 on the sf0.1 graph); pointer-jumping
+    variants were A/B-tested and rejected here — the lagged jump saved
+    ~1 round for an extra join per round, and the true (self-join) jump
+    grew plans catastrophically — large-star/small-star is the right
+    upgrade if adversarially deep graphs appear.
+    """
+    pairs = embedding_lsh_banded(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+        .unionAll(pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+
+    # Convergence probe: labels only decrease, so sum(component) is strictly
+    # monotone until the fixpoint — an unchanged sum means NO label changed.
+    # One scalar agg per round instead of a change-count join.
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        # neighbor labels flow along edges; keep the min of (own, neighbors)
+        propagated = (
+            labels.join(edges, labels["node"] == edges["a"])
+            .select(F.col("b").alias("node"), "component")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        labels = propagated
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("node").alias("vec_id"),
+            "component",
+            "cluster_size",
+            F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("is_keeper"),
+        )
+        .orderBy("component", "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantized ANN — integer dot products over int8 vectors
+# ---------------------------------------------------------------------------
+
+_QDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "ann_quantized_topk",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+               AS q
+      FROM scaled WHERE scale > 0
+    ),
+    q AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_inner_product(qq, q)
+                   / (sqrt(list_inner_product(qq, qq)) * sqrt(list_inner_product(q, q))),
+                   6) AS qcosine
+      FROM q CROSS JOIN qv
+      WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, qcosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qcosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, qcosine DESC, vec_id
+    """,
+    description=(
+        "Brute-force cosine top-10 on int8-quantized vectors: integer dot "
+        "products (exact, no fp drift), 4x less index memory — the "
+        "memory-bound ANN scale path"
+    ),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-then-search. Cosine over quantized vectors is scale-free
+    (per-vector scales cancel), so scoring is pure bigint zip_with/aggregate
+    inside whole-stage codegen; only the final normalization is double.
+    Queries broadcast; the corpus never shuffles.
+    """
+    (emb,) = load(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double") / 127.0
+    )
+    qv = (
+        emb.select("vec_id", scale.alias("scale"), "embedding")
+        .filter(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("bigint"),
+            ).alias("q"),
+        )
+    )
+    q = qv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dot = _QDOT.format(a="qq", b="q")
+    nq = _QDOT.format(a="qq", b="qq")
+    nv = _QDOT.format(a="q", b="q")
+    scored = (
+        qv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(f"({dot}) / (sqrt({nq}) * sqrt({nv}))"), 6
+            ).alias("qcosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "qcosine")
+        .orderBy("query_id", F.desc("qcosine"), "vec_id")
+    )

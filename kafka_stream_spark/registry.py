@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         skew,
         analytics_ext,
         curation_ext,
+        components,
         tpch_more,
         tpch_deep,
     )

@@ -1,0 +1,53 @@
+"""Invariant tests for dedup-cluster connected components and quantized
+ANN (value-level oracle coverage lives in test_queries.py)."""
+
+import pyspark.sql.functions as F
+
+from kafka_stream_spark.operators.components import (
+    ann_quantized_topk,
+    dedup_cluster_components,
+)
+from kafka_stream_spark.operators.similarity import ann_cosine_topk, embedding_lsh_banded
+
+
+def test_components_close_the_pair_graph(spark, sf_dir):
+    comp = {r.vec_id: r.component for r in dedup_cluster_components(spark, sf_dir).collect()}
+    pairs = embedding_lsh_banded(spark, sf_dir).select("vec_a", "vec_b").collect()
+    assert pairs, "graph must be non-empty at test SF"
+    # every edge joins two nodes of the same component (closure property)
+    for p in pairs:
+        assert comp[p.vec_a] == comp[p.vec_b]
+    # the component label is the minimum member id and is itself a member
+    by_comp = {}
+    for node, c in comp.items():
+        by_comp.setdefault(c, []).append(node)
+    for c, members in by_comp.items():
+        assert c == min(members)
+
+
+def test_components_keeper_flags_and_sizes(spark, sf_dir):
+    rows = dedup_cluster_components(spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for c, members in by_comp.items():
+        keepers = [r for r in members if r.is_keeper == 1]
+        assert len(keepers) == 1 and keepers[0].vec_id == c
+        assert all(r.cluster_size == len(members) for r in members)
+
+
+def test_quantized_topk_tracks_exact_topk(spark, sf_dir):
+    exact = ann_cosine_topk(spark, sf_dir).collect()
+    quant = ann_quantized_topk(spark, sf_dir).collect()
+    ex = {}
+    qu = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in quant:
+        qu.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(ex) == set(qu)
+    # int8 quantization error is tiny relative to cosine gaps: expect high
+    # top-10 agreement per query (recall >= 0.7 on the synthetic corpus)
+    for qid in ex:
+        overlap = len(ex[qid] & qu[qid]) / 10
+        assert overlap >= 0.7, f"query {qid}: top-10 overlap {overlap}"
