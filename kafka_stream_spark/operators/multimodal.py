@@ -101,6 +101,208 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# frame sampling / resize / audio windows — the decode-adjacent ops
+# ---------------------------------------------------------------------------
+#
+# Oracle note: payloads are UTF-8 bytes of the ASCII-only synthetic corpus,
+# so DuckDB's VARCHAR substr/md5/ord see EXACTLY the bytes the Pandas stage
+# sees — full value-level verification of byte-level plumbing. With real
+# media bytes only the Spark side runs (same plan, no oracle).
+
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 3  # keep every 3rd frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Fixed-size frame windows over the binary payload, every k-th kept.
+
+    The 1→N row expansion happens inside ``mapInPandas`` (UDTF shape), so
+    frames never materialize as a JVM array column; partitioning is
+    preserved — no shuffle at any scale.
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                for i in range(0, (len(b) + _FRAME_BYTES - 1) // _FRAME_BYTES):
+                    if i % _FRAME_STRIDE:
+                        continue
+                    chunk = b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, i AS frame_idx,
+             substr(text, i * {_FRAME_BYTES} + 1, {_FRAME_BYTES}) AS chunk
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 200)) AS i)
+      WHERE i * {_FRAME_BYTES} < octet_length(encode(text))
+        AND i % {_FRAME_STRIDE} = 0
+    )
+    SELECT doc_id, frame_idx,
+           octet_length(encode(chunk)) AS frame_len,
+           md5(chunk) AS frame_md5
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+    description=(
+        "Frame sampling over binary media: fixed-size windows, every k-th "
+        "kept, 1->N rows inside mapInPandas (no JVM array materialization)"
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(documents)).orderBy("doc_id", "frame_idx")
+
+
+_RESIZE_STRIDE = 2
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_len", LongType()),
+        StructField("resized_len", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Stride-based byte downsampling (the resize stand-in: a real image
+    resize drops in here, same batch shape). Vectorized slicing per payload;
+    emits the resized signature, not the original blob."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "orig_len": [], "resized_len": [], "resized_md5": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                r = b[::_RESIZE_STRIDE]
+                rows["doc_id"].append(doc_id)
+                rows["orig_len"].append(len(b))
+                rows["resized_len"].append(len(r))
+                rows["resized_md5"].append(hashlib.md5(r).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS orig_len,
+             array_to_string([substr(text, i, 1)
+                              for i in range(1, octet_length(encode(text)) + 1,
+                                             {_RESIZE_STRIDE})], '') AS resized
+      FROM documents
+    )
+    SELECT doc_id, orig_len,
+           octet_length(encode(resized)) AS resized_len,
+           md5(resized) AS resized_md5
+    FROM r
+    ORDER BY doc_id
+    """,
+    description=(
+        "Media resize stand-in: stride byte-downsample in mapInPandas with "
+        "md5 signature of the resized payload"
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(documents)).orderBy("doc_id")
+
+
+_AUDIO_WINDOW = 64
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_window_features(media: DataFrame) -> DataFrame:
+    """Windowed sample statistics over the payload interpreted as unsigned
+    8-bit PCM — numpy-vectorized inside the Arrow batch (the shape a real
+    audio featurizer uses)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "window_idx": [], "n_samples": [], "energy": [], "peak": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                samples = np.frombuffer(bytes(content), dtype=np.uint8)
+                for w in range(0, (len(samples) + _AUDIO_WINDOW - 1) // _AUDIO_WINDOW):
+                    win = samples[w * _AUDIO_WINDOW : (w + 1) * _AUDIO_WINDOW]
+                    rows["doc_id"].append(doc_id)
+                    rows["window_idx"].append(w)
+                    rows["n_samples"].append(len(win))
+                    rows["energy"].append(int(win.sum()))
+                    rows["peak"].append(int(win.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, i - 1 AS pos, ord(substr(text, i, 1)) AS sample
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(1, 8000)) AS i)
+      WHERE i <= octet_length(encode(text))
+    )
+    SELECT doc_id,
+           pos // {_AUDIO_WINDOW} AS window_idx,
+           count(*) AS n_samples,
+           sum(sample) AS energy,
+           max(sample) AS peak
+    FROM s
+    GROUP BY doc_id, window_idx
+    ORDER BY doc_id, window_idx
+    """,
+    description=(
+        "Audio-style windowed energy/peak over binary payloads as u8 "
+        "samples — numpy-vectorized mapInPandas feature extraction"
+    ),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return audio_window_features(documents_as_media(documents)).orderBy(
+        "doc_id", "window_idx"
+    )
+
+
 @query(
     "multimodal_features",
     oracle="""

@@ -162,3 +162,54 @@ def test_dataset_split_partitioned_write(spark, tmp_path):
     train_only = back.filter(F2.col("split") == "train")
     plan = train_only._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(split" in plan
+
+
+def test_frame_sample_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    from kafka_stream_spark.operators._common import load
+    from kafka_stream_spark.operators.multimodal import (
+        _FRAME_BYTES,
+        _FRAME_STRIDE,
+        documents_as_media,
+        sample_frames,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    media = documents_as_media(documents).repartition(3)
+    frames = sample_frames(media)
+    assert frames.rdd.getNumPartitions() == 3  # UDTF-shape expansion: no shuffle
+    doc = documents.orderBy("doc_id").first()
+    got = sorted(
+        (r.frame_idx, r.frame_len, r.frame_md5)
+        for r in frames.filter(F.col("doc_id") == doc.doc_id).collect()
+    )
+    b = doc.text.encode()
+    want = sorted(
+        (i, len(b[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES]),
+         hashlib.md5(b[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES]).hexdigest())
+        for i in range(0, (len(b) + _FRAME_BYTES - 1) // _FRAME_BYTES)
+        if i % _FRAME_STRIDE == 0
+    )
+    assert got == want
+
+
+def test_audio_energy_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from kafka_stream_spark.operators._common import load
+    from kafka_stream_spark.operators.multimodal import (
+        _AUDIO_WINDOW,
+        audio_window_features,
+        documents_as_media,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    feats = audio_window_features(documents_as_media(documents))
+    doc = documents.orderBy("doc_id").first()
+    samples = np.frombuffer(doc.text.encode(), dtype=np.uint8)
+    got = {r.window_idx: (r.energy, r.peak, r.n_samples)
+           for r in feats.filter(F.col("doc_id") == doc.doc_id).collect()}
+    for w in range(0, (len(samples) + _AUDIO_WINDOW - 1) // _AUDIO_WINDOW):
+        win = samples[w * _AUDIO_WINDOW:(w + 1) * _AUDIO_WINDOW]
+        assert got[w] == (int(win.sum()), int(win.max()), len(win))
