@@ -74,6 +74,53 @@ def _banded_pairs_sql() -> str:
     """
 
 
+def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation to a fixpoint over an undirected pair graph.
+
+    ``pairs`` must have two integer columns (endpoint ids); returns
+    ``(node, component)`` with component = min node id of the cluster.
+
+    The loop is driver-controlled but all data work is distributed: per
+    round one shuffle on the node id (join + min-agg share the exchange).
+    ``localCheckpoint`` truncates lineage so plans don't grow with rounds.
+    Convergence = sum(labels) unchanged (labels are monotone decreasing).
+    Rounds ≈ graph diameter (14 on the sf0.1 graph); pointer-jumping
+    variants were A/B-tested and rejected here — the lagged jump saved
+    ~1 round for an extra join per round, and the true (self-join) jump
+    grew plans catastrophically — large-star/small-star is the right
+    upgrade if adversarially deep graphs appear.
+    """
+    ca, cb = pairs.columns[0], pairs.columns[1]
+    edges = (
+        pairs.select(F.col(ca).alias("a"), F.col(cb).alias("b"))
+        .unionAll(pairs.select(F.col(cb).alias("a"), F.col(ca).alias("b")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+
+    # Convergence probe: labels only decrease, so sum(component) is strictly
+    # monotone until the fixpoint — an unchanged sum means NO label changed.
+    # One scalar agg per round instead of a change-count join.
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor labels flow along edges; keep the min of (own, neighbors)
+        propagated = (
+            labels.join(edges, labels["node"] == edges["a"])
+            .select(F.col("b").alias("node"), "component")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        labels = propagated
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 @query(
     "dedup_cluster_components",
     oracle=f"""
@@ -107,47 +154,9 @@ def _banded_pairs_sql() -> str:
     ),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-label propagation to a fixpoint over the near-dup pair graph.
-
-    The loop is driver-controlled but all data work is distributed: per
-    round one shuffle on the node id (join + min-agg share the exchange).
-    ``localCheckpoint`` truncates lineage so plans don't grow with rounds.
-    Convergence = sum(labels) unchanged (labels are monotone decreasing).
-    Rounds ≈ graph diameter (14 on the sf0.1 graph); pointer-jumping
-    variants were A/B-tested and rejected here — the lagged jump saved
-    ~1 round for an extra join per round, and the true (self-join) jump
-    grew plans catastrophically — large-star/small-star is the right
-    upgrade if adversarially deep graphs appear.
-    """
+    """Transitive dedup clusters over banded-LSH near-dup pairs."""
     pairs = embedding_lsh_banded(spark, sf_dir).select("vec_a", "vec_b")
-    edges = (
-        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
-        .unionAll(pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b")))
-        .localCheckpoint()
-    )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    ).localCheckpoint()
-
-    # Convergence probe: labels only decrease, so sum(component) is strictly
-    # monotone until the fixpoint — an unchanged sum means NO label changed.
-    # One scalar agg per round instead of a change-count join.
-    prev_sum = None
-    for _ in range(_CC_MAX_ITERS):
-        # neighbor labels flow along edges; keep the min of (own, neighbors)
-        propagated = (
-            labels.join(edges, labels["node"] == edges["a"])
-            .select(F.col("b").alias("node"), "component")
-            .unionAll(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
-        labels = propagated
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-
+    labels = connected_components(pairs)
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "component")

@@ -51,3 +51,50 @@ def test_quantized_topk_tracks_exact_topk(spark, sf_dir):
     for qid in ex:
         overlap = len(ex[qid] & qu[qid]) / 10
         assert overlap >= 0.7, f"query {qid}: top-10 overlap {overlap}"
+
+
+# ---------------------------------------------------------------------------
+# property test: connected_components vs a union-find reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+EDGE = st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1])
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for n in parent:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@given(st.lists(EDGE, min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(edges):
+    # function-scoped @given can't take the session fixture directly; the
+    # engine session factory is idempotent (getOrCreate), so this reuses
+    # the suite's session or builds one on a standalone run
+    from kafka_stream_spark.operators.components import connected_components
+    from kafka_stream_spark.session import get_spark
+
+    spark = get_spark("kafka-stream-spark-tests", master="local[4]", shuffle_partitions=4)
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == _union_find(edges)
