@@ -1,0 +1,218 @@
+"""Event-sequence analytics over the events stream (Lenses-SQL-style
+continuous analytics use cases; SURVEY.md §2.6 W3 analytic functions and
+§2.9 T1 event-time semantics).
+
+Three classic shapes a streaming-SQL user runs on keyed event topics
+(reference datasets are exactly this shape — keyed, timestamped activity
+streams, ``sample-data/variables.env:3-10``):
+
+- **funnel**: ordered-stage conversion (signup → view → purchase, each
+  stage strictly after the previous user-wise).
+- **cohort retention**: users bucketed by first-activity day, activity
+  counted per day offset.
+- **sessionization**: gap-based session ids via lag + running sum — the
+  analytic-function formulation (the streaming twin is
+  ``session_window_events``).
+
+All timestamps stay µs-exact in both engines (events ns → µs truncation
+per ``functions/time.py``); durations are deliberately NOT emitted —
+engines disagree on sub-second boundary-counting semantics, so session
+bounds are emitted instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS vt
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.st
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vt
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_signup_view,
+           (SELECT count(*) FROM p) AS n_signup_view_purchase,
+           round((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM s), 6) AS conversion
+    """,
+    description=(
+        "Ordered-stage funnel (signup -> view -> purchase, strictly "
+        "increasing event time per user) with end-to-end conversion rate"
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is a groupBy(user) min-ts bounded by the previous stage's
+    timestamp — three shuffles on user_id that AQE plans as one exchange
+    reused (same key), then three scalar counts assembled by cross join.
+    No collect; the result is a single row at any scale."""
+    (events,) = load(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    v = (
+        events.join(s, "user_id")
+        .filter((F.col("event_type") == "view") & (F.col("ts") > F.col("st")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        events.join(v, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("vt")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nv = v.agg(F.count(F.lit(1)).alias("n_signup_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_signup_view_purchase"))
+    return (
+        ns.crossJoin(nv)
+        .crossJoin(np_)
+        .select(
+            "n_signup",
+            "n_signup_view",
+            "n_signup_view_purchase",
+            F.round(
+                F.col("n_signup_view_purchase") / F.col("n_signup"), 6
+            ).alias("conversion"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_users
+    FROM act
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    description=(
+        "Daily cohort retention: users bucketed by first-activity day, "
+        "distinct-user counts per day offset"
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-activity table is |users| rows (tiny next to the event
+    stream) — AQE broadcasts it, so the events side never shuffles for the
+    join; the distinct and the final aggregate are both map-side
+    partial-agg'd shuffles (per-user-day repeats collapse before the wire).
+    At dim sizes past broadcast range this degrades to a shuffled join on
+    user_id, which the groupBy exchange then reuses."""
+    (events,) = load(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    act = (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_SESSION_GAP = "INTERVAL '6' HOUR"  # Spark literal
+_SESSION_GAP_DUCK = "INTERVAL '6 hours'"
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev > {_SESSION_GAP_DUCK}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM m
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    description=(
+        "Gap-based sessionization (6h inactivity splits) via lag + running "
+        "sum — the analytic-function twin of session_window_events"
+    ),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id; lag, the running sum, and the final session
+    aggregate all run within that partitioning (window + groupBy keys
+    share the prefix), so sessionizing 100 TB costs a single exchange."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    o = events.select("user_id", "ts", F.lag("ts").over(w).alias("prev"))
+    m = o.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts") - F.col("prev") > F.expr(_SESSION_GAP)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = m.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

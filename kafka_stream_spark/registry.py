@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_ext,
         curation_ext,
         components,
+        event_analytics,
         tpch_more,
         tpch_deep,
     )

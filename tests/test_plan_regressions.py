@@ -90,3 +90,27 @@ def test_simhash_has_no_cartesian(spark, sf_dir):
     p = plan_of(spark, sf_dir, "dedup_simhash")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sessionize_single_data_exchange(spark, sf_dir):
+    # lag + running-sum + session agg all share the user_id partitioning:
+    # exactly one hash exchange (the trailing range exchange is the
+    # presentation orderBy)
+    p = plan_of(spark, sf_dir, "sessionize_events")
+    hash_exchanges = [
+        l for l in p.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, p[:2000]
+    assert "user_id" in hash_exchanges[0]
+
+
+def test_cohort_first_activity_broadcasts(spark, sf_dir):
+    # the |users|-row first-activity table must broadcast; the event stream
+    # must not shuffle for the join
+    p = plan_of(spark, sf_dir, "cohort_retention")
+    assert "BroadcastExchange" in p
+
+
+def test_decontaminate_bench_broadcasts(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "decontaminate_documents")
+    assert "BroadcastHashJoin" in p
