@@ -198,6 +198,7 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Per-doc repetition fractions (top word / top bigram share) with a "
         "repetitive flag — Gopher-style quality gate signals"
     ),
+    bench=True,
 )
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals per document.

@@ -181,6 +181,7 @@ _SESSION_GAP_DUCK = "INTERVAL '6 hours'"
         "Gap-based sessionization (6h inactivity splits) via lag + running "
         "sum — the analytic-function twin of session_window_events"
     ),
+    bench=True,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One shuffle on user_id; lag, the running sum, and the final session
