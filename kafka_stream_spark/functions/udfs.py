@@ -73,3 +73,36 @@ def ngrams(tokens: Column, n: int = 2) -> Column:
             lambda i: F.array_join(F.slice(tokens, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# X4: Python UDTF (Spark 4) — table function with per-row 1→N expansion
+# ---------------------------------------------------------------------------
+# The JVM-side `ngrams` expression above stays the hot path; this is the
+# escape hatch for 1→N logic that genuinely needs Python (custom tokenizers,
+# format sniffers). Registered per-session via register_udtfs().
+
+try:  # pragma: no cover - import guard for older PySpark
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string, pos: int")
+    class NGramsUDTF:
+        """LATERAL-joinable n-gram expansion: one output row per n-gram."""
+
+        def eval(self, text: str, n: int):
+            if not text:
+                return
+            toks = text.split(" ")
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield " ".join(toks[i : i + n]), i
+
+    HAS_UDTF = True
+except ImportError:  # pragma: no cover
+    NGramsUDTF = None
+    HAS_UDTF = False
+
+
+def register_udtfs(spark) -> None:
+    """Register the Python UDTF surface under stable SQL names."""
+    if HAS_UDTF:
+        spark.udtf.register("ngrams_udtf", NGramsUDTF)

@@ -174,3 +174,28 @@ class DbapiIncrementalSource:
                 "was declared — pass schema= to allow empty initial polls"
             )
         return self.spark.createDataFrame([], self.schema)
+
+
+def socket_source(
+    spark: SparkSession, host: str, port: int, topic_name: str = "socket"
+) -> DataFrame:
+    """TCP line source (S12 Stream Reactor network-connector shape — the
+    MQTT/CoAP/JMS family reduced to its transport: a line-delimited stream
+    from a network endpoint). Spark's built-in socket source; records get
+    the same (key, value, topic) envelope the file/JDBC connectors emit.
+
+    Scale note: the socket source is single-receiver (dev/test transport,
+    like the reference's console producers); production network ingestion
+    goes through Kafka (KafkaTopic.read_stream), where partitions fan out.
+    """
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .select(
+            F.lit(None).cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.lit(topic_name).alias("topic"),
+        )
+    )

@@ -213,3 +213,47 @@ def test_audio_energy_matches_numpy_reference(spark, sf_dir):
     for w in range(0, (len(samples) + _AUDIO_WINDOW - 1) // _AUDIO_WINDOW):
         win = samples[w * _AUDIO_WINDOW:(w + 1) * _AUDIO_WINDOW]
         assert got[w] == (int(win.sum()), int(win.max()), len(win))
+
+
+def test_socket_source_streams_lines(spark, tmp_path):
+    import socket
+    import threading
+
+    from kafka_stream_spark.sources.connectors import socket_source
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(b"alpha\nbeta\ngamma\n")
+            import time
+
+            time.sleep(8)  # keep the connection up while the batch drains
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = socket_source(spark, "127.0.0.1", port, topic_name="net")
+    q = (
+        stream.writeStream.format("memory").queryName("sock")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = __import__("time").time() + 60
+        while __import__("time").time() < deadline:
+            if spark.sql("SELECT count(*) c FROM sock").first().c >= 3:
+                break
+            __import__("time").sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    rows = spark.sql("SELECT * FROM sock").collect()
+    vals = {bytes(r.value).decode() for r in rows}
+    assert {"alpha", "beta", "gamma"} <= vals
+    assert all(r.topic == "net" for r in rows)

@@ -114,3 +114,24 @@ def test_topic_stats(spark, tmp_path):
     stats = topic_stats(t.read())
     assert stats["rows"] == 10
     assert sum(stats["partitions"].values()) == 10
+
+
+def test_python_udtf_lateral_join(spark):
+    from kafka_stream_spark.functions.udfs import HAS_UDTF, register_udtfs
+
+    assert HAS_UDTF  # PySpark 4 in this container
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "solo")], ["doc_id", "text"]
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """SELECT d.doc_id, g.gram, g.pos
+           FROM udtf_docs d, LATERAL ngrams_udtf(d.text, 2) g
+           ORDER BY d.doc_id, g.pos"""
+    ).collect()
+    got = [(r.doc_id, r.gram, r.pos) for r in rows]
+    assert got == [
+        (1, "a b", 0), (1, "b c", 1), (1, "c d", 2),
+        (2, "x y", 0),
+    ]  # doc 3 has no bigram -> no rows (UDTF emits nothing)
