@@ -170,9 +170,20 @@ class FileTopic:
         )
         return self.spark.readStream.schema(sch).parquet(self.path)
 
-    def compacted(self) -> DataFrame:
-        """The cleanup.policy=compact view: latest value per key (A5/J1)."""
-        return latest_by_key(self.read(), ["key"])
+    def compacted(self, tombstones: bool = True) -> DataFrame:
+        """The cleanup.policy=compact view: latest value per key (A5/J1).
+
+        ``tombstones=True`` applies Kafka's delete semantics: a record with
+        a null value marks its key deleted, so keys whose LATEST record is
+        a tombstone drop out of the view (broker log-compaction behavior;
+        the compact policy ships on telecom_italia_grid,
+        ``sample-data/variables.env:6``). The filter runs after the arg-max
+        aggregate — still one shuffle.
+        """
+        view = latest_by_key(self.read(), ["key"])
+        if tombstones:
+            view = view.filter(F.col("value").isNotNull())
+        return view
 
     def delete(self) -> None:
         """Topic delete (kafka-tests.yml:33-34; delete.topic.enable analog)."""

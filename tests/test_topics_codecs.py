@@ -94,6 +94,32 @@ def test_compacted_view_keeps_latest(spark, tmp_path):
     assert got == {"sq1": "new", "sq2": "keep"}
 
 
+def test_compacted_view_honors_tombstones(spark, tmp_path):
+    # Kafka log compaction: latest record with null value deletes the key
+    t = FileTopic(spark, str(tmp_path), "grid_t", partitions=1)
+    t.append(spark.createDataFrame([("sq1", "v1"), ("sq2", "v2")], ["key", "value"]))
+    t.append(
+        spark.createDataFrame(
+            [("sq1", None), ("sq3", "v3")], "key string, value string"
+        )
+    )
+    got = {
+        bytes(r.key).decode(): bytes(r.value).decode()
+        for r in t.compacted().collect()
+    }
+    assert got == {"sq2": "v2", "sq3": "v3"}  # sq1 deleted
+    # tombstones=False keeps the raw latest-by-key view (tombstone visible)
+    raw = {bytes(r.key).decode(): r.value for r in t.compacted(tombstones=False).collect()}
+    assert raw["sq1"] is None and set(raw) == {"sq1", "sq2", "sq3"}
+    # a re-append after the tombstone resurrects the key
+    t.append(spark.createDataFrame([("sq1", "v1b")], ["key", "value"]))
+    got2 = {
+        bytes(r.key).decode(): bytes(r.value).decode()
+        for r in t.compacted().collect()
+    }
+    assert got2["sq1"] == "v1b"
+
+
 def test_latest_by_key_generic(spark):
     df = spark.createDataFrame(
         [("a", 0, "x"), ("a", 5, "y"), ("b", 1, "z")], ["key", "offset", "value"]
