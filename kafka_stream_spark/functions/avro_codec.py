@@ -98,6 +98,25 @@ def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
             for item in items:
                 _encode_value(item, schema["items"], out)
         out += _zigzag_encode(0)
+    elif t == "map":
+        entries = dict(v)
+        if entries:
+            out += _zigzag_encode(len(entries))
+            for k, mv in entries.items():
+                kb = str(k).encode("utf-8")
+                out += _zigzag_encode(len(kb))
+                out += kb
+                _encode_value(mv, schema["values"], out)
+        out += _zigzag_encode(0)
+    elif t == "enum":
+        out += _zigzag_encode(schema["symbols"].index(v))
+    elif t == "fixed":
+        b = bytes(v)
+        if len(b) != schema["size"]:
+            raise ValueError(
+                f"fixed size mismatch: got {len(b)}, schema says {schema['size']}"
+            )
+        out += b
     else:
         raise ValueError(f"unsupported Avro type for encode: {t!r}")
 
@@ -142,6 +161,27 @@ def _decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
                 item, pos = _decode_value(buf, pos, schema["items"])
                 items.append(item)
         return items, pos
+    if t == "map":
+        entries: dict = {}
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # block with byte size prefix
+                _, pos = _zigzag_decode(buf, pos)
+                n = -n
+            for _ in range(n):
+                kn, pos = _zigzag_decode(buf, pos)
+                k = buf[pos : pos + kn].decode("utf-8")
+                pos += kn
+                entries[k], pos = _decode_value(buf, pos, schema["values"])
+        return entries, pos
+    if t == "enum":
+        idx, pos = _zigzag_decode(buf, pos)
+        return schema["symbols"][idx], pos
+    if t == "fixed":
+        n = schema["size"]
+        return bytes(buf[pos : pos + n]), pos + n
     raise ValueError(f"unsupported Avro type for decode: {t!r}")
 
 

@@ -75,3 +75,30 @@ def test_kcql_parse_roundtrip(target, source, fields, pk, limit):
     assert parsed.projections == tuple((f, a) for f, a in fields)
     assert parsed.pk == ((pk,) if pk else ())
     assert parsed.limit == limit
+
+
+MAP_ENUM_FIXED_SCHEMA = {
+    "type": "record",
+    "name": "MEF",
+    "fields": [
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "e", "type": {"type": "enum", "name": "Color",
+                               "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "f", "type": {"type": "fixed", "name": "F8", "size": 8}},
+        {"name": "om", "type": ["null", {"type": "map", "values": "string"}]},
+    ],
+}
+
+
+@given(
+    st.dictionaries(st.text(max_size=20), INT64, max_size=8),
+    st.sampled_from(["RED", "GREEN", "BLUE"]),
+    st.binary(min_size=8, max_size=8),
+    st.one_of(st.none(), st.dictionaries(st.text(max_size=5), st.text(max_size=10), max_size=4)),
+)
+@settings(max_examples=200)
+def test_map_enum_fixed_roundtrip(m, e, f, om):
+    rec = {"m": m, "e": e, "f": f, "om": om}
+    buf = avro_codec.encode_record(rec, MAP_ENUM_FIXED_SCHEMA)
+    out = avro_codec.decode_record(buf, MAP_ENUM_FIXED_SCHEMA)
+    assert out == rec
