@@ -80,3 +80,35 @@ class LensesShell:
             return result
 
         return self.spark.sql(statement)
+
+    def register_topic(self, topic, value_schema=None, key_as: str = "string"):
+        """Expose a topic under Lenses system-field conventions.
+
+        Registers a temp view named after the topic with columns
+        ``_key``, ``_value`` (decoded struct when ``value_schema`` is
+        given, else raw string), ``_partition``, ``_offset``, ``_ts`` — so
+        Lenses-style browse SQL runs verbatim through Catalyst::
+
+            SELECT _key, _value.Speed FROM vessels
+            WHERE _value.Speed > 0 AND _partition = 2 LIMIT 10
+
+        (Lenses exposes record metadata exactly this way; the Kafka source
+        metadata model is SURVEY.md §1.4.) Decoding is JVM-side
+        ``from_json``; Avro topics decode via functions/avro_codec before
+        registration instead.
+        """
+        import pyspark.sql.functions as F
+
+        df = topic.read()
+        value = F.col("value").cast("string")
+        if value_schema is not None:
+            value = F.from_json(value, value_schema)
+        sys_df = df.select(
+            F.col("key").cast(key_as).alias("_key"),
+            value.alias("_value"),
+            F.col("partition").alias("_partition"),
+            F.col("offset").alias("_offset"),
+            F.col("timestamp").alias("_ts"),
+        )
+        sys_df.createOrReplaceTempView(topic.name)
+        return sys_df

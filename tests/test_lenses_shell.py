@@ -58,3 +58,32 @@ def test_insert_into_select_materializes_view(spark):
 def test_show_queries_lists_active(spark):
     out = _shell(spark).execute("SHOW QUERIES")
     assert out.columns == ["name", "id", "active"]
+
+
+def test_register_topic_system_fields_browse(spark, tmp_path):
+    # Lenses browse conventions: _key / _value.field / _partition / _offset
+    # / _ts queryable verbatim (AIS-shaped JSON values, the reference's
+    # sea_vessel topic shape)
+    import pyspark.sql.functions as F
+
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    t = FileTopic(spark, str(tmp_path), "vessels", partitions=2)
+    rows = [
+        ('{"MMSI": 1}', '{"MMSI": 1, "Speed": 0.0, "Latitude": 37.1}'),
+        ('{"MMSI": 2}', '{"MMSI": 2, "Speed": 5.5, "Latitude": 37.2}'),
+        ('{"MMSI": 3}', '{"MMSI": 3, "Speed": 9.9, "Latitude": 37.3}'),
+    ]
+    t.append(spark.createDataFrame(rows, ["key", "value"]))
+    shell = _shell(spark)
+    shell.register_topic(t, "MMSI LONG, Speed DOUBLE, Latitude DOUBLE")
+    out = shell.execute(
+        "SELECT _key, _value.Speed AS speed, _partition, _offset "
+        "FROM vessels WHERE _value.Speed > 0 ORDER BY speed LIMIT 10"
+    ).collect()
+    assert [r.speed for r in out] == [5.5, 9.9]
+    assert all(r._key is not None and r._offset >= 0 for r in out)
+    # metadata predicate: partition addressing works like Lenses
+    parts = {r._partition for r in shell.execute(
+        "SELECT _partition FROM vessels").collect()}
+    assert parts <= {0, 1}
