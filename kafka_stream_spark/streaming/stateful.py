@@ -96,3 +96,67 @@ def threshold_alerter(grouped, key_col: str, value_col: str, threshold: float) -
     return grouped.applyInPandasWithState(
         fn, ALERT_SCHEMA, _ALERT_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("completed_at", LongType()),   # µs epoch of final stage
+        StructField("started_at", LongType()),     # µs epoch of first stage
+        StructField("n_stages", LongType()),
+    ]
+)
+_FUNNEL_STATE = "stage LONG, stage_ts LONG, start_ts LONG, done LONG"
+
+
+def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tuple):
+    """Per-key ordered-stage funnel state machine (streaming twin of the
+    batch ``funnel_conversion`` query).
+
+    State per key: (current stage index, its event time, funnel start
+    time, done flag). Rows advance the machine only if their event type is
+    the NEXT stage and their timestamp is strictly after the current
+    stage's — same strict ordering as the batch oracle. Emits exactly one
+    row per key, on completion of the final stage; state is kept (done=1)
+    so re-deliveries don't re-emit.
+
+    Scale: one state row of 4 longs per key — millions of concurrent
+    funnels per executor; within-batch rows are sorted per key in pandas
+    (cheap: a key's rows per micro-batch are few).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stage, stage_ts, start_ts, done = (
+            state.get if state.exists else (-1, -1, -1, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if done or rows.empty:
+            state.update((stage, stage_ts, start_ts, done))
+            return
+        rows = rows.sort_values(ts_col)
+        for et, ts in zip(rows[type_col], rows[ts_col]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if stage + 1 < len(stages) and et == stages[stage + 1] and ts_us > stage_ts:
+                stage += 1
+                stage_ts = ts_us
+                if stage == 0:
+                    start_ts = ts_us
+                if stage == len(stages) - 1:
+                    done = 1
+                    break
+        state.update((stage, stage_ts, start_ts, done))
+        if done:
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "completed_at": [stage_ts],
+                    "started_at": [start_ts],
+                    "n_stages": [len(stages)],
+                }
+            )
+
+    return grouped.applyInPandasWithState(
+        fn, FUNNEL_SCHEMA, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -135,3 +135,67 @@ def test_python_udtf_lateral_join(spark):
         (1, "a b", 0), (1, "b c", 1), (1, "c d", 2),
         (2, "x y", 0),
     ]  # doc 3 has no bigram -> no rows (UDTF emits nothing)
+
+
+def test_funnel_tracker_across_restarts(spark, tmp_path):
+    # state machine survives a checkpointed restart: stages delivered in
+    # two separate runs still complete the funnel exactly once
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from kafka_stream_spark.streaming.stateful import funnel_tracker
+
+    schema = StructType([
+        StructField("user", StringType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["user", "event_type", "ts_s"]).select(
+            "user", "event_type", F.to_timestamp("ts_s").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        res = funnel_tracker(
+            stream.groupBy("user"), "user", "event_type", "ts",
+            ("signup", "view", "purchase"),
+        )
+        q = (res.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # run 1: A signs up and views; B purchases out of order (never advances)
+    write_batch("b1", [
+        ("A", "signup", "2024-01-01 00:00:00"),
+        ("A", "view", "2024-01-01 00:10:00"),
+        ("B", "purchase", "2024-01-01 00:00:00"),
+        ("B", "view", "2024-01-01 00:01:00"),
+    ])
+    run_once()
+    assert spark.read.parquet(out).where("key is not null").count() == 0
+
+    # run 2 (fresh query, same checkpoint): A purchases -> funnel completes;
+    # B signs up (stage 0 only)
+    write_batch("b2", [
+        ("A", "purchase", "2024-01-01 00:20:00"),
+        ("B", "signup", "2024-01-01 00:30:00"),
+    ])
+    run_once()
+    rows = spark.read.parquet(out).where("key is not null").collect()
+    assert [(r.key, r.n_stages) for r in rows] == [("A", 3)]
+    got = rows[0]
+    assert got.started_at < got.completed_at
+
+    # run 3: a re-delivered purchase for A must NOT re-emit (done flag)
+    write_batch("b3", [("A", "purchase", "2024-01-01 00:40:00")])
+    run_once()
+    assert spark.read.parquet(out).where("key is not null").count() == 1
