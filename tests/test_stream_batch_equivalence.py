@@ -128,3 +128,31 @@ def test_cc_payments_fraud_join(spark):
     )
     got = sorted(r.id for r in flagged.collect())
     assert got == ["p2", "p3"]
+
+
+def test_sessionize_matches_session_window(spark, sf_dir):
+    """The lag+cumsum sessionizer and Spark's built-in session_window must
+    agree on session boundaries and sizes for the same gap."""
+    import pyspark.sql.functions as F
+
+    from kafka_stream_spark.operators._common import load
+
+    (events,) = load(spark, sf_dir, "events")
+    # built-in gap windows (6h, matching operators/event_analytics.py)
+    sw = (
+        events.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("start"),
+             F.max("ts").alias("end"))
+        .select("user_id", "start", "end", "n_events")
+    )
+    from kafka_stream_spark.operators.event_analytics import sessionize_events
+
+    an = sessionize_events(spark, sf_dir).select(
+        "user_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+        "n_events",
+    )
+    a = sorted(map(tuple, sw.collect()))
+    b = sorted(map(tuple, an.collect()))
+    assert a == b
