@@ -1,0 +1,53 @@
+"""Layout optimization: sorted/range-clustered writes must yield
+selective row-group statistics (the parquet data-skipping contract)."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.sources.layout import optimize_layout
+
+
+def _value_ranges(path):
+    """(min, max) of event_id per row group across all files."""
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.row_group(rg).num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            spans.append((col.statistics.min, col.statistics.max))
+    return spans
+
+
+def test_optimized_layout_has_disjoint_rowgroup_stats(spark, sf_dir, tmp_path):
+    (events,) = load(spark, sf_dir, "events")
+    # destroy natural clustering first (what a shuffle does in practice)
+    shuffled = events.repartition(8, "user_id")
+    messy = str(tmp_path / "messy")
+    tidy = str(tmp_path / "tidy")
+    shuffled.write.parquet(messy)
+    optimize_layout(shuffled, tidy, ["event_id"], n_files=8)
+
+    total = events.count()
+    lo, hi = 0, int(total * 0.1)  # a 10% range predicate on the sort key
+
+    def overlapping(spans):
+        return sum(1 for mn, mx in spans if not (mx < lo or mn > hi))
+
+    messy_spans, tidy_spans = _value_ranges(messy), _value_ranges(tidy)
+    assert len(tidy_spans) >= 4
+    # messy layout: nearly every row group overlaps the range;
+    # optimized: only the few covering it
+    assert overlapping(messy_spans) >= len(messy_spans) * 0.9
+    assert overlapping(tidy_spans) <= max(2, len(tidy_spans) * 0.3)
+    # ranges are pairwise disjoint after range-partition + sort
+    ordered = sorted(tidy_spans)
+    assert all(a[1] <= b[0] for a, b in zip(ordered, ordered[1:]))
+    # and the data survived intact
+    assert spark.read.parquet(tidy).count() == total
