@@ -144,3 +144,95 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description=(
+        "TPC-H Q4 shape (correlated EXISTS -> left-semi join). Adapted: "
+        "l_commitdate/l_receiptdate don't exist in testdata, so 'late' = "
+        "shipped >60 days after order date (reference shape preserved: "
+        "date-windowed orders, semi join on lineitem, priority histogram)"
+    ),
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst rewrites the correlated EXISTS to a LeftSemi join on
+    l_orderkey — the fact table is touched once, the semi join keeps no
+    lineitem payload columns, and the date filter pushes into both scans.
+    Cites TPC-H Q4 via SURVEY.md §2.4 (semi joins are Spark freebies).
+    """
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    dated = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01"))
+    )
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    semi = dated.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1996-01-01'
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+    description=(
+        "TPC-H Q12 shape (join + conditional priority counts). Adapted: "
+        "l_shipmode/l_commitdate/l_receiptdate don't exist, so the "
+        "categorical is l_returnflag and 'late' = shipped >30 days after "
+        "order date; the CASE-split aggregation shape is Q12's"
+    ),
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One join (lineitem filter pushed to scan; date range prunes), then
+    a 3-group CASE aggregation — partial aggs collapse to 3 rows per
+    partition before the exchange."""
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    shipped = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    joined = shipped.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )

@@ -114,3 +114,9 @@ def test_cohort_first_activity_broadcasts(spark, sf_dir):
 def test_decontaminate_bench_broadcasts(spark, sf_dir):
     p = plan_of(spark, sf_dir, "decontaminate_documents")
     assert "BroadcastHashJoin" in p
+
+
+def test_q4_exists_is_left_semi(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q4_order_priority_exists")
+    assert "LeftSemi" in p  # EXISTS lowered to semi join, no payload dup
+    assert "PushedFilters" in p
