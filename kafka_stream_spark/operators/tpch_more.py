@@ -236,3 +236,74 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_class")
     )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    multi AS (  -- orders with lineitems from more than one supplier
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) > 1
+    ),
+    lone_late AS (  -- late supplier, on a multi-supplier order, where NO OTHER supplier was late
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey
+      FROM late a JOIN multi USING (l_orderkey)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM late b
+        WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey
+      )
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM lone_late JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    description=(
+        "TPC-H Q21 shape (the semi+anti correlated pair: suppliers solely "
+        "responsible for a late multi-supplier order). Adapted: no "
+        "l_commitdate/l_receiptdate, so 'late' = shipped >60 days after "
+        "order date; the EXISTS/NOT-EXISTS double-correlation plan is Q21's"
+    ),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-join side (NOT EXISTS other-late-supplier) lowers to a
+    LeftAnti on (orderkey, suppkey≠) — both correlations resolve as joins
+    on l_orderkey, so AQE shares the exchange; the distinct-supplier
+    HAVING is a partial-aggregated count-distinct per order."""
+    orders, lineitem, supplier = load(spark, sf_dir, "orders", "lineitem", "supplier")
+    late = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    a = late.join(multi, "l_orderkey")
+    b = late.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    lone = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_suppkey") != F.col("b_suppkey")),
+            "left_anti",
+        )
+        .distinct()
+    )
+    return (
+        lone.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
