@@ -98,3 +98,25 @@ def test_connected_components_matches_union_find(edges):
     pairs = spark.createDataFrame(edges, "a long, b long")
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == _union_find(edges)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Measured IVF recall floor. On this synthetic corpus the `label`
+    column is a CLASS label, not a geometric clustering, so 3-of-5 bucket
+    probing holds only ~0.4 recall (measured 0.46 sf0.01 / 0.36 sf0.1) —
+    the documented cost of an untrained coarse quantizer; a k-means
+    codebook is the production upgrade (SCALING.md "Known costs").
+    The floor asserted here catches regressions in the probe mechanics,
+    not a quality claim."""
+    from kafka_stream_spark.operators.similarity import ann_cosine_topk, ann_ivf_topk
+
+    sf_dir = "/root/testdata/sf0.01"  # 500 vectors: recall is meaningful
+    exact = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf = {}
+    for r in ann_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & ivf.get(q, set())) / len(exact[q]) for q in exact]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.25, f"IVF avg recall {avg:.2f} (per-query {recalls})"
