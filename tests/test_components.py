@@ -120,3 +120,41 @@ def test_ivf_recall_vs_brute_force(spark):
     recalls = [len(exact[q] & ivf.get(q, set())) / len(exact[q]) for q in exact]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.25, f"IVF avg recall {avg:.2f} (per-query {recalls})"
+
+
+def test_kmeans_ivf_beats_label_ivf_recall(spark):
+    """The trained coarse quantizer must recover the recall the class-label
+    buckets lose (measured 0.94 vs 0.46 at sf0.01)."""
+    from kafka_stream_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivf_kmeans_topk,
+        ann_ivf_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    exact = topk_sets(ann_cosine_topk(spark, sf_dir))
+    label = topk_sets(ann_ivf_topk(spark, sf_dir))
+    km = topk_sets(ann_ivf_kmeans_topk(spark, sf_dir))
+
+    def avg_recall(got):
+        rs = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(rs) / len(rs)
+
+    km_r, label_r = avg_recall(km), avg_recall(label)
+    assert km_r >= 0.8, f"kmeans-IVF recall {km_r}"
+    assert km_r > label_r + 0.2  # the training is what buys the recall
+
+
+def test_kmeans_ivf_deterministic(spark):
+    from kafka_stream_spark.operators.similarity import ann_ivf_kmeans_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, ann_ivf_kmeans_topk(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ann_ivf_kmeans_topk(spark, sf_dir).collect()))
+    assert a == b  # deterministic init + rounded argmin => stable output
