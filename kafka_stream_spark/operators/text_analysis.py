@@ -327,3 +327,96 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint — rolling k-gram hashes with window-min selection
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4   # tokens per k-gram
+_WIN_W = 4   # winnowing window (k-gram hashes per window)
+_WIN_MOD = 1_000_000_007  # checksum modulus (keeps sums < 2^47, ANSI-safe)
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {_WIN_K}
+                  THEN [('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+                                            || toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT
+                        for i in range(1, len(toks) - {_WIN_K - 2})]
+                  ELSE [] END AS h
+      FROM tok
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(h) >= {_WIN_W}
+                  THEN [list_min(h[j:j + {_WIN_W - 1}])
+                        for j in range(1, len(h) - {_WIN_W - 2})]
+                  ELSE CASE WHEN len(h) > 0 THEN [list_min(h)] ELSE [] END
+             END) AS sel
+      FROM grams
+    )
+    SELECT doc_id,
+           len(sel) AS n_fingerprints,
+           list_sum(list_transform(sel, x -> x % {_WIN_MOD})) AS fp_checksum,
+           list_min(sel) AS fp_min
+    FROM winnowed
+    WHERE len(sel) > 0
+    ORDER BY doc_id
+    """,
+    description=(
+        "Winnowing document fingerprint (MOSS): rolling 4-gram md5 hashes, "
+        "min-selected per sliding window — position-robust plagiarism/"
+        "overlap fingerprints, guaranteed one selection per window"
+    ),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-JVM higher-order-function pipeline: gram hashes via md5+conv,
+    window minima via transform-over-sequence + slice + array_min (bigint
+    arrays take the primitive fast path), distinct + checksum per doc —
+    zero shuffle before the final ordering; linear in tokens per doc
+    (w-bounded slice per position).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # cache barrier: CollapseProject would inline split() into every gram
+    toks = (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    gram_hash = (
+        f"transform(sequence(1, size(toks) - {_WIN_K - 1}), i -> "
+        f"cast(conv(substr(md5(cast(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        f"element_at(toks, i + 2), element_at(toks, i + 3)) as binary)), 1, 15), 16, 10) as bigint))"
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= {_WIN_K} THEN {gram_hash} ELSE array() END"
+        ).alias("h"),
+    )
+    winnow = (
+        f"CASE WHEN size(h) >= {_WIN_W} THEN "
+        f"transform(sequence(1, size(h) - {_WIN_W - 1}), j -> array_min(slice(h, j, {_WIN_W}))) "
+        f"WHEN size(h) > 0 THEN array(array_min(h)) ELSE array() END"
+    )
+    sel = grams.select(
+        "doc_id", F.array_distinct(F.expr(winnow)).alias("sel")
+    ).filter(F.size("sel") > 0)
+    return sel.select(
+        "doc_id",
+        F.size("sel").alias("n_fingerprints"),
+        F.aggregate(
+            F.transform("sel", lambda x: x % _WIN_MOD),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("fp_checksum"),
+        F.array_min("sel").alias("fp_min"),
+    ).orderBy("doc_id")
