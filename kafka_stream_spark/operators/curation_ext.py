@@ -455,6 +455,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer checksums — the storage-halving prep for billion-vector "
         "ANN indexes"
     ),
+    bench=True,
 )
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit.

@@ -120,6 +120,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Daily cohort retention: users bucketed by first-activity day, "
         "distinct-user counts per day offset"
     ),
+    bench=True,
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first-activity table is |users| rows (tiny next to the event
