@@ -158,3 +158,24 @@ def test_kmeans_ivf_deterministic(spark):
     a = sorted(map(tuple, ann_ivf_kmeans_topk(spark, sf_dir).collect()))
     b = sorted(map(tuple, ann_ivf_kmeans_topk(spark, sf_dir).collect()))
     assert a == b  # deterministic init + rounded argmin => stable output
+
+
+def test_pq_adc_rerank_recall_and_determinism(spark):
+    """PQ codes (8 bytes/vector) + ADC shortlist + exact re-rank: recall
+    floor vs brute force, and bit-stable across runs (deterministic
+    codebook init + rounded argmins)."""
+    from kafka_stream_spark.operators.similarity import ann_cosine_topk, ann_pq_topk
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    run1 = ann_pq_topk(spark, sf_dir).collect()
+    pq = {}
+    for r in run1:
+        pq.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & pq.get(q, set())) / len(exact[q]) for q in exact]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"PQ+rerank recall {avg:.2f} ({recalls})"
+    run2 = ann_pq_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
