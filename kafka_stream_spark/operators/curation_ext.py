@@ -489,3 +489,104 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max("q").alias("max_q"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# source mixing — downsample sources to a target token budget
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_FRAC = 0.5  # total budget = 50% of corpus tokens, split evenly
+
+
+@query(
+    "mix_sources_to_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+             ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+               AS b
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, sum(n_tok) AS src_tokens FROM tok GROUP BY source
+    ),
+    budget AS (
+      SELECT CAST(floor(sum(src_tokens) * {_MIX_BUDGET_FRAC}
+                        / count(*)) AS BIGINT) AS per_source
+      FROM totals
+    ),
+    rated AS (
+      SELECT t.source, t.src_tokens,
+             least(CAST(floor(b.per_source * 10000.0 / t.src_tokens) AS BIGINT),
+                   10000) AS thresh
+      FROM totals t CROSS JOIN budget b
+    )
+    SELECT k.source,
+           r.src_tokens AS n_tokens_in,
+           r.thresh AS keep_per_10k,
+           count(*) FILTER (WHERE k.b < r.thresh) AS n_docs_kept,
+           coalesce(sum(k.n_tok) FILTER (WHERE k.b < r.thresh), 0)
+             AS n_tokens_kept
+    FROM tok k JOIN rated r ON k.source = r.source
+    GROUP BY k.source, r.src_tokens, r.thresh
+    ORDER BY k.source
+    """,
+    description=(
+        "Pretraining source mixing: downsample each source to an equal "
+        "share of a corpus-level token budget — integer keep-thresholds "
+        "(per-10k md5 buckets) so the mixture is deterministic and "
+        "engine-stable"
+    ),
+)
+def mix_sources_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture op: two aggregate passes (per-source token totals,
+    corpus budget) produce integer keep-thresholds; the keep decision is a
+    per-row md5-bucket compare against the broadcast per-source threshold
+    — no shuffle of the corpus to sample at any scale. Thresholds are
+    integers (floor of one double division) so Spark and DuckDB agree
+    exactly; the groupBy here is the audit.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('mix:', cast(doc_id as string)) as binary)),"
+            " 1, 15), 16, 10) as bigint)"
+        )
+        % 10000
+    )
+    tok = documents.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    ).withColumn("b", bucket)
+    totals = tok.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    budget = totals.agg(
+        F.floor(F.sum("src_tokens") * _MIX_BUDGET_FRAC / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("per_source")
+    )
+    rated = totals.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.floor(F.col("per_source") * 10000.0 / F.col("src_tokens")).cast("bigint"),
+            F.lit(10000).cast("bigint"),
+        ).alias("thresh"),
+    )
+    kept = F.when(F.col("b") < F.col("thresh"), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(rated), "source")
+        .groupBy("source", "src_tokens", "thresh")
+        .agg(
+            F.sum(kept).alias("n_docs_kept"),
+            F.coalesce(F.sum(F.when(F.col("b") < F.col("thresh"), F.col("n_tok"))), F.lit(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .select(
+            "source",
+            F.col("src_tokens").alias("n_tokens_in"),
+            F.col("thresh").alias("keep_per_10k"),
+            "n_docs_kept",
+            "n_tokens_kept",
+        )
+        .orderBy("source")
+    )

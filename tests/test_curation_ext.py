@@ -132,3 +132,21 @@ def test_winnowing_shares_fingerprints_under_shift(spark, tmp_path, sf_dir):
     # and the operator's counts agree with the reference implementation
     got = {r.doc_id: r.n_fingerprints for r in rows}
     assert got == {0: len(s0), 1: len(s1)}
+
+
+def test_mix_sources_respects_budget(spark, sf_dir):
+    rows = curation_ext.mix_sources_to_budget(spark, sf_dir).collect()
+    assert rows
+    total_in = sum(r.n_tokens_in for r in rows)
+    budget_per_source = int(total_in * curation_ext._MIX_BUDGET_FRAC / len(rows))
+    for r in rows:
+        assert 0 <= r.n_docs_kept
+        assert r.n_tokens_kept <= r.n_tokens_in
+        # a source under its budget keeps everything
+        if r.n_tokens_in <= budget_per_source:
+            assert r.keep_per_10k == 10000 and r.n_tokens_kept == r.n_tokens_in
+    # kept mixture lands within sampling noise of the budget (bucket
+    # sampling is binomial on docs; generous bound)
+    kept = sum(r.n_tokens_kept for r in rows)
+    assert kept <= total_in
+    assert abs(kept - budget_per_source * len(rows)) / (budget_per_source * len(rows)) < 0.25
