@@ -581,8 +581,8 @@ _SQDIST = """aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),
                        cast(0.0 as double), (acc, d) -> acc + d)"""
 
 
-def _pq_subvectors(v: DataFrame) -> DataFrame:
-    """(vec_id, m, sub): one row per vector per subspace, JVM-side slice."""
+def _pq_subvectors(v: DataFrame, keys: tuple[str, ...] = ("vec_id",)) -> DataFrame:
+    """(*keys, m, sub): one row per vector per subspace, JVM-side slice."""
     subs = F.explode(
         F.array(
             *[
@@ -594,7 +594,7 @@ def _pq_subvectors(v: DataFrame) -> DataFrame:
             ]
         )
     ).alias("s")
-    return v.select("vec_id", subs).select("vec_id", "s.m", "s.sub")
+    return v.select(*keys, subs).select(*keys, "s.m", "s.sub")
 
 
 def pq_codebooks(v: DataFrame, iters: int = _PQ_ITERS) -> DataFrame:
@@ -714,6 +714,136 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         shortlist.join(v, "vec_id")
         .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(F.expr(_cosine_expr("qe", "e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — residual-encoded inverted lists, the billion-vector composition
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 3
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=None,  # iterative (two codebook training loops) — rows-only check
+    description=(
+        "IVF-PQ ANN: k-means coarse quantizer partitions the corpus into "
+        "inverted lists; RESIDUALS (vector minus list centroid) are "
+        "product-quantized to 8 bytes; queries probe the 3 nearest lists "
+        "and score codes by per-list ADC tables, then exact-re-rank a "
+        "50-deep shortlist — probing replaces the full-corpus ADC scan "
+        "with nprobe/k of it, the memory layout stays 16 bytes/vector"
+    ),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition of `kmeans_codebook` (coarse) and `pq_codebooks`
+    (fine, trained on residuals — residuals are near-zero-mean so the 16
+    centroids/subspace spend their resolution where the data is, the
+    reason FAISS IVFPQ encodes residuals rather than raw vectors).
+
+    Scale shape: the corpus persists ONLY as (vec_id, cid, 8 PQ codes);
+    at 1e9 vectors that's ~16 GB, bucketable by `cid` so a probe touches
+    nprobe/k of the partitions (partition pruning on the list id). Query
+    time is: tiny broadcast of per-(query, probed-list) distance tables
+    (nprobe × M × K doubles per query), one map-side-combinable sum, and
+    an exact re-rank that reads raw vectors for only `shortlist` ids.
+    No corpus shuffle at any step.
+    """
+    (emb,) = load(spark, sf_dir, "embeddings")
+    norm = f"sqrt({_DOT.format(a='e0', b='e0')})"
+    v = (
+        emb.select("vec_id", F.expr(_to_double("embedding")).alias("e0"))
+        .select("vec_id", F.expr(f"transform(e0, x -> x / ({norm}))").alias("e"))
+        .cache()
+    )
+    cent = kmeans_codebook(v)
+    d2 = _SQDIST.format(a="e", b="c")
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", F.round(F.expr(d2), 6).alias("d2"), "c")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "cid",
+            F.expr("zip_with(e, c, (x, y) -> x - y)").alias("e"),  # residual
+        )
+        .localCheckpoint()
+    )
+    pqc = pq_codebooks(assigned.select("vec_id", "e")).select(
+        "m", F.col("cid").alias("pcid"), "c"
+    )
+    subs = _pq_subvectors(assigned, keys=("vec_id", "cid"))
+    dsub = _SQDIST.format(a="sub", b="c")
+    codes = (
+        subs.join(F.broadcast(pqc), "m")
+        .select("vec_id", "cid", "m", "pcid", F.round(F.expr(dsub), 6).alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("d2", "pcid")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "m", "pcid")
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "cid", "qe", "c",
+            F.round(F.expr(_SQDIST.format(a="qe", b="c")), 6).alias("d2"),
+        )
+        .withColumn(
+            "brank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("d2", "cid")),
+        )
+        .filter(F.col("brank") <= _IVFPQ_NPROBE)
+        .select(
+            "query_id", "cid",
+            F.expr("zip_with(qe, c, (x, y) -> x - y)").alias("e"),  # query residual
+        )
+    )
+    dtab = (
+        _pq_subvectors(probe, keys=("query_id", "cid"))
+        .join(F.broadcast(pqc), "m")
+        .select(
+            "query_id", "cid", "m", "pcid",
+            F.round(F.expr(dsub), 6).alias("dq"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["cid", "m", "pcid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("dq"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    qx = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = (
+        shortlist.join(v, "vec_id")
+        .join(F.broadcast(qx), "query_id")
         .select(
             "query_id", "vec_id",
             F.round(F.expr(_cosine_expr("qe", "e")), 6).alias("cosine"),

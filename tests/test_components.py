@@ -179,3 +179,26 @@ def test_pq_adc_rerank_recall_and_determinism(spark):
     assert avg >= 0.6, f"PQ+rerank recall {avg:.2f} ({recalls})"
     run2 = ann_pq_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ (residual-encoded inverted lists, nprobe=3 of 8): recall
+    floor vs brute force. Measured 0.86 at sf0.01 — ABOVE the full-scan
+    PQ's 0.78, because residuals are near-zero-mean so the 16 centroids
+    per subspace resolve finer structure than raw-vector coding, which
+    more than pays for only probing 3/8 lists."""
+    from kafka_stream_spark.operators.similarity import ann_cosine_topk, ann_ivfpq_topk
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    run1 = ann_ivfpq_topk(spark, sf_dir).collect()
+    got = {}
+    for r in run1:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.7, f"IVF-PQ recall {avg:.2f} ({recalls})"
+    run2 = ann_ivfpq_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
