@@ -202,3 +202,43 @@ def test_ivfpq_recall_and_determinism(spark):
     assert avg >= 0.7, f"IVF-PQ recall {avg:.2f} ({recalls})"
     run2 = ann_ivfpq_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+@given(st.lists(EDGE, min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_star_components_matches_union_find(edges):
+    from kafka_stream_spark.operators.components import connected_components_star
+    from kafka_stream_spark.session import get_spark
+
+    spark = get_spark("kafka-stream-spark-tests", master="local[4]", shuffle_partitions=4)
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components_star(pairs).collect()}
+    assert got == _union_find(edges)
+
+
+def test_star_components_logarithmic_rounds_on_deep_path(spark):
+    """The point of large-star/small-star: a 200-hop path converges in
+    O(log n) rounds (measured 9; min-label needs 200). A regression that
+    reintroduces diameter-bound behavior trips the round cap."""
+    from kafka_stream_spark.operators.components import _star_labels
+
+    edges = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    labels, rounds = _star_labels(pairs, max_iters=50)
+    assert rounds <= 12, f"star CC took {rounds} rounds on a 200-path"
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_star_and_minlabel_agree_on_lsh_graph(spark, sf_dir):
+    """Both CC strategies must label the real near-dup graph identically
+    (the query runs star; min-label is the shallow-graph alternative)."""
+    from kafka_stream_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = embedding_lsh_banded(spark, sf_dir).select("vec_a", "vec_b").localCheckpoint()
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components_star(pairs).collect()))
+    assert a and a == b
