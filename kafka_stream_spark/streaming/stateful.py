@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -159,4 +160,94 @@ def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tu
 
     return grouped.applyInPandasWithState(
         fn, FUNNEL_SCHEMA, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+COHORT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cohort_day", LongType()),  # days since epoch
+        StructField("day_offset", LongType()),
+    ]
+)
+_COHORT_STATE = "cohort LONG, days ARRAY<BIGINT>"
+
+
+def _cohort_step(cohort, days: set, batch_days: set):
+    """Pure per-key cohort transition: given the stored (cohort, activity
+    days) and a batch's activity days, return (new_cohort, all_days,
+    days_to_emit). A batch day EARLIER than the stored cohort re-bases the
+    cohort and re-emits every stored day under the corrected base — the
+    out-of-order-arrival fix that keeps the append-mode output reducible
+    to the batch answer (consumer keeps each user's min-cohort rows)."""
+    added = batch_days - days
+    if not added:
+        return cohort, days, []
+    all_days = days | added
+    new_cohort = min(all_days) if cohort is None else min(cohort, min(added))
+    rebased = cohort is not None and new_cohort < cohort
+    emit = sorted(all_days) if rebased or cohort is None else sorted(added)
+    return new_cohort, all_days, emit
+
+
+def cohort_tracker(grouped, key_col: str, ts_col: str) -> DataFrame:
+    """Per-user cohort-retention state machine (streaming twin of the
+    batch ``cohort_retention`` query).
+
+    State per key: (cohort day = min activity day seen, the distinct
+    activity-day set — bounded by DAYS, not events). Each micro-batch
+    emits one row per NEWLY seen (user, day) as (user_id, cohort_day,
+    day_offset); an out-of-order batch that precedes the stored cohort
+    re-bases and re-emits the full corrected set. Reduce the output with
+    ``cohort_counts`` to get exactly the batch query's table.
+
+    Scale: state is a few longs per user; keys hash-shard across
+    executors, and the output stream is |user-days|, not |events|.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cohort, days = state.get if state.exists else (None, [])
+        days = {int(d) for d in (days or [])}
+        batch_days = set()
+        for pdf in pdfs:
+            if len(pdf):
+                batch_days.update(
+                    int(x)
+                    for x in pdf[ts_col].values.astype("datetime64[D]").astype("int64")
+                )
+        cohort, days, emit = _cohort_step(cohort, days, batch_days)
+        state.update((cohort, sorted(days)))
+        if emit:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(emit),
+                    "cohort_day": [cohort] * len(emit),
+                    "day_offset": [d - cohort for d in emit],
+                }
+            )
+
+    return grouped.applyInPandasWithState(
+        fn, COHORT_SCHEMA, _COHORT_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def cohort_counts(rows: DataFrame) -> DataFrame:
+    """Reduce ``cohort_tracker`` output to the batch ``cohort_retention``
+    table: keep each user's min-cohort rows (re-bases obsolete earlier
+    emissions), distinct the (user, cohort, offset) triples, count users
+    per (cohort_day, day_offset).
+
+    ``rows`` must be a materialized table (sink read-back or a
+    checkpointed DF): this self-joins its input, which the optimizer
+    can't plan directly over a memory-sink query (NOTES.md edge #9)."""
+    base = rows.groupBy("user_id").agg(F.min("cohort_day").alias("c0"))
+    return (
+        rows.join(base, "user_id")
+        .filter(F.col("cohort_day") == F.col("c0"))
+        .select("user_id", "cohort_day", "day_offset")
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -156,3 +156,54 @@ def test_sessionize_matches_session_window(spark, sf_dir):
     a = sorted(map(tuple, sw.collect()))
     b = sorted(map(tuple, an.collect()))
     assert a == b
+
+
+def test_cohort_tracker_stream_equals_batch(spark, sf_dir, events_ntz_dir):
+    """Streaming cohort tracker (applyInPandasWithState), reduced by
+    cohort_counts, must reproduce the batch cohort_retention table even
+    when the stream arrives as multiple micro-batches."""
+    from kafka_stream_spark.operators.event_analytics import cohort_retention
+    from kafka_stream_spark.streaming.stateful import cohort_counts, cohort_tracker
+
+    stream = (
+        spark.readStream.schema(EVENTS_NTZ)
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch (2 files)
+        .parquet(events_ntz_dir)
+    )
+    tracked = cohort_tracker(stream.groupBy("user_id"), "user_id", "ts")
+    # localCheckpoint: cohort_counts self-joins its input, which the
+    # optimizer can't plan over a memory-sink table (NOTES.md edge #9)
+    got = _collect_stream(spark, tracked, "eq_cohort", "append").localCheckpoint()
+    streamed = sorted(
+        map(
+            tuple,
+            cohort_counts(got)
+            .select(
+                F.date_from_unix_date(F.col("cohort_day").cast("int")).alias("cohort_day"),
+                "day_offset",
+                "n_users",
+            )
+            .collect(),
+        )
+    )
+    batch = sorted(map(tuple, cohort_retention(spark, sf_dir).collect()))
+    assert streamed == batch
+
+
+def test_cohort_step_rebases_out_of_order_days():
+    """An activity day earlier than the stored cohort re-bases and
+    re-emits the full corrected set; in-order days emit only deltas."""
+    from kafka_stream_spark.streaming.stateful import _cohort_step
+
+    # first batch: all days emitted, cohort = min
+    c, days, emit = _cohort_step(None, set(), {100, 102})
+    assert (c, days, emit) == (100, {100, 102}, [100, 102])
+    # later day: delta only
+    c, days, emit = _cohort_step(c, days, {103})
+    assert (c, days, emit) == (100, {100, 102, 103}, [103])
+    # OUT-OF-ORDER earlier day: re-base, re-emit everything
+    c, days, emit = _cohort_step(c, days, {98})
+    assert (c, days, emit) == (98, {98, 100, 102, 103}, [98, 100, 102, 103])
+    # duplicate delivery: no emission, state unchanged
+    c2, days2, emit = _cohort_step(c, days, {100})
+    assert (c2, days2, emit) == (c, days, [])
