@@ -420,3 +420,60 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp_checksum"),
         F.array_min("sel").alias("fp_min"),
     ).orderBy("doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * round(ln(n.n_docs * 1.0 / df.df), 6), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    description=(
+        "Per-document top-3 terms by TF-IDF: explode -> two map-side-"
+        "combinable aggs -> broadcast idf join -> per-doc top-k window"
+    ),
+    bench=True,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction for curation reports. Shuffle story: the explode
+    is linear and stays in codegen; TF and DF are both partial-agg'd
+    before the wire (common terms collapse map-side, the classic word-
+    count skew fix); the DF (vocab) table is tiny relative to the corpus
+    and broadcasts back, so the only corpus-sized exchange is the
+    groupBy(doc_id, term). The idf is rounded to 6dp BEFORE the tf
+    multiply in both engines so cross-engine libm ULP drift can't move a
+    rounding boundary at rank time.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs") * 1.0 / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )

@@ -120,3 +120,12 @@ def test_q4_exists_is_left_semi(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q4_order_priority_exists")
     assert "LeftSemi" in p  # EXISTS lowered to semi join, no payload dup
     assert "PushedFilters" in p
+
+
+def test_tfidf_vocab_join_is_broadcast(spark, sf_dir):
+    # the idf (vocab) table broadcasts back to TF; the only corpus-sized
+    # exchange is the groupBy(doc_id, term) — no sort-merge on the corpus
+    p = plan_of(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
