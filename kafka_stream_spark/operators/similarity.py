@@ -856,3 +856,81 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine")
         .orderBy("query_id", F.desc("cosine"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier filter — centroid-distance quality screening
+# ---------------------------------------------------------------------------
+
+_OUTLIER_BOTTOM_K = 5
+
+
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    expl AS (
+      SELECT label, i, e[i] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    cent AS (
+      SELECT label, list(cx ORDER BY i) AS c
+      FROM (SELECT label, i, round(avg(x), 6) AS cx FROM expl GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label,
+             round(list_inner_product(v.e, cent.c)
+                   / (sqrt(list_inner_product(v.e, v.e))
+                      * sqrt(list_inner_product(cent.c, cent.c))), 6)
+               AS centroid_cos
+      FROM v JOIN cent USING (label)
+    )
+    SELECT vec_id, label, centroid_cos,
+           CASE WHEN rnk <= {_OUTLIER_BOTTOM_K} THEN 1 ELSE 0 END AS is_outlier
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY centroid_cos, vec_id) AS rnk
+          FROM scored)
+    ORDER BY vec_id
+    """,
+    description=(
+        "Embedding-based quality screening: cosine of each vector to its "
+        "label centroid; bottom-5 per label flagged as outliers (the "
+        "SemDeDup/CLIP-score-filter shape for curation)"
+    ),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid pass is one map-side-combinable agg (|labels|×dims rows);
+    centroids broadcast back so the corpus never shuffles for scoring.
+    The per-label bottom-k window shuffles |corpus| once on the label —
+    replaceable by a threshold filter (no window) when labels are huge.
+    Centroid coords are rounded to 6dp in BOTH engines before the cosine
+    so cross-engine float-avg summation-order drift can't move a rank.
+    """
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.expr(_to_double("embedding")).alias("e"))
+    cent = (
+        v.select("label", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        )
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "vec_id", "label",
+        F.round(F.expr(_cosine_expr("e", "c")), 6).alias("centroid_cos"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("centroid_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "vec_id", "label", "centroid_cos",
+            F.when(F.col("rnk") <= _OUTLIER_BOTTOM_K, 1).otherwise(0).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

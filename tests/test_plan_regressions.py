@@ -129,3 +129,11 @@ def test_tfidf_vocab_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_embedding_outliers_centroids_broadcast(spark, sf_dir):
+    # centroids (|labels| rows) broadcast back; the corpus exchanges only
+    # for the per-label bottom-k window, never for the scoring join
+    p = plan_of(spark, sf_dir, "embedding_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
