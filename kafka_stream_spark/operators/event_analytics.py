@@ -218,3 +218,66 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "asof_join_last_view",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, event_id AS view_event_id
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    ORDER BY p.event_id
+    """,
+    description=(
+        "As-of join: each purchase attributed to the user's most recent "
+        "view at-or-before it (last-touch attribution) — the temporal "
+        "join Spark lacks natively, vs DuckDB's ASOF JOIN as oracle"
+    ),
+    bench=True,
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable as-of via union + running last-non-null — NOT a per-row
+    subquery or range cross-join: both sides union (views tagged 0,
+    purchases 1), one shuffle on user_id, one in-partition sort on
+    (ts, side), and `last(..., ignorenulls)` carries the latest view
+    forward into each purchase row. Cost is sort-shuffle of |events_kept|
+    regardless of how many views precede each purchase; at 1000 executors
+    the per-user ordering is preserved inside each hash partition so no
+    further coordination is needed. Ties at identical ts resolve
+    view-first (side asc), matching ASOF's >= semantics.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("side") == 0
+    return (
+        v.unionAll(p)
+        .select(
+            "user_id", "ts", "event_id", "side",
+            F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+            .over(w)
+            .alias("view_event_id"),
+            F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+            .over(w)
+            .alias("view_ts"),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+        .orderBy("event_id")
+    )
