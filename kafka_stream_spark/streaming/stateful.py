@@ -6,13 +6,20 @@ equivalent for arbitrary Python logic is ``applyInPandasWithState``:
 grouped keys, Arrow-batched rows, a ``GroupState`` handle per key, and
 timeout-driven eviction (the state-TTL / window-retention analog).
 
-Two ready-made processors:
+Ready-made processors:
 - ``running_counter``: per-key running count+sum changelog — the
   ``count()``/``aggregate()`` KTable analog, emitting one update per key
   per micro-batch.
 - ``threshold_alerter``: emits a row only when a key's accumulated value
   crosses a threshold — the classic fraud/alerting Processor example;
   state resets after firing.
+- ``funnel_tracker``: ordered-stage funnel state machine (streaming twin
+  of the batch ``funnel_conversion`` query).
+- ``cohort_tracker`` + ``cohort_counts``: cohort-retention deltas with
+  out-of-order re-base (streaming twin of ``cohort_retention``).
+- ``table_join_enricher``: the KStream–KTable stream-table join — table
+  side folds into per-key state (latest-wins), stream side enriches
+  as-of processing order (streaming twin of ``asof_join_last_view``).
 
 Scale: state lives in the state store (set RocksDB via
 ``session.enable_rocksdb_state`` for big keyspaces); keys are hash-
@@ -250,4 +257,79 @@ def cohort_counts(rows: DataFrame) -> DataFrame:
         .distinct()
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ASOF_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", LongType()),             # µs epoch
+        StructField("view_event_id", LongType()),  # nullable: no prior view
+        StructField("view_ts", LongType()),
+    ]
+)
+_ASOF_STATE = "view_ts LONG, view_id LONG"
+
+
+def _asof_step(state_view, rows):
+    """Pure per-key KStream-KTable step: ``state_view`` is (view_ts µs,
+    view_id) or None; ``rows`` is the batch's [(ts µs, event_id, side)]
+    — side 0 updates the table (a view), side 1 reads it (a purchase).
+    Rows are processed in (ts, side, event_id) order so a same-µs view
+    beats the purchase reading it (ASOF >= semantics). Returns
+    (new_state, emitted purchases)."""
+    out = []
+    for ts, eid, side in sorted(rows):
+        if side == 0:
+            if state_view is None or (ts, eid) > state_view:
+                state_view = (ts, eid)
+        else:
+            out.append((eid, ts, state_view))
+    return state_view, out
+
+
+def table_join_enricher(grouped, ts_col: str, id_col: str, side_col: str) -> DataFrame:
+    """KStream–KTable join (the Kafka Streams stream-table enrichment):
+    the table side (side=0 rows) folds into per-key state — latest
+    (ts, id) wins, the compacted-topic 'latest value per key' contract —
+    and each stream-side row (side=1) is enriched with the state AS OF
+    its processing. Within a micro-batch rows apply in event-time order;
+    ACROSS batches the table reflects everything previously processed —
+    exactly Kafka Streams' processing-order semantics for stream-table
+    joins (a late-arriving table update does NOT retro-correct an
+    already-emitted join result).
+
+    When each key's rows arrive in event-time order the output equals the
+    batch as-of join (`asof_join_last_view`) — asserted in tests.
+
+    Scale: state is two longs per key; output is |stream side|, and the
+    only exchange is the groupBy hash-shard — the same topology Streams
+    runs with its RocksDB task stores.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        held = state.get if state.exists else None
+        view = None if held is None or held[0] is None else (held[0], held[1])
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, side in zip(pdf[ts_col], pdf[id_col], pdf[side_col]):
+                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), int(side)))
+        view, out = _asof_step(view, rows)
+        state.update(view if view is not None else (None, None))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_id": [e for e, _, _ in out],
+                    "user_id": [int(key[0])] * len(out),
+                    "ts": [t for _, t, _ in out],
+                    "view_event_id": [v[1] if v else None for _, _, v in out],
+                    "view_ts": [v[0] if v else None for _, _, v in out],
+                }
+            )
+
+    return grouped.applyInPandasWithState(
+        fn, ASOF_SCHEMA, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
     )

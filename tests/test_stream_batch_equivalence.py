@@ -207,3 +207,55 @@ def test_cohort_step_rebases_out_of_order_days():
     # duplicate delivery: no emission, state unchanged
     c2, days2, emit = _cohort_step(c, days, {100})
     assert (c2, days2, emit) == (c, days, [])
+
+
+def test_table_join_enricher_equals_batch_asof(spark, sf_dir, events_ntz_dir):
+    """KStream-KTable enrichment over the event stream must equal the
+    batch as-of join when rows arrive in event-time order (single
+    availableNow batch; within-batch ordering is by event time)."""
+    from kafka_stream_spark.operators.event_analytics import asof_join_last_view
+    from kafka_stream_spark.streaming.stateful import table_join_enricher
+
+    stream = (
+        spark.readStream.schema(EVENTS_NTZ)
+        .parquet(events_ntz_dir)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+        )
+    )
+    enriched = table_join_enricher(stream.groupBy("user_id"), "ts", "event_id", "side")
+    got = _collect_stream(spark, enriched, "eq_asof", "append")
+    streamed = sorted(
+        map(
+            tuple,
+            got.select(
+                "event_id", "user_id",
+                F.timestamp_micros("ts").alias("ts"),
+                "view_event_id",
+                F.timestamp_micros("view_ts").alias("view_ts"),
+            ).collect(),
+        ),
+    )
+    batch = sorted(map(tuple, asof_join_last_view(spark, sf_dir).collect()))
+    assert streamed == batch
+
+
+def test_asof_step_processing_order_semantics():
+    """Kafka Streams stream-table contract: within a batch, event-time
+    order with table-side winning ties; across batches, state carries and
+    late table updates don't retro-correct."""
+    from kafka_stream_spark.streaming.stateful import _asof_step
+
+    # batch 1: view@10 then purchase@20 -> attributed; tie at 30 (view
+    # processes first); purchase@5 precedes any view -> unattributed
+    view, out = _asof_step(
+        None, [(20, 101, 1), (10, 1, 0), (30, 2, 0), (30, 102, 1), (5, 100, 1)]
+    )
+    assert view == (30, 2)
+    assert out == [(100, 5, None), (101, 20, (10, 1)), (102, 30, (30, 2))]
+    # batch 2: state carried; a LATE view@15 updates nothing (25 > 15 kept)
+    view2, out2 = _asof_step(view, [(15, 3, 0), (40, 103, 1)])
+    assert view2 == (30, 2)
+    assert out2 == [(103, 40, (30, 2))]
