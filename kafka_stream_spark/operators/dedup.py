@@ -23,7 +23,7 @@ kept under 2^62 so bigint multiplication can't overflow in either engine.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kafka_stream_spark.operators._common import load
 from kafka_stream_spark.registry import query
@@ -386,4 +386,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# keep-best dedup — transitive clusters + quality-ranked keeper selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    near AS (
+      SELECT doc_a, doc_b
+      FROM prs JOIN sz sa ON doc_a = sa.doc_id
+               JOIN sz sb ON doc_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.lbl < e.b
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             round(0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                          / len(string_split(text, ' ')))
+                   + 0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0), 6)
+               AS quality
+      FROM documents
+    )
+    SELECT doc_id, component, quality,
+           CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_keeper
+    FROM (SELECT c.doc_id, c.component, q.quality,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY q.quality DESC, c.doc_id) AS rn
+          FROM comp c JOIN q USING (doc_id))
+    ORDER BY component, doc_id
+    """,
+    description=(
+        "Keep-best dedup: transitive near-dup clusters (3-shingle Jaccard "
+        ">= 0.5 -> star CC) keep their HIGHEST-QUALITY member instead of "
+        "the min id — the production curation policy (discard dups, keep "
+        "the best-written copy)"
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: exact-Jaccard near-dup pairs -> large-star/
+    small-star components -> quality-scored keeper per cluster. The
+    quality table is |docs| and joins on doc_id (same key the components
+    carry), so beyond the dedup itself the only added exchange is the
+    per-cluster ranking window. Keeper policy = argmax(quality, doc_id
+    tie-break) — deterministic under the 6dp-rounded score.
+    """
+    from kafka_stream_spark.operators.components import connected_components_star
+    from kafka_stream_spark.operators.text_analysis import text_quality_score
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        labels.select(F.col("node").alias("doc_id"), "component")
+        .join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "component", "quality",
+            F.when(F.col("rn") == 1, 1).otherwise(0).alias("is_keeper"),
+        )
+        .orderBy("component", "doc_id")
     )

@@ -242,3 +242,21 @@ def test_star_and_minlabel_agree_on_lsh_graph(spark, sf_dir):
     a = sorted(map(tuple, connected_components(pairs).collect()))
     b = sorted(map(tuple, connected_components_star(pairs).collect()))
     assert a and a == b
+
+
+def test_keep_best_keeper_is_highest_quality(spark, sf_dir):
+    """Exactly one keeper per cluster, and no member outranks it on
+    (quality, doc_id) — the keep-best curation policy."""
+    from kafka_stream_spark.operators.dedup import dedup_keep_best
+
+    rows = dedup_keep_best(spark, sf_dir).collect()
+    assert rows
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for c, members in by_comp.items():
+        assert len(members) >= 2  # clusters come from pairs
+        keepers = [r for r in members if r.is_keeper == 1]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r.quality, -r.doc_id))
+        assert keepers[0].doc_id == best.doc_id
