@@ -590,3 +590,47 @@ def mix_sources_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern redaction — scrub + audit counts
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM = r"[0-9]+"
+
+
+@query(
+    "redact_pii_events",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_NUM}', '<NUM>', 'g') AS props_redacted,
+           len(regexp_extract_all(props, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(props, '{_PII_NUM}')) AS n_numbers
+    FROM events
+    ORDER BY event_id
+    """,
+    description=(
+        "PII/pattern redaction over event payloads: email + numeric-"
+        "identifier masking with per-row audit counts — the pretraining "
+        "scrubbing pass (emails first so their digits don't double-mask)"
+    ),
+)
+def redact_pii_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure Catalyst regexp_replace/regexp_extract_all — no Python in the
+    row path, fully codegen'd, zero shuffles except the output ordering
+    (which a real pipeline drops). Patterns are passed as F.lit columns:
+    Spark SQL STRING literals eat backslashes (NOTES.md edge #4), so the
+    regex never transits SQL-literal parsing.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    email, num = F.lit(_PII_EMAIL), F.lit(_PII_NUM)
+    return events.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("props", email, F.lit("<EMAIL>")), num, F.lit("<NUM>")
+        ).alias("props_redacted"),
+        F.size(F.regexp_extract_all("props", email, F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("props", num, F.lit(0))).alias("n_numbers"),
+    ).orderBy("event_id")

@@ -150,3 +150,13 @@ def test_mix_sources_respects_budget(spark, sf_dir):
     kept = sum(r.n_tokens_kept for r in rows)
     assert kept <= total_in
     assert abs(kept - budget_per_source * len(rows)) / (budget_per_source * len(rows)) < 0.25
+
+
+def test_redact_pii_masks_all_digit_runs(spark, sf_dir):
+    from kafka_stream_spark.operators import curation_ext
+
+    rows = curation_ext.redact_pii_events(spark, sf_dir).collect()
+    assert rows and any(r.n_numbers > 0 for r in rows)
+    for r in rows:
+        assert not any(ch.isdigit() for ch in r.props_redacted)
+        assert r.props_redacted.count("<NUM>") == r.n_numbers
