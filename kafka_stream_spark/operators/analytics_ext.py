@@ -106,3 +106,104 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters — deterministic md5-hash rows
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # buckets per row
+
+
+def _cms_bucket_spark(d: int) -> str:
+    return (
+        f"cast(conv(substr(md5(cast(concat('cms{d}:', cast(user_id as string)) "
+        f"as binary)), 1, 15), 16, 10) as bigint) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_duck(d: int) -> str:
+    return (
+        f"(('0x' || substr(md5('cms{d}:' || user_id::VARCHAR), 1, 15))::BIGINT) "
+        f"% {_CMS_W}"
+    )
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT user_id, d.d,
+             CASE d.d {' '.join(f"WHEN {d} THEN {_cms_bucket_duck(d)}" for d in range(_CMS_D))}
+             END AS bucket
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d
+    ),
+    sketch AS (
+      SELECT d, bucket, count(*) AS c FROM rows_h GROUP BY d, bucket
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events),
+    est AS (
+      SELECT p.user_id, min(s.c) AS est_count
+      FROM probes p
+      JOIN rows_h r ON r.user_id = p.user_id
+      JOIN sketch s ON s.d = r.d AND s.bucket = r.bucket
+      GROUP BY p.user_id
+    ),
+    exact AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id)
+    SELECT e.user_id, e.est_count, x.true_count,
+           e.est_count - x.true_count AS overcount
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT 20
+    """,
+    description=(
+        "Count-min-sketch heavy hitters: 4 md5 hash rows x 256 buckets, "
+        "bucket counts collapse map-side (no key-cardinality shuffle), "
+        "estimates = min over rows — deterministic hashes make the whole "
+        "sketch oracle-checkable, overcount >= 0 by construction"
+    ),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for frequency estimation at 100 TB: the (d,
+    bucket) groupBy's input is 4x|events| rows but map-side combine
+    collapses each partition to <= d*w = 1024 rows before the wire, so
+    the shuffle is O(partitions), independent of key cardinality — the
+    property that makes CMS viable where exact per-key counts would
+    shuffle the corpus. Estimation joins the (tiny, broadcast) sketch
+    back to the probe keys. true_count/overcount audit columns use the
+    exact aggregate (fine at probe-set size; the sketch is the part that
+    scales).
+    """
+    from kafka_stream_spark.operators._common import load as _load
+
+    (events,) = _load(spark, sf_dir, "events")
+    hashes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+    ).alias("h")
+    rows_h = events.select("user_id", hashes).select("user_id", "h.d", "h.bucket")
+    sketch = rows_h.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = rows_h.select("user_id", "d", "bucket").distinct()
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id", "est_count", "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )

@@ -92,3 +92,19 @@ def test_hll_sketch_mergeable(spark, sf_dir):
     ).first().est
     exact_total = events.select(F.countDistinct("user_id")).first()[0]
     assert abs(merged - exact_total) / exact_total < 0.1
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min guarantee: estimate >= true count for every key; with
+    150 keys in 256 buckets x 4 rows, the min-over-rows keeps the
+    median overcount small."""
+    from kafka_stream_spark.operators.analytics_ext import heavy_hitters_cms
+
+    rows = heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows)
+    exact_sorted = sorted(rows, key=lambda r: (-r.true_count, r.user_id))
+    # the heavy end survives sketching: top-5 by estimate contains the
+    # true top-1
+    top_est = {r.user_id for r in rows[:5]}
+    assert exact_sorted[0].user_id in top_est
