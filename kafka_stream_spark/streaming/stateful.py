@@ -280,7 +280,7 @@ def _asof_step(state_view, rows):
     beats the purchase reading it (ASOF >= semantics). Returns
     (new_state, emitted purchases)."""
     out = []
-    for ts, eid, side in sorted(rows):
+    for ts, eid, side in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
         if side == 0:
             if state_view is None or (ts, eid) > state_view:
                 state_view = (ts, eid)

@@ -102,3 +102,36 @@ def test_map_enum_fixed_roundtrip(m, e, f, om):
     buf = avro_codec.encode_record(rec, MAP_ENUM_FIXED_SCHEMA)
     out = avro_codec.decode_record(buf, MAP_ENUM_FIXED_SCHEMA)
     assert out == rec
+
+
+# ---------------------------------------------------------------------------
+# as-of step vs brute force
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EVT = st.tuples(
+    st.integers(0, 50),          # ts
+    st.integers(0, 10_000),      # event_id
+    st.integers(0, 1),           # side: 0 table / 1 stream
+)
+
+
+@given(st.lists(_EVT, min_size=0, max_size=30, unique_by=lambda e: e[1]))  # event_id is a key
+@settings(max_examples=200, deadline=None)
+def test_asof_step_matches_bruteforce(rows):
+    """_asof_step (single batch, no prior state) must attribute each
+    stream row to the max-(ts, id) table row at-or-before it."""
+    from kafka_stream_spark.streaming.stateful import _asof_step
+
+    _, out = _asof_step(None, rows)
+    views = [(ts, eid) for ts, eid, side in rows if side == 0]
+    expect = {}
+    for ts, eid, side in rows:
+        if side == 1:
+            prior = [v for v in views if v[0] <= ts]
+            expect[eid] = max(prior) if prior else None
+    assert len(out) == len(expect)
+    for eid, ts, got_view in out:
+        assert got_view == expect[eid], (rows, out)

@@ -259,3 +259,44 @@ def test_asof_step_processing_order_semantics():
     view2, out2 = _asof_step(view, [(15, 3, 0), (40, 103, 1)])
     assert view2 == (30, 2)
     assert out2 == [(103, 40, (30, 2))]
+
+
+def test_cms_sketch_merges_across_microbatches(spark, sf_dir, events_ntz_dir):
+    """Count-min sketches are linear (bucket counts add), so a streaming
+    sketch built across micro-batches must equal the batch sketch."""
+    from kafka_stream_spark.operators.analytics_ext import (
+        _CMS_D,
+        _cms_bucket_spark,
+    )
+
+    def bucketize(df):
+        hashes = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("h")
+        return df.select("user_id", hashes).select("h.d", "h.bucket")
+
+    (events,) = load(spark, sf_dir, "events")
+    batch = sorted(
+        map(
+            tuple,
+            bucketize(events).groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c")).collect(),
+        )
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_NTZ)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_ntz_dir)
+    )
+    streamed_df = ops.running_agg(
+        bucketize(stream), ["d", "bucket"], [F.count(F.lit(1)).alias("c")]
+    )
+    got = _collect_stream(spark, streamed_df, "eq_cms", "complete")
+    assert sorted(map(tuple, got.collect())) == batch
