@@ -219,3 +219,49 @@ def foreach_batch_merge(
 def read_merged(spark, path: str) -> DataFrame:
     """Read a ``foreach_batch_merge`` state table without the bucket column."""
     return spark.read.parquet(path).drop("_bucket")
+
+
+def trending_topk(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str,
+    path: str,
+    watermark: str = "30 minutes",
+) -> DataStreamWriter:
+    """Trending keys per time window (the Lenses live-dashboard query):
+    windowed counts in update mode, upserted into a compacted per-
+    (window, key) count table; rank at READ time via ``read_trending``.
+
+    Per-window ranking can't run inside an update-mode streaming plan
+    (no window functions over streaming aggregates), so the scalable
+    split is: the stream maintains counts — state bounded by watermark,
+    shuffle is the windowed groupBy only — and the top-k is a cheap
+    window function over the (small) materialized count table.
+    """
+    agg = windowed_agg(
+        stream, ts_col, window, [key_col], [F.count(F.lit(1)).alias("n")],
+        watermark=watermark,
+    )
+    flat = agg.select(F.col("window.start").alias("window_start"), key_col, "n")
+    # update mode: emit count rows as they CHANGE, not when the watermark
+    # closes the window (append would hold every count until finalization
+    # — a dashboard that only shows dead windows); the upsert's
+    # max_by(n) compaction makes re-emissions idempotent
+    return foreach_batch_upsert(
+        flat, path, keys=["window_start", key_col], order_col="n"
+    ).outputMode("update")
+
+
+def read_trending(spark, path: str, k: int = 3) -> DataFrame:
+    """Rank a ``trending_topk`` count table: top-k keys per window."""
+    from pyspark.sql import Window
+
+    t = spark.read.parquet(path)
+    key_cols = [c for c in t.columns if c not in ("window_start", "n")]
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), *key_cols)
+    return (
+        t.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

@@ -300,3 +300,47 @@ def test_cms_sketch_merges_across_microbatches(spark, sf_dir, events_ntz_dir):
     )
     got = _collect_stream(spark, streamed_df, "eq_cms", "complete")
     assert sorted(map(tuple, got.collect())) == batch
+
+
+def test_trending_topk_stream_equals_batch(spark, sf_dir, events_ntz_dir, tmp_path):
+    """Streaming windowed counts + read-time ranking must equal the batch
+    top-3 event types per 10-minute window, across micro-batches."""
+    from kafka_stream_spark.streaming.ops import read_trending, trending_topk
+
+    stream = (
+        spark.readStream.schema(EVENTS_NTZ)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_ntz_dir)
+    )
+    sink = str(tmp_path / "trend")
+    # files aren't time-ordered, so batch 2 replays "old" events: widen the
+    # watermark past the data span so no row is late-dropped (the test
+    # isolates cross-batch MERGE semantics, not lateness policy)
+    q = (
+        trending_topk(stream, "ts", "event_type", "10 minutes", sink, watermark="40 days")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_trending(spark, sink, k=3).collect()))
+
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    batch = sorted(
+        map(
+            tuple,
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .drop("rnk")
+            .collect(),
+        )
+    )
+    assert got == batch
