@@ -260,3 +260,20 @@ def test_keep_best_keeper_is_highest_quality(spark, sf_dir):
         assert len(keepers) == 1
         best = max(members, key=lambda r: (r.quality, -r.doc_id))
         assert keepers[0].doc_id == best.doc_id
+
+
+def test_star_components_scales_rounds_logarithmically(spark):
+    """100x the deep-path test: a 20,000-hop path must converge in O(log
+    n) rounds (diameter-bound algorithms would need 20k). Guards the
+    claim SCALING.md makes for chain-shaped dup graphs at 100 TB."""
+    from kafka_stream_spark.operators.components import _star_labels
+
+    n = 20_000
+    pairs = (
+        spark.range(n)
+        .selectExpr("id AS a", "id + 1 AS b")
+    )
+    labels, rounds = _star_labels(pairs, max_iters=40)
+    assert rounds <= 18, f"star CC took {rounds} rounds on a {n}-path"
+    bad = labels.filter("component != 0").count()
+    assert bad == 0  # every node reaches the single root

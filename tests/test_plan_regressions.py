@@ -137,3 +137,13 @@ def test_embedding_outliers_centroids_broadcast(spark, sf_dir):
     p = plan_of(spark, sf_dir, "embedding_outliers")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_asof_join_single_data_exchange(spark, sf_dir):
+    # as-of is window-based: exactly ONE hash exchange (user_id) moves
+    # data; the only other exchange is the output orderBy (oracle
+    # determinism, dropped in a real pipeline). No join operator at all.
+    p = plan_of(spark, sf_dir, "asof_join_last_view")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
