@@ -109,3 +109,42 @@ def zorder_layout(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction (the OPTIMIZE/bin-packing maintenance write).
+
+    Streaming sinks and fine-grained upserts leave directories of tiny
+    files; at 100 TB that kills scan throughput (per-file open cost,
+    undersized row groups, starved vectorized readers). This rewrites
+    ``src`` into ``ceil(total_bytes / target_file_bytes)`` files at
+    ``dst`` — with ``sort_cols`` it compacts THROUGH ``optimize_layout``
+    so compaction also restores range-clustering (stats selectivity),
+    otherwise a plain round-robin repartition balances bytes.
+
+    Returns the target file count. Sizing walks the local filesystem
+    (this engine's FileTopic layout); on a cluster store swap the sizing
+    to the Hadoop FileSystem listing — the write path is unchanged.
+    """
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        optimize_layout(df, dst, sort_cols, n_files=n, mode=mode)
+    else:
+        df.repartition(n).write.mode(mode).parquet(dst)
+    return n

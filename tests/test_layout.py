@@ -96,3 +96,31 @@ def test_zorder_prunes_on_both_columns(spark, sf_dir, tmp_path):
     assert lin_frac >= 0.9  # linear layout: user_id predicates scan everything
     assert z_frac <= 0.75, f"zorder user_id overlap {z_frac}"
     assert z_frac < lin_frac  # the point: the SECOND column still prunes
+
+
+def test_compact_small_files_bin_packs(spark, sf_dir, tmp_path):
+    """64 tiny files compact to the computed byte-target count; rows and
+    content survive; with sort_cols the output is also range-clustered."""
+    import os
+
+    from kafka_stream_spark.operators._common import load
+    from kafka_stream_spark.sources.layout import compact_small_files
+
+    (events,) = load(spark, sf_dir, "events")
+    src = str(tmp_path / "tiny")
+    events.repartition(64).write.parquet(src)
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src == 64
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    dst = str(tmp_path / "packed")
+    n = compact_small_files(spark, src, dst, target_file_bytes=total // 3 + 1,
+                            sort_cols=["ts"])
+    assert n == 3
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_dst == 3
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
