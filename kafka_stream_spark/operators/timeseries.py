@@ -1,0 +1,196 @@
+"""Time-series analytics over the events stream (SURVEY.md §2.6 W3 —
+analytic functions with frames; §2.9 T1 event-time semantics).
+
+Three shapes a monitoring/feature-engineering user runs on keyed,
+timestamped topics (the reference's datasets are exactly this shape —
+``sample-data/variables.env:3-10``; Lenses SQL exposes analytic windows
+as **[component]** capability, ``README.md:41-43``):
+
+- **rolling stats**: trailing event-time RANGE frame (last hour) per key
+  — the "requests in the last N minutes" feature every dashboard needs.
+- **z-score outliers**: per-type standardized deviation, top-k most
+  anomalous events (round-before-rank for cross-engine determinism).
+- **SCD2 intervals**: collapse an event stream into slowly-changing-
+  dimension validity ranges ``[valid_from, valid_to)`` — the batch
+  materialization of a changelog (same duality as A5 latest-by-key,
+  but keeping full history instead of only the head).
+
+Scale notes: each query costs exactly ONE shuffle on its partition key
+(user_id / event_type); every window function and the final aggregate
+run inside that partitioning. Timestamps stay µs-exact (events ns → µs
+truncation per ``functions/time.py``); durations are never emitted
+(engines disagree on sub-second boundary counting — NOTES.md #11).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+# Trailing-hour frame in µs: both engines include rows with
+# ts' >= ts - 1h (RANGE ... PRECEDING AND CURRENT ROW is inclusive).
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "rolling_stats_events",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           round(avg(value) OVER w, 6) AS avg_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    description=(
+        "Trailing 1-hour rolling count/avg per user via an event-time "
+        "RANGE frame (peers with equal ts share the frame in both engines)"
+    ),
+    bench=True,
+)
+def rolling_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id; the RANGE frame is evaluated over the
+    in-partition sort, so a 100 TB stream costs a single exchange and a
+    per-key sorted scan. The frame bound is expressed on exact integer
+    µs (``unix_micros``) — never float seconds — so the Spark frame and
+    DuckDB's INTERVAL frame admit identical row sets."""
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return (
+        events.withColumn(
+            "ts_us", F.expr("unix_micros(cast(ts as timestamp))")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.avg("value").over(w), 6).alias("avg_value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_TOPK_PER_TYPE = 10
+
+
+@query(
+    "zscore_outlier_events",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.user_id, e.event_type,
+             round((e.value - s.mu) / s.sd, 4) AS zscore
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(zscore) DESC, event_id)
+                AS rank_in_type
+      FROM z
+    )
+    SELECT event_type, rank_in_type, event_id, user_id, zscore
+    FROM r WHERE rank_in_type <= {_TOPK_PER_TYPE}
+    ORDER BY event_type, rank_in_type
+    """,
+    description=(
+        "Per-type z-score anomaly top-k: standardize value against the "
+        "type's mean/stddev, rank by |z| (round-before-rank, event_id "
+        "tiebreak) and keep the 10 most anomalous per type"
+    ),
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-type stats table is |event_types| rows — broadcast back to
+    the stream, so the standardization pass never shuffles the fact side;
+    the only full exchange is the rank's partitionBy(event_type). The
+    z-score is rounded to 4dp BEFORE ranking (house rule: round-before-
+    rank) so sub-ulp stddev differences between engines cannot reorder
+    the top-k; remaining ties break on event_id."""
+    (events,) = load(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = events.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("zscore")).desc(), F.col("event_id")
+    )
+    return (
+        z.withColumn("rank_in_type", F.row_number().over(w))
+        .filter(F.col("rank_in_type") <= _TOPK_PER_TYPE)
+        .select("event_type", "rank_in_type", "event_id", "user_id", "zscore")
+        .orderBy("event_type", "rank_in_type")
+    )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts FROM o
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
+    FROM changes
+    ORDER BY user_id, version
+    """,
+    description=(
+        "SCD2 builder: collapse each user's event-type stream into "
+        "validity intervals [valid_from, valid_to) — consecutive "
+        "duplicates merged via lag, interval ends via lead, open "
+        "interval (valid_to NULL) for the current state"
+    ),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changelog→dimension materialization (Kafka log-compaction kept
+    WITH history — SURVEY.md §2.5 A5's sibling). One shuffle on user_id:
+    the lag-collapse, the lead, and the version number all run in the
+    same partitioning, and the change-row intermediate is a small
+    fraction of the input (only state transitions survive)."""
+    (events,) = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(wo).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wc).alias("valid_to"),
+            F.row_number().over(wc).alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )

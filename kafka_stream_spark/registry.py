@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_ext,
         components,
         event_analytics,
+        timeseries,
         tpch_more,
         tpch_deep,
     )
