@@ -1,0 +1,147 @@
+"""OLAP extensions: grouping-sets cubes and scalable range joins.
+
+SURVEY.md §2.5 notes grouping sets / cube / rollup are "free via Catalyst
+if we expose SQL" — `cube_revenue` exposes them as a first-class query
+(rollup already ships as `rollup_order_status`). SURVEY.md §2.4 notes
+theta/range joins are absent from the reference surface; `range_join_tiers`
+adds the scale-safe formulation anyway because tier/range enrichment is a
+standard streaming-SQL ask (price bands, latency buckets, geo tiles) and
+the naive plan — a broadcast nested loop over `lo <= v AND v < hi` — is
+exactly the shape that dies at 100 TB when the range table grows.
+
+The bin-decomposition trick: pick a fixed bin width W; replicate each
+range row into every W-aligned bin it overlaps; map each fact row to its
+single bin; equi-join on the bin and re-check the exact bounds as a
+residual. The join becomes a hash join on an integer key — broadcastable
+when the (replicated) range side is small, shuffled-hash/SMJ when it
+isn't — and never a nested loop. Replication factor is (range span / W),
+so W tunes memory-vs-selectivity like any histogram bucket width.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+           coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+    description=(
+        "CUBE over (returnflag, linestatus): all four grouping sets with "
+        "grouping_id disambiguation (bit order parity with DuckDB GROUPING)"
+    ),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst expands the cube into an Expand node feeding ONE partial-
+    aggregated shuffle — the 4 grouping sets cost one exchange of
+    4×groups partial rows, not 4 scans. Grouped-out members are labeled
+    'ALL' so a NULL data value can never collide with a subtotal row
+    (gid disambiguates regardless)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select(
+            "gid",
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+# Non-uniform value tiers (lo inclusive, hi exclusive) over events.value
+# (observed domain ~0.01–490). The catch-all upper bound is finite so the
+# bin replication stays bounded.
+_TIERS = [
+    ("t1_micro", 0.0, 10.0),
+    ("t2_small", 10.0, 50.0),
+    ("t3_medium", 50.0, 100.0),
+    ("t4_large", 100.0, 200.0),
+    ("t5_huge", 200.0, 500.0),
+]
+_BIN_W = 10.0
+
+_TIERS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+
+@query(
+    "range_join_tiers",
+    oracle=f"""
+    SELECT t.tier, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value,
+           round(avg(e.value), 6) AS avg_value
+    FROM events e
+    JOIN (VALUES {_TIERS_VALUES}) t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+    description=(
+        "Range (band) join of events.value against non-uniform tiers via "
+        "bin decomposition — equi-join on a W-aligned bin key with the "
+        "exact bounds as residual, never a nested loop"
+    ),
+)
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier side explodes into its overlapped W-wide bins (replication
+    = span/W rows per tier); each event computes its single bin with one
+    integer floor-div. The join is then a plain hash equi-join on `bin`
+    with `lo <= v < hi` as residual — BroadcastHashJoin here, and still a
+    hash join (not a BroadcastNestedLoop) when the range table outgrows
+    broadcast range. Plan-asserted in tests/test_olap_ext.py."""
+    (events,) = load(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    # bins overlapped by [lo, hi): floor(lo/W) .. floor(hi/W) minus an
+    # open-boundary correction when hi lands exactly on a bin edge
+    binned_tiers = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN_W).cast("long"),
+                F.floor(F.col("hi") / _BIN_W).cast("long")
+                - F.when(F.col("hi") % _BIN_W == 0, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+    facts = events.select(
+        "value", F.floor(F.col("value") / _BIN_W).cast("long").alias("bin")
+    )
+    return (
+        facts.join(
+            F.broadcast(binned_tiers),
+            (facts.bin == binned_tiers.bin)
+            & (F.col("value") >= F.col("lo"))
+            & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("tier")
+    )

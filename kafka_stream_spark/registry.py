@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         components,
         event_analytics,
         timeseries,
+        olap_ext,
         tpch_more,
         tpch_deep,
     )

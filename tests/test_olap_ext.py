@@ -1,0 +1,48 @@
+"""Plan + coverage invariants for the OLAP extension operators."""
+
+import pyspark.sql.functions as F
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.operators.olap_ext import cube_revenue, range_join_tiers
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cube_is_one_expand_one_exchange(spark, sf_dir):
+    """CUBE must plan as Expand → partial HashAggregate → ONE exchange,
+    not one scan per grouping set."""
+    p = _plan(cube_revenue(spark, sf_dir))
+    assert "Expand" in p
+    assert p.count("FileScan") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_cube_gid_identifies_grouping_sets(spark, sf_dir):
+    rows = cube_revenue(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert len(by_gid[3]) == 1  # grand total
+    grand = by_gid[3][0]
+    assert (grand.returnflag, grand.linestatus) == ("ALL", "ALL")
+    # subtotals sum to the grand total
+    assert sum(r.n_items for r in by_gid[1]) == grand.n_items
+    assert sum(r.n_items for r in by_gid[2]) == grand.n_items
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    p = _plan(range_join_tiers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_range_join_partitions_every_in_domain_event(spark, sf_dir):
+    """Tiers tile [0, 500): every event in-domain lands in exactly one
+    tier, so tier counts sum to the in-domain event count."""
+    rows = range_join_tiers(spark, sf_dir).collect()
+    (events,) = load(spark, sf_dir, "events")
+    in_domain = events.filter((F.col("value") >= 0) & (F.col("value") < 500)).count()
+    assert sum(r.n_events for r in rows) == in_domain
