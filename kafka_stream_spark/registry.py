@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         event_analytics,
         timeseries,
         olap_ext,
+        search,
         tpch_more,
         tpch_deep,
     )
