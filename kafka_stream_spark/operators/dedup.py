@@ -471,3 +471,208 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-chunk corpus dedup (C4/CCNet line-dedup shape)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 10  # tokens per pseudo-paragraph (testdata docs carry no newlines)
+
+
+@query(
+    "paragraph_dedup_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS idx,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, idx // {_CHUNK} AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY idx) AS chunk_text
+      FROM toks GROUP BY doc_id, idx // {_CHUNK}
+    ),
+    kept AS (
+      SELECT doc_id, chunk_idx, chunk_text FROM (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (PARTITION BY chunk_text
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks) WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id, t.n_total, count(k.chunk_idx) AS n_kept,
+           string_agg(k.chunk_text, ' ' ORDER BY k.chunk_idx) AS new_text
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.n_total
+    ORDER BY t.doc_id
+    """,
+    description=(
+        "C4/CCNet-style paragraph-level exact dedup: 10-token chunks, "
+        "corpus-wide first-occurrence keep (doc_id, chunk_idx order), "
+        "documents reassembled from surviving chunks"
+    ),
+    bench=True,
+)
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup — the C4 "discard duplicate three-sentence
+    spans" / CCNet line-dedup shape, on deterministic 10-token chunks
+    (the testdata corpus has no newlines to split on).
+
+    Chunking is pure projection: slice() over the token array builds each
+    chunk locally — no explode+groupBy re-aggregation, so token order
+    never depends on collect_list ordering. The cache() on the token
+    projection is the NOTES.md#5 optimizer barrier: without it
+    CollapseProject inlines split(text) into every slice() of the
+    transform lambda (re-tokenizing per chunk, quadratic per doc).
+
+    Corpus-wide first-keep = ONE shuffle partitioned by chunk_text (the
+    window), then reassembly is one groupBy(doc_id) whose collect_list
+    holds at most the doc's own chunks — per-doc memory, not corpus.
+    At 100 TB: hash-partition by chunk text ~ uniformly distributes
+    (chunks are high-entropy); the reassembly shuffle carries surviving
+    chunks only.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {_CHUNK}.0) as int) - 1),"
+                f" i -> array_join(slice(toks, i * {_CHUNK} + 1, {_CHUNK}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        tot.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "new_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-style candidate pruning)
+# ---------------------------------------------------------------------------
+
+_PF_T = 0.5  # same threshold as dedup_ngram_jaccard — same result set
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+               JOIN sz sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {_PF_T}
+    ORDER BY doc_a, doc_b
+    """,
+    description=(
+        "Same result as dedup_ngram_jaccard (exact 3-shingle Jaccard >= "
+        "0.5) but candidates come only from rare-first token PREFIXES "
+        "(PPJoin filter: |d| - ceil(t|d|) + 1), not every shared shingle"
+    ),
+    bench=True,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
+    both public papers): order every doc's shingles by global frequency
+    (rarest first, shingle-text tiebreak — a total order), keep only the
+    first |d| - ceil(t·|d|) + 1 as the doc's *prefix*. Any pair with
+    Jaccard >= t MUST share a prefix token (pigeonhole on the suffix
+    size), so the posting-list self-join runs over prefixes only —
+    the frequent shingles that dominate posting-list collision cost
+    never generate candidates. Verification then computes exact Jaccard
+    on the (small) candidate set, identical to the full join's result.
+
+    Exchanges: freq groupBy(sh), the rank window on doc_id, the prefix
+    self-join on sh, and the candidate-driven verify joins — all hash
+    joins keyed on shingle or doc id; nothing is ever |docs|².
+    `test_prefix_filter_prunes_candidates` asserts the candidate count
+    strictly drops vs. the all-shared-shingles join on the same corpus.
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    wd = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number().over(wd.orderBy("f", "sh")).alias("r"),
+            F.count(F.lit(1)).over(wd).alias("n"),
+        )
+    )
+    # ceil(t*n) with t=0.5 in exact integer math: (n+1) div 2
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sha, ["doc_a"])
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            ["doc_a"],
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            ["doc_b"],
+        )
+        .filter(jac >= _PF_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,97 @@
+"""Invariants for the paragraph-chunk dedup and the prefix-filtered
+Jaccard join (oracle equality itself is covered by test_queries.py)."""
+
+import pyspark.sql.functions as F
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.operators.dedup import (
+    _doc_shingles,
+    dedup_jaccard_prefix,
+    dedup_ngram_jaccard,
+    paragraph_dedup_documents,
+)
+
+
+def test_paragraph_dedup_survivors_are_globally_unique(spark, sf_dir):
+    rows = paragraph_dedup_documents(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        if r.new_text is None:
+            assert r.n_kept == 0
+            continue
+        # every kept chunk is 10 tokens except possibly the doc's last, so
+        # re-chunking the reassembled text recovers the kept chunks exactly
+        chunks = _rechunk(r.new_text)
+        assert len(chunks) == r.n_kept, r.doc_id
+        for c in chunks:
+            assert c not in seen, (r.doc_id, c)  # first-keep ⇒ unique corpus-wide
+        seen.update(chunks)
+    removed = sum(r.n_total - r.n_kept for r in rows)
+    assert removed > 0  # the corpus really contains duplicate chunks
+
+
+def _rechunk(text: str, k: int = 10):
+    toks = text.split(" ")
+    return [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+
+
+def test_paragraph_dedup_untouched_docs_roundtrip(spark, sf_dir):
+    """A doc whose every chunk survived must reassemble to its original
+    text byte-for-byte."""
+    rows = {r.doc_id: r for r in paragraph_dedup_documents(spark, sf_dir).collect()}
+    (documents,) = load(spark, sf_dir, "documents")
+    n_intact = 0
+    for d in documents.collect():
+        r = rows[d.doc_id]
+        if r.n_kept == r.n_total:
+            assert r.new_text == d.text, d.doc_id
+            n_intact += 1
+    assert n_intact > 0
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The whole point: prefix candidates must be a strict subset of the
+    all-shared-shingle pairs."""
+    sh = _doc_shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    full_pairs = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    ranked = sh.join(freq, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number().over(wd.orderBy("f", "sh")).alias("r"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
+    ).select("doc_id", "sh")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "sh")
+    pruned = (
+        pa.join(pb, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    assert pruned < full_pairs, (pruned, full_pairs)
+    assert pruned > 0
+
+
+def test_prefix_join_equals_exact_join(spark, sf_dir):
+    """Completeness of the filter: identical pairs + scores as the full
+    posting-list join."""
+    exact = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
+    pref = sorted(map(tuple, dedup_jaccard_prefix(spark, sf_dir).collect()))
+    assert exact == pref and exact
