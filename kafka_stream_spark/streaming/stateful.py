@@ -20,6 +20,10 @@ Ready-made processors:
 - ``table_join_enricher``: the KStream–KTable stream-table join — table
   side folds into per-key state (latest-wins), stream side enriches
   as-of processing order (streaming twin of ``asof_join_last_view``).
+- ``stream_stream_asof_join``: the event-time-correct stream-stream
+  as-of join — both sides buffered in watermark-bounded state, each
+  purchase finalized (append-mode, exactly once) only when the
+  watermark proves its attribution can't change.
 
 Scale: state lives in the state store (set RocksDB via
 ``session.enable_rocksdb_state`` for big keyspaces); keys are hash-
@@ -332,4 +336,120 @@ def table_join_enricher(grouped, ts_col: str, id_col: str, side_col: str) -> Dat
 
     return grouped.applyInPandasWithState(
         fn, ASOF_SCHEMA, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_ASOF_BUF_STATE = (
+    "view_ts ARRAY<LONG>, view_id ARRAY<LONG>, "
+    "p_ts ARRAY<LONG>, p_id ARRAY<LONG>"
+)
+
+
+def _asof_buffer_step(views, purchases, rows, wm_us):
+    """Pure per-key step for the EVENT-TIME-correct stream-stream as-of
+    join. ``views``/``purchases`` are the buffered [(ts µs, id)] lists,
+    ``rows`` the batch's [(ts, id, side)] arrivals (side 0 = view),
+    ``wm_us`` the current watermark. Returns (views', purchases',
+    emitted) where emitted purchases have ts < wm_us — finalized only
+    once no view at-or-before them can still arrive (any later view has
+    ts >= wm). Ties: the view with max (ts, id) among view_ts <= p_ts
+    wins, matching the batch query's ASOF >= + last() semantics.
+
+    View buffer pruning: a view strictly older than the watermark is
+    superseded — for every purchase still possible (ts >= wm) — by any
+    later view also <= wm, so only the LATEST pre-watermark view is
+    retained; views >= wm are all kept (a future purchase may fall
+    between them). State is therefore O(views inside the watermark
+    horizon) + O(pending purchases), both watermark-bounded.
+    """
+    for ts, eid, side in rows:
+        (views if side == 0 else purchases).append((ts, eid))
+    views.sort()
+    purchases.sort()
+    emit, hold = [], []
+    for ts, eid in purchases:
+        if ts < wm_us:
+            best = None
+            for v in views:
+                if v[0] <= ts:
+                    best = v  # views sorted asc → last qualifying wins
+                else:
+                    break
+            emit.append((eid, ts, best))
+        else:
+            hold.append((ts, eid))
+    recent = [v for v in views if v[0] >= wm_us]
+    older = [v for v in views if v[0] < wm_us]
+    keep = ([max(older)] if older else []) + recent
+    return keep, hold, emit
+
+
+def stream_stream_asof_join(grouped, ts_col: str, id_col: str, side_col: str) -> DataFrame:
+    """Stream-stream AS-OF join with watermarked buffering — the
+    event-time-correct sibling of ``table_join_enricher``. Where the
+    KStream-KTable join resolves in PROCESSING order (a late view never
+    retro-attributes), this operator buffers BOTH sides in per-key state
+    and finalizes each purchase only when the watermark proves its
+    attribution can no longer change; arrival order inside the watermark
+    horizon is irrelevant (multi-batch out-of-order test-asserted equal
+    to the batch as-of join).
+
+    ``grouped`` must come from a ``withWatermark``-ed stream grouped by
+    the join key. Pending purchases arm an event-time timer at their own
+    timestamp so they flush when the watermark passes even if the key
+    receives no further rows. Emission is append-mode (each purchase
+    exactly once), Kafka-sink friendly.
+
+    Scale: state per key = watermark-horizon views + pending purchases
+    (see ``_asof_buffer_step``); keys hash-shard across executors; the
+    only exchange is the groupBy. This is SURVEY.md §2.4 J2's temporal
+    cousin expressed through §2.10 X1 machinery.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, eid, side in zip(pdf[ts_col], pdf[id_col], pdf[side_col]):
+                    rows.append(
+                        (int(pd.Timestamp(ts).value // 1000), int(eid), int(side))
+                    )
+        held = state.get if state.exists else ([], [], [], [])
+        views = list(zip(held[0] or [], held[1] or []))
+        purchases = list(zip(held[2] or [], held[3] or []))
+        wm_ms = state.getCurrentWatermarkMs()
+        views, purchases, emitted = _asof_buffer_step(
+            views, purchases, rows, wm_ms * 1000
+        )
+        if views or purchases:
+            state.update(
+                (
+                    [v[0] for v in views],
+                    [v[1] for v in views],
+                    [p[0] for p in purchases],
+                    [p[1] for p in purchases],
+                )
+            )
+            if purchases:
+                # flush pending purchases once the watermark passes them
+                state.setTimeoutTimestamp(
+                    max(purchases[0][0] // 1000 + 1, wm_ms + 1)
+                )
+        else:
+            state.remove()
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "event_id": [e for e, _, _ in emitted],
+                    "user_id": [int(key[0])] * len(emitted),
+                    "ts": [t for _, t, _ in emitted],
+                    "view_event_id": [v[1] if v else None for _, _, v in emitted],
+                    "view_ts": [v[0] if v else None for _, _, v in emitted],
+                }
+            )
+
+    return grouped.applyInPandasWithState(
+        fn, ASOF_SCHEMA, _ASOF_BUF_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -344,3 +344,102 @@ def test_trending_topk_stream_equals_batch(spark, sf_dir, events_ntz_dir, tmp_pa
         )
     )
     assert got == batch
+
+
+def test_asof_buffer_step_event_time_semantics():
+    """Unlike _asof_step (processing order), the buffered step lets a
+    LATE view retro-attribute a purchase that is still inside the
+    watermark horizon, and only finalizes past-watermark purchases."""
+    from kafka_stream_spark.streaming.stateful import _asof_buffer_step
+
+    # batch 1: purchase@100 arrives BEFORE any view; wm=0 → held
+    v, p, out = _asof_buffer_step([], [], [(100, 1, 1)], 0)
+    assert (v, p, out) == ([], [(100, 1)], [])
+    # batch 2: late view@50 arrives; wm=90 → purchase@100 still pending
+    v, p, out = _asof_buffer_step(v, p, [(50, 10, 0)], 90)
+    assert (v, p, out) == ([(50, 10)], [(100, 1)], [])
+    # batch 3: wm passes → purchase finalizes WITH the late view
+    v, p, out = _asof_buffer_step(v, p, [], 200)
+    assert p == [] and out == [(1, 100, (50, 10))]
+    assert v == [(50, 10)]  # latest pre-wm view retained for future keys
+    # tie: view@300 vs purchase@300 → view wins (ASOF >=); max-id view wins
+    v, p, out = _asof_buffer_step(v, p, [(300, 11, 0), (300, 12, 0), (300, 2, 1)], 400)
+    assert out == [(2, 300, (300, 12))]
+    # pruning: only the latest pre-watermark view survives
+    assert v == [(300, 12)]
+
+
+def test_stream_stream_asof_multibatch_out_of_order(spark, sf_dir, tmp_path):
+    """Three time-ordered micro-batches, rows SHUFFLED inside each batch:
+    the watermarked stream-stream as-of join must equal the batch as-of
+    attribution for every purchase (sentinel advances the watermark past
+    the tail so everything flushes)."""
+    import os
+    import random
+
+    from kafka_stream_spark.streaming.stateful import stream_stream_asof_join
+
+    import datetime
+
+    (events,) = load(spark, sf_dir, "events")
+    utc = datetime.timezone.utc
+    rows = [
+        (
+            r.user_id,
+            int(r.ts.replace(tzinfo=utc).timestamp() * 1_000_000),
+            r.event_id,
+            0 if r.event_type == "view" else 1,
+        )
+        for r in events.filter(F.col("event_type").isin("view", "purchase")).collect()
+    ]
+    rows.sort(key=lambda r: r[1])
+    rng = random.Random(7)
+    thirds = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3],
+              rows[2 * len(rows) // 3 :]]
+    sentinel = (
+        10**9,
+        max(r[1] for r in rows) + 30 * 86400 * 1_000_000,
+        10**9,
+        0,
+    )
+    thirds[2] = thirds[2] + [sentinel]
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    schema = "user_id long, ts_us long, event_id long, side int"
+    for i, part in enumerate(thirds):
+        rng.shuffle(part)  # out-of-order WITHIN each micro-batch
+        f = str(src / f"part{i}.parquet")
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        os.utime(f, (1000 + i, 1000 + i))  # deterministic batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*.parquet")
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 hour")
+    )
+    joined = stream_stream_asof_join(
+        stream.groupBy("user_id"), "ts", "event_id", "side"
+    )
+    got = _collect_stream(spark, joined, "ss_asof", "append")
+    streamed = sorted(
+        (r.event_id, r.user_id, r.ts, r.view_event_id, r.view_ts)
+        for r in got.collect()
+    )
+    # brute-force expectation over the real (non-sentinel) events
+    views, purchases = {}, []
+    for uid, us, eid, side in rows:
+        if side == 0:
+            views.setdefault(uid, []).append((us, eid))
+        else:
+            purchases.append((uid, us, eid))
+    expected = []
+    for uid, us, eid in purchases:
+        prior = [v for v in views.get(uid, []) if v[0] <= us]
+        best = max(prior) if prior else None
+        expected.append(
+            (eid, uid, us, best[1] if best else None, best[0] if best else None)
+        )
+    assert streamed == sorted(expected) and streamed
