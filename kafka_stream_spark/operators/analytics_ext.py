@@ -207,3 +207,119 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct — deterministic md5 registers
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (b = 6 bits); sigma ~ 1.04/sqrt(64) = 13%
+# alpha_m * m^2 * 2^55, precomputed ONCE and embedded verbatim in both
+# engines so constant folding cannot diverge: the estimate is then a
+# single float division by an exact integer.
+_HLL_NUM = "1.046802484394006e+20"
+
+
+@query(
+    "approx_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 15))::BIGINT)
+               AS hv
+      FROM events
+    ),
+    b AS (SELECT event_type, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+    r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m_j
+      FROM b GROUP BY event_type, bucket
+    ),
+    t AS (
+      SELECT event_type, count(*) AS n_present,
+             sum(1::BIGINT << (55 - m_j))::BIGINT AS sum_int
+      FROM r GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, n_present, {_HLL_M} - n_present AS v,
+             {_HLL_NUM}
+               / (sum_int + ({_HLL_M} - n_present) * (1::BIGINT << 55)) AS e_raw
+      FROM t
+    )
+    SELECT e.event_type,
+           round(CASE WHEN e_raw <= {2.5 * _HLL_M} AND v > 0
+                      THEN {_HLL_M} * ln({_HLL_M}.0 / v) ELSE e_raw END,
+                 2) AS hll_estimate,
+           x.exact_distinct
+    FROM e JOIN x USING (event_type)
+    ORDER BY event_type
+    """,
+    description=(
+        "HyperLogLog distinct-user estimate per event type (m=64 md5 "
+        "registers, Flajolet small-range correction) next to the exact "
+        "count — register math is pure integers so the sketch is "
+        "bit-identical across engines"
+    ),
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cardinality-sketch path for 100 TB: the register build is a
+    groupBy(event_type, bucket) max — map-side combine collapses every
+    partition to <= m rows per type before the wire, so the shuffle is
+    O(partitions x m), independent of user cardinality (exactly the CMS
+    argument, with max-merge instead of sum-merge: registers from
+    disjoint micro-batches/partitions merge by element-wise max,
+    property-tested). The float path is one division by an exact
+    integer plus the ln() correction, both rounded 2dp — no float
+    accumulation anywhere (sum of 2^-M terms is done scaled by 2^55 in
+    bigint). The exact_distinct audit column is the expensive
+    comparison the sketch replaces at scale.
+    """
+    from kafka_stream_spark.operators._common import load as _load
+
+    (events,) = _load(spark, sf_dir, "events")
+    hv = (
+        "cast(conv(substr(md5(cast(concat('hll:', cast(user_id as string)) "
+        "as binary)), 1, 15), 16, 10) as bigint)"
+    )
+    b = events.select(
+        "event_type",
+        F.expr(f"{hv} % {_HLL_M}").alias("bucket"),
+        F.expr(f"{hv} div {_HLL_M}").alias("w"),
+    )
+    r = b.select(
+        "event_type",
+        "bucket",
+        F.expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END").alias("rho"),
+    ).groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    t = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_j)")).alias("sum_int"),
+    )
+    e = t.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("n_present")).alias("v"),
+        (
+            F.expr(_HLL_NUM)
+            / (
+                F.col("sum_int")
+                + (F.lit(_HLL_M) - F.col("n_present"))
+                * F.expr("shiftleft(cast(1 as bigint), 55)")
+            )
+        ).alias("e_raw"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(F.col("e_raw"))
+    return (
+        e.join(exact, "event_type")
+        .select("event_type", F.round(est, 2).alias("hll_estimate"), "exact_distinct")
+        .orderBy("event_type")
+    )
