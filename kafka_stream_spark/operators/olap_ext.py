@@ -145,3 +145,48 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+_H_W = 25.0  # histogram bin width over events.value (domain ~0–490)
+
+
+@query(
+    "histogram_values",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(value / {_H_W}) AS BIGINT) AS bin FROM events
+    ),
+    n AS (SELECT count(*) AS total FROM b)
+    SELECT bin, CAST(bin * {_H_W} AS DOUBLE) AS lo, count(*) AS n_events,
+           round(count(*) * 1.0 / any_value(n.total), 6) AS share
+    FROM b CROSS JOIN n
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    description=(
+        "Fixed-width value histogram (width_bucket shape): bin counts "
+        "plus corpus share per bin"
+    ),
+)
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side-combinable groupBy on the bin key (≤ domain/W groups
+    at any scale) plus a broadcast 1-row total — the distribution-profiling
+    primitive every quality dashboard runs; never a sort, never a
+    per-value shuffle."""
+    (events,) = load(spark, sf_dir, "events")
+    b = events.select(
+        F.floor(F.col("value") / _H_W).cast("long").alias("bin")
+    )
+    total = b.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        b.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.col("bin") * _H_W).alias("lo"),
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("bin")
+    )
