@@ -277,3 +277,54 @@ def test_star_components_scales_rounds_logarithmically(spark):
     assert rounds <= 18, f"star CC took {rounds} rounds on a {n}-path"
     bad = labels.filter("component != 0").count()
     assert bad == 0  # every node reaches the single root
+
+
+def test_opq_rotation_is_orthogonal_and_beats_pq():
+    """R must be orthogonal (RRᵀ=I) and the learned rotation must not
+    lose recall vs plain PQ (measured 0.84 vs 0.78 at sf0.01 —
+    deterministic training, so the comparison is stable)."""
+    import numpy as np
+
+    from kafka_stream_spark.operators.similarity import (
+        _opq_rotation,
+        ann_cosine_topk,
+        ann_opq_topk,
+        ann_pq_topk,
+    )
+    from kafka_stream_spark.session import get_spark
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(128, 64))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    r = _opq_rotation(x)
+    assert np.allclose(r @ r.T, np.eye(64), atol=1e-8)
+
+    spark = get_spark("kafka-stream-spark-tests", master="local[4]", shuffle_partitions=4)
+    sf_dir = "/root/testdata/sf0.01"
+
+    def topk_sets(df):
+        out = {}
+        for row in df.collect():
+            out.setdefault(row.query_id, set()).add(row.vec_id)
+        return out
+
+    exact_rows = ann_cosine_topk(spark, sf_dir).collect()
+    exact = {}
+    cosines = {}
+    for row in exact_rows:
+        exact.setdefault(row.query_id, set()).add(row.vec_id)
+        cosines[(row.query_id, row.vec_id)] = row.cosine
+    pq = topk_sets(ann_pq_topk(spark, sf_dir))
+    opq_rows = ann_opq_topk(spark, sf_dir).collect()
+    opq = {}
+    for row in opq_rows:
+        opq.setdefault(row.query_id, set()).add(row.vec_id)
+        # rotation preserves inner products: emitted cosines must equal
+        # the un-rotated exact cosines (for pairs the baseline scored)
+        if (row.query_id, row.vec_id) in cosines:
+            assert abs(row.cosine - cosines[(row.query_id, row.vec_id)]) < 1e-5
+
+    def recall(approx):
+        return sum(len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact) / len(exact)
+
+    assert recall(opq) >= recall(pq) >= 0.7
