@@ -11,7 +11,7 @@ engine by design — see EDBT'23 quantile-sketch survey in PAPERS.md).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kafka_stream_spark.operators._common import load
 from kafka_stream_spark.registry import query
@@ -322,4 +322,113 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(exact, "event_type")
         .select("event_type", F.round(est, 2).alias("hll_estimate"), "exact_distinct")
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dashboard shapes: top-k + OTHER rollup, week-over-week deltas
+# ---------------------------------------------------------------------------
+
+_TOPK_OTHER = 3
+
+
+@query(
+    "topk_types_with_other",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT CASE WHEN rk <= {_TOPK_OTHER} THEN event_type ELSE 'OTHER' END
+             AS bucket,
+           sum(n) AS n, round(sum(total_value), 2) AS total_value
+    FROM ranked
+    GROUP BY 1
+    ORDER BY n DESC, bucket
+    """,
+    description=(
+        "Top-3 event types by count with the long tail rolled into an "
+        "'OTHER' bucket — the dashboard legend shape"
+    ),
+)
+def topk_types_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate: the corpus-sized groupBy collapses map-side to
+    |types| rows, and everything after (rank, OTHER re-bucket, re-agg)
+    runs on that tiny intermediate — the second shuffle moves |types|
+    rows at any scale. The rank window is a single partition BY DESIGN:
+    its input is the aggregated type table, never the corpus."""
+    (events,) = load(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.when(F.col("rk") <= _TOPK_OTHER, F.col("event_type"))
+            .otherwise("OTHER")
+            .alias("bucket"),
+            "n",
+            "total_value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("n"), "bucket")
+    )
+
+
+@query(
+    "weekly_revenue_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+             round(sum(o_totalprice), 2) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT week_start, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY week_start) AS prev_revenue,
+           round(revenue - coalesce(lag(revenue) OVER (ORDER BY week_start), 0), 2)
+             AS wow_delta
+    FROM weekly
+    ORDER BY week_start
+    """,
+    description=(
+        "Weekly revenue with week-over-week deltas via lag over the "
+        "aggregated series (Monday-start ISO weeks in both engines)"
+    ),
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag window is deliberately unpartitioned: its input is the
+    weekly aggregate (|weeks| rows at ANY corpus size — a centuries-long
+    dataset is a few thousand rows), so the single-partition window is
+    the correct plan; the corpus-sized work is the map-side-combinable
+    weekly groupBy. Both engines truncate to Monday-start weeks."""
+    (orders,) = load(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("week_start")
+    return (
+        weekly.select(
+            "week_start",
+            "revenue",
+            "n_orders",
+            F.lag("revenue").over(w).alias("prev_revenue"),
+            F.round(
+                F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0)), 2
+            ).alias("wow_delta"),
+        )
+        .orderBy("week_start")
     )
