@@ -25,15 +25,22 @@ def enable_nanos_as_long(spark: SparkSession) -> None:
 
 
 def with_event_ts(df: DataFrame, ns_col: str = "ts", out_col: str = "ts") -> DataFrame:
-    """Replace a nanos-long column with a µs TIMESTAMP_NTZ column.
+    """Normalize an event-time column to µs TIMESTAMP_NTZ.
 
-    Integer ``div 1000`` floors ns→µs, matching DuckDB's parquet reader, so
-    oracle comparisons are exact.
+    Accepts either a nanos-since-epoch long (the ``nanosAsLong`` read path,
+    Spark ≤4.0) or an already-decoded timestamp (Spark 4.1+ reads parquet
+    TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ, truncating ns→µs). Both
+    paths floor ns→µs — integer ``div 1000``, never float division (at
+    1.7e18 ns, double rounding error is ±hundreds of ns) — matching
+    DuckDB's parquet reader, so oracle comparisons are exact.
     """
-    return df.withColumn(
-        out_col,
-        F.expr(f"cast(timestamp_micros({ns_col} div 1000) as timestamp_ntz)"),
-    )
+    dt = df.schema[ns_col].dataType.typeName()
+    if dt in ("long", "integer", "bigint"):
+        return df.withColumn(
+            out_col,
+            F.expr(f"cast(timestamp_micros({ns_col} div 1000) as timestamp_ntz)"),
+        )
+    return df.withColumn(out_col, F.col(ns_col).cast("timestamp_ntz"))
 
 
 def with_event_ts_ms(df: DataFrame, ms_col: str, out_col: str) -> DataFrame:

@@ -281,3 +281,58 @@ def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
         .orderBy("event_id")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS curr_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, curr_type, n_transitions,
+           round(n_transitions * 1.0
+                 / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p
+    FROM c
+    ORDER BY prev_type, curr_type
+    """,
+    description=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: counts and row-normalized probabilities per "
+        "(prev_type, curr_type)"
+    ),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix (the what-follows-what dashboard).
+    One shuffle on user_id orders each user's history for the lag; the
+    count matrix is at most |types|² rows, so the normalizing window
+    over it is driver-scale. Ties on ts break by event_id in both
+    engines — without that the lag would be nondeterministic.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    seq = events.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("curr_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    return c.select(
+        "prev_type",
+        "curr_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(Window.partitionBy("prev_type")),
+            6,
+        ).alias("p"),
+    ).orderBy("prev_type", "curr_type")

@@ -1,0 +1,218 @@
+"""Token-sequence corpus statistics: LM-based quality scoring and exact
+repeated-substring detection (north-star M6, curation wave 4).
+
+Two operators a pretraining-data pipeline runs after the cheap per-doc
+heuristics (``text_analysis``) and before/alongside fuzzy dedup:
+
+- **lm_bigram_logprob** — corpus-trained bigram language-model scoring:
+  every document is scored by the average log-probability of its bigrams
+  under the corpus's own bigram MLE (the KenLM-filter shape used by
+  CCNet/RedPajama quality gates, with the corpus standing in for the
+  reference LM). Low average log-prob = surprising token sequences =
+  candidate junk. Two shuffles bound the cost: one groupBy on the bigram
+  to build counts (map-side partial agg collapses each task to its
+  distinct-bigram set — shuffle width is vocabulary², not token count),
+  one join of doc-bigrams back to the count table on the bigram key.
+- **substring_dedup_spans** — exact duplicated-substring spans (the
+  ExactSubstr shape from "Deduplicating Training Data Makes Language
+  Models Better", Lee et al. 2022): any 5-token window appearing in more
+  than one document is flagged, and per-doc overlapping flagged windows
+  are merged into maximal [span_start, span_end] token ranges via
+  gaps-and-islands. At 100 TB the join key would be md5(gram) (fixed
+  16-byte shuffle width instead of the raw string); kept as the raw gram
+  here so the oracle equality is definitionally exact, the hashing is
+  a pure projection swap.
+
+Reference anchor: the multilingual text surface the stack curates
+(reddit bodies, ``reddit.value.json:75-78``) — these are the corpus-level
+operators its Lenses/Connect layer has no answer for.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+# Flag threshold on the 6dp-rounded average bigram log-prob. Both engines
+# compare the SAME rounded value, so the cut is engine-stable wherever
+# the rounding itself is.
+_LM_THRESHOLD = -3.45
+
+# Positional bigram struct array, guarded for 1-token docs (ANSI
+# element_at throws past the end).
+_BIGRAMS_EXPR = """
+  CASE WHEN size(toks) >= 2
+       THEN transform(sequence(1, size(toks) - 1),
+                      i -> struct(element_at(toks, i) AS w1,
+                                  element_at(toks, i + 1) AS w2))
+       ELSE array()
+  END
+"""
+
+_K = 5  # duplicated-substring window, in tokens
+
+_POSGRAMS_EXPR = f"""
+  CASE WHEN size(toks) >= {_K}
+       THEN transform(sequence(1, size(toks) - {_K - 1}),
+                      i -> struct(i AS pos,
+                                  concat_ws(' ', element_at(toks, i),
+                                                 element_at(toks, i + 1),
+                                                 element_at(toks, i + 2),
+                                                 element_at(toks, i + 3),
+                                                 element_at(toks, i + 4)) AS gram))
+       ELSE array()
+  END
+"""
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) repartitioned by doc_id and cached.
+
+    Same shape as dedup._doc_shingles: the repartition parallelizes the
+    per-doc CPU off the single parquet file; the cache is an optimizer
+    barrier (CollapseProject would inline split() into every element_at
+    of the transform — quadratic per doc).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+
+
+@query(
+    "lm_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - 1
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id, round(ln(c2.n2 * 1.0 / c1.n1), 6) AS lp
+      FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob,
+           CASE WHEN round(avg(lp), 6) <= {_LM_THRESHOLD} THEN 1 ELSE 0 END
+             AS low_quality
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    description=(
+        "Corpus-trained bigram LM quality score per document: average "
+        "bigram log-probability under the corpus MLE, low scores flagged "
+        "(the KenLM-style quality-filter shape)"
+    ),
+    bench=True,
+)
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring. The count table build is one gram-keyed shuffle
+    with map-side combine (width = distinct bigrams, not tokens); the
+    conditional c1(w1) marginal is derived FROM the c2 table (guarantees
+    sum-consistency and costs a second tiny agg over distinct bigrams,
+    not a second pass over the corpus). The score join shuffles doc
+    bigrams once on (w1, w2); per-bigram log-probs are rounded 6dp
+    before averaging so both engines aggregate identical inputs.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    big = toks.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("g")
+    ).select("doc_id", "g.w1", "g.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", F.round(F.log(F.col("n2") / F.col("n1")), 6).alias("lp"))
+    )
+    avg6 = F.round(F.avg("lp"), 6)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            avg6.alias("avg_logprob"),
+            F.when(avg6 <= _LM_THRESHOLD, 1).otherwise(0).alias("low_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, i AS pos,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS gram
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - {_K - 1}
+    ),
+    dup AS (
+      SELECT gram FROM pg GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ),
+    dpos AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM pg WHERE gram IN (SELECT gram FROM dup)
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_K - 1} AS span_end,
+           count(*) AS n_dup_grams
+    FROM dpos GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+    description=(
+        "Exact duplicated-substring spans: 5-token windows shared across "
+        "documents, merged per-doc into maximal token ranges "
+        "(gaps-and-islands; the ExactSubstr dedup shape)"
+    ),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection. Duplicate detection is
+    one gram-keyed groupBy (count(distinct doc_id) > 1 — partial agg
+    collapses per-task repeats before the wire); membership is a
+    LeftSemi join back on the gram; islands merge with a single per-doc
+    window (pos - row_number is constant within a consecutive run).
+    Spans, not gram lists, are the output — that's what a cut/annotate
+    pass consumes downstream.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    pg = toks.select(
+        "doc_id", F.explode(F.expr(_POSGRAMS_EXPR)).alias("g")
+    ).select("doc_id", "g.pos", "g.gram")
+    dup = (
+        pg.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram")
+    )
+    dpos = pg.join(dup, "gram", "left_semi").withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        dpos.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (_K - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("grp")
+        .orderBy("doc_id", "span_start")
+    )

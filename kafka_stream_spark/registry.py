@@ -60,6 +60,8 @@ def load_all() -> dict[str, QuerySpec]:
         search,
         tpch_more,
         tpch_deep,
+        sequence_stats,
+        sketches_kmv,
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401
 
