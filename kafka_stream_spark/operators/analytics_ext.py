@@ -432,3 +432,149 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "hll_window_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hr,
+             (('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 15))::BIGINT)
+               AS hv
+      FROM events
+    ),
+    b AS (SELECT day, hr, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+    r AS (
+      SELECT day, hr, bucket,
+             max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m_j
+      FROM b GROUP BY day, hr, bucket
+    ),
+    th AS (
+      SELECT day, hr, count(*) AS n_present,
+             sum(1::BIGINT << (55 - m_j))::BIGINT AS sum_int
+      FROM r GROUP BY day, hr
+    ),
+    eh AS (
+      SELECT day, hr, {_HLL_M} - n_present AS v,
+             {_HLL_NUM}
+               / (sum_int + ({_HLL_M} - n_present) * (1::BIGINT << 55)) AS e_raw
+      FROM th
+    ),
+    esth AS (
+      SELECT day, hr,
+             CAST(round(CASE WHEN e_raw <= {2.5 * _HLL_M} AND v > 0
+                             THEN {_HLL_M} * ln({_HLL_M}.0 / v) ELSE e_raw END
+                        * 100, 0) AS BIGINT) AS est_c
+      FROM eh
+    ),
+    sh AS (
+      SELECT day, count(*) AS n_hours,
+             round(sum(est_c) / 100.0, 2) AS sum_hll_hours
+      FROM esth GROUP BY day
+    ),
+    rd AS (SELECT day, bucket, max(m_j) AS m_j FROM r GROUP BY day, bucket),
+    td AS (
+      SELECT day, count(*) AS n_present,
+             sum(1::BIGINT << (55 - m_j))::BIGINT AS sum_int
+      FROM rd GROUP BY day
+    ),
+    ed AS (
+      SELECT day, {_HLL_M} - n_present AS v,
+             {_HLL_NUM}
+               / (sum_int + ({_HLL_M} - n_present) * (1::BIGINT << 55)) AS e_raw
+      FROM td
+    ),
+    x AS (
+      SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS exact_day
+      FROM events GROUP BY 1
+    )
+    SELECT ed.day, sh.n_hours,
+           round(CASE WHEN e_raw <= {2.5 * _HLL_M} AND v > 0
+                      THEN {_HLL_M} * ln({_HLL_M}.0 / v) ELSE e_raw END,
+                 2) AS hll_day,
+           sh.sum_hll_hours, x.exact_day
+    FROM ed JOIN sh USING (day) JOIN x USING (day)
+    ORDER BY ed.day
+    """,
+    description=(
+        "HLL sketch rollup across time windows: hourly user-distinct "
+        "registers max-merged into daily estimates (the hypertable/"
+        "continuous-aggregate shape), next to the naive sum of hourly "
+        "estimates and the exact daily count"
+    ),
+)
+def hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation — the property that makes pre-aggregated
+    rollups work at 100 TB: registers built once per (hour, bucket) are
+    max-merged to any coarser grain without touching raw data again
+    (same merge the property test proves for approx_distinct_hll). The
+    contrast column sum_hll_hours shows why naive rollups of distinct
+    counts are wrong: summing hourly estimates double-counts users
+    active in several hours (it overshoots exact_day), while the
+    register merge does not. Hourly estimates are fixed to integer
+    cents before summing so the sum is order-independent across
+    engines.
+    """
+    from kafka_stream_spark.operators._common import load as _load
+
+    (events,) = _load(spark, sf_dir, "events")
+    hv = (
+        "cast(conv(substr(md5(cast(concat('hll:', cast(user_id as string)) "
+        "as binary)), 1, 15), 16, 10) as bigint)"
+    )
+    h = events.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.expr(f"{hv} % {_HLL_M}").alias("bucket"),
+        F.expr(f"{hv} div {_HLL_M}").alias("w"),
+    )
+    r = (
+        h.select(
+            "day",
+            "hr",
+            "bucket",
+            F.expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END").alias(
+                "rho"
+            ),
+        )
+        .groupBy("day", "hr", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+    def _estimate(t):
+        """(…, n_present, sum_int) -> raw-or-corrected HLL estimate column."""
+        v = F.lit(_HLL_M) - F.col("n_present")
+        e_raw = F.expr(_HLL_NUM) / (
+            F.col("sum_int") + v * F.expr("shiftleft(cast(1 as bigint), 55)")
+        )
+        return F.when(
+            (e_raw <= 2.5 * _HLL_M) & (v > 0),
+            _HLL_M * F.log(F.lit(float(_HLL_M)) / v),
+        ).otherwise(e_raw)
+
+    th = r.groupBy("day", "hr").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_j)")).alias("sum_int"),
+    )
+    esth = th.select(
+        "day", F.round(_estimate(th) * 100, 0).cast("bigint").alias("est_c")
+    )
+    sh = esth.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.sum("est_c") / 100.0, 2).alias("sum_hll_hours"),
+    )
+    rd = r.groupBy("day", "bucket").agg(F.max("m_j").alias("m_j"))
+    td = rd.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_j)")).alias("sum_int"),
+    )
+    ed = td.select("day", F.round(_estimate(td), 2).alias("hll_day"))
+    exact = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_day")
+    )
+    return (
+        ed.join(sh, "day")
+        .join(exact, "day")
+        .select("day", "n_hours", "hll_day", "sum_hll_hours", "exact_day")
+        .orderBy("day")
+    )

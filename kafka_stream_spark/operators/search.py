@@ -118,3 +118,144 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "score")
         .orderBy("rank")
     )
+
+
+# Reciprocal-rank-fusion hybrid retrieval: fuse the lexical (BM25) and
+# vector (cosine) rankings for the same information need. Embeddings are
+# id-aligned with documents (vec_id == doc_id in the driver's testdata).
+_RRF_K = 60       # standard RRF dampening constant
+_RRF_DEPTH = 100  # per-leg candidate depth (top-k lists, not full rankings)
+_RRF_QUERY_VEC = 0  # the query's embedding = vector of vec_id 0
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bscored AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({_K1} + 1)
+                       / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))),
+                   6) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    brank AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bscored
+      ) WHERE rank <= {_RRF_DEPTH}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {_RRF_QUERY_VEC}),
+    cscored AS (
+      SELECT vec_id AS doc_id,
+             round(list_inner_product(qe, e)
+                   / (sqrt(list_inner_product(qe, qe))
+                      * sqrt(list_inner_product(e, e))), 6) AS cosine
+      FROM v CROSS JOIN q WHERE vec_id <> {_RRF_QUERY_VEC}
+    ),
+    crank AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+        FROM cscored
+      ) WHERE rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             b.rank AS bm25_rank, c.rank AS cos_rank,
+             round(coalesce(1.0 / ({_RRF_K} + b.rank), 0)
+                   + coalesce(1.0 / ({_RRF_K} + c.rank), 0), 6) AS rrf_score
+      FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {_TOPK}
+    """,
+    description=(
+        "Hybrid retrieval: BM25 and embedding-cosine top-100 lists fused "
+        "by reciprocal-rank fusion (k=60), top-20 overall"
+    ),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the two retrieval legs. Each leg reduces to a
+    top-DEPTH list before anything joins: BM25 via the same restricted
+    tf/df aggregates as bm25_search_documents, the vector leg via
+    orderBy+limit (TakeOrderedAndProject — per-partition top-k, no full
+    sort). The fusion join then touches 2×DEPTH rows regardless of
+    corpus size; at 100 TB the cosine leg's full scan would be replaced
+    by ann_ivf_kmeans_topk feeding the same (doc_id, rank) contract.
+    Scores are rounded 6dp BEFORE ranking so both engines rank
+    identical values (round-before-rank).
+    """
+    from kafka_stream_spark.operators.similarity import _cosine_expr, _to_double
+
+    (documents, emb) = load(spark, sf_dir, "documents", "embeddings")
+    toks = documents.select("doc_id", F.split("text", " ").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    w = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    bscored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    btop = bscored.orderBy(F.col("score").desc(), "doc_id").limit(_RRF_DEPTH)
+    brank = btop.withColumn(
+        "bm25_rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id"))),
+    ).select("doc_id", "bm25_rank")
+
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(F.col("e").alias("qe"))
+    cscored = (
+        v.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.expr(_cosine_expr("qe", "e")), 6).alias("cosine"),
+        )
+    )
+    ctop = cscored.orderBy(F.col("cosine").desc(), "doc_id").limit(_RRF_DEPTH)
+    crank = ctop.withColumn(
+        "cos_rank",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))),
+    ).select("doc_id", "cos_rank")
+
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        brank.join(crank, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_TOPK)
+    )
