@@ -622,8 +622,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the (small) candidate set, identical to the full join's result.
 
     Exchanges: freq groupBy(sh), the rank window on doc_id, the prefix
-    self-join on sh, and the candidate-driven verify joins — all hash
-    joins keyed on shingle or doc id; nothing is ever |docs|².
+    self-join on sh, and the candidate-restricted posting join — all
+    hash joins keyed on shingle or doc id; nothing is ever |docs|².
+    Two PPJoin filters bound the candidate set: the prefix (rarest
+    shingles only) and the length filter (J >= t forces t·|A| <= |B| <=
+    |A|/t, checked as exact integer arithmetic inside the join
+    condition). Verification counts common shingles via the posting
+    join LeftSemi-restricted to candidates — collision-bounded, never
+    the |pairs| × |shingles-per-doc| expansion of joining each
+    candidate against its full shingle sets.
     `test_prefix_filter_prunes_candidates` asserts the candidate count
     strictly drops vs. the all-shared-shingles join on the same corpus.
     """
@@ -642,13 +649,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ceil(t*n) with t=0.5 in exact integer math: (n+1) div 2
     prefix = ranked.filter(
         F.col("r") <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
-    ).select("doc_id", "sh")
+    ).select("doc_id", "sh", "n")
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter, t=0.5: |B| in [|A|/2, 2|A|] — integer-exact
+            & (F.col("b.n") * 2 >= F.col("a.n"))
+            & (F.col("b.n") <= F.col("a.n") * 2),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -657,8 +667,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
-        cand.join(sha, ["doc_a"])
-        .join(shb, ["doc_b", "sh"])
+        sha.join(shb, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
