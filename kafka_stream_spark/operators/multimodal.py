@@ -319,3 +319,135 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     media = documents_as_media(documents)
     return extract_features(media, fake_decode=True).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicates (dHash + banded Hamming LSH)
+# ---------------------------------------------------------------------------
+#
+# The image-dedup shape: resize every payload to a fixed R x (C+1) sample
+# grid (stride-scaled byte sampling — the 1-D stand-in for bilinear
+# resize), take the difference hash (bit = left sample < right sample,
+# R*C bits), then find near-duplicate pairs by banded LSH over the hash:
+# split into B bands, candidate pairs share at least one exact band,
+# verified by full Hamming distance. A real decoder swaps the byte
+# sampler for pixel luma without touching the hash/band/join plumbing.
+
+_PH_ROWS = 6
+_PH_COLS = 8  # bits per row; samples per row = _PH_COLS + 1
+_PH_BITS = _PH_ROWS * _PH_COLS  # 48
+_PH_SAMPLES = _PH_ROWS * (_PH_COLS + 1)  # 54
+_PH_BANDS = 4
+_PH_BAND_BITS = _PH_BITS // _PH_BANDS  # 12
+_PH_MAXDIST = 12  # 25% of bits; the synthetic corpus has no true image dupes
+
+
+def _ph_spark_hash() -> str:
+    """48-bit dHash of the payload string as a Spark SQL expression."""
+    samples = ", ".join(
+        f"ascii(substr(text, 1 + ({k} * n) div {_PH_SAMPLES}, 1))"
+        for k in range(_PH_SAMPLES)
+    )
+    return f"""
+      aggregate(
+        sequence(0, {_PH_BITS - 1}),
+        cast(0 as bigint),
+        (acc, i) -> acc + IF(
+          element_at(smp, cast((i div {_PH_COLS}) * {_PH_COLS + 1}
+                               + i % {_PH_COLS} + 1 as int))
+            < element_at(smp, cast((i div {_PH_COLS}) * {_PH_COLS + 1}
+                                   + i % {_PH_COLS} + 2 as int)),
+          shiftleft(cast(1 as bigint), i), cast(0 as bigint)))
+    """, f"array({samples})"
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, k.i AS i,
+             CASE WHEN
+               ascii(substr(text,
+                 1 + (((k.i // {_PH_COLS}) * {_PH_COLS + 1} + k.i % {_PH_COLS}) * n)
+                     // {_PH_SAMPLES}, 1))
+               < ascii(substr(text,
+                 1 + (((k.i // {_PH_COLS}) * {_PH_COLS + 1} + k.i % {_PH_COLS} + 1) * n)
+                     // {_PH_SAMPLES}, 1))
+             THEN 1::BIGINT << k.i ELSE 0 END AS b
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, {_PH_BITS - 1})) AS i) k
+    ),
+    ph AS (SELECT doc_id, sum(b)::BIGINT AS h FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, h, j.j AS band,
+             (h >> ({_PH_BAND_BITS} * j.j)) & {(1 << _PH_BAND_BITS) - 1} AS bv
+      FROM ph CROSS JOIN (SELECT unnest(generate_series(0, {_PH_BANDS - 1})) AS j) j
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.h AS ha, b.h AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_PH_MAXDIST}
+    ORDER BY doc_a, doc_b
+    """,
+    description=(
+        "Perceptual-hash near-duplicate pairs: 48-bit dHash over "
+        "stride-resampled payload bytes, banded LSH candidates (4x12 "
+        "bits), Hamming-verified <= 12"
+    ),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming LSH over perceptual hashes. Hash build is one
+    codegen'd projection per doc (no UDF — the 'decode' is byte
+    sampling here); the band explode multiplies the corpus by B=4 tiny
+    rows; candidates come from an equi-join on (band, value) — the only
+    shuffle, keyed on 12-bit band values; verification is bit_count on
+    the two 64-bit hashes carried through the join. At 12 bits of
+    tolerance over 4 bands recall is probabilistic (>=1 clean band
+    needed) — that's the LSH trade the banded variant makes vs the
+    quadratic exact pass, same as embedding_lsh_banded.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    hash_expr, samples_expr = _ph_spark_hash()
+    d = documents.select(
+        "doc_id", "text", F.expr("octet_length(cast(text as binary))").alias("n")
+    )
+    ph = d.select(
+        "doc_id", F.expr(samples_expr).alias("smp")
+    ).select("doc_id", F.expr(hash_expr).alias("h"))
+    bands = ph.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PH_BANDS - 1}), "
+                f"j -> struct(j AS band, shiftright(h, {_PH_BAND_BITS} * j) "
+                f"& {(1 << _PH_BAND_BITS) - 1} AS bv))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "h", "s.band", "s.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming")
+        )
+        .where(F.col("hamming") <= _PH_MAXDIST)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -190,3 +190,48 @@ def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "equidepth_histogram_value",
+    oracle="""
+    WITH t AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+           round(avg(value), 6) AS mean
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    description=(
+        "Equi-depth (decile) histogram over events.value via ntile: "
+        "per-bucket count, bounds, and mean — the ANALYZE-style column "
+        "statistic"
+    ),
+)
+def equidepth_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth buckets are rank statistics, so unlike the fixed-width
+    histogram (value_histogram_events) they need a total order: one
+    global sort exchange, which is exactly what ANALYZE pays. The
+    (value, event_id) tie-break keeps ntile deterministic across
+    engines. At 100 TB you'd swap ntile for approx_percentile bounds
+    (sketch-merged, no global sort) and accept approximate edges.
+    """
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    t = events.select(
+        "value",
+        F.ntile(10).over(W.orderBy("value", "event_id")).alias("bucket"),
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.avg("value"), 6).alias("mean"),
+        )
+        .orderBy("bucket")
+    )
