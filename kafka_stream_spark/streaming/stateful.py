@@ -453,3 +453,60 @@ def stream_stream_asof_join(grouped, ts_col: str, id_col: str, side_col: str) ->
     return grouped.applyInPandasWithState(
         fn, ASOF_SCHEMA, _ASOF_BUF_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct tracker — streaming twin of the batch KMV/theta sketches
+# (operators/sketches_kmv.py)
+# ---------------------------------------------------------------------------
+
+KMV_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_minima", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+_KMV_STATE = "hv ARRAY<LONG>"
+_KMV_DOMAIN = float(2**32)  # first 8 md5 hex chars
+
+
+def kmv_distinct_tracker(grouped, key_col: str, id_col: str, k: int = 32) -> DataFrame:
+    """Per-key distinct-count estimate as a KMV (k-minimum-values) sketch
+    changelog: state is the k smallest md5 hashes seen for the key —
+    O(k) longs per key regardless of stream length, the property that
+    lets a distinct-count dashboard run forever. Estimates are exact
+    while the key has < k distinct ids (the sketch IS the set), then
+    switch to the (k-1)/theta estimator. Hashing matches the batch
+    ``kmv_type_overlap`` exactly (md5('kmv:'||id) first 8 hex chars),
+    so a state snapshot max-merged with a batch sketch is meaningful —
+    min-k sets merge by union+truncate, same as sketch rollups.
+    """
+    import hashlib
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        minima = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            for v in pdf[id_col]:
+                hv = int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16)
+                minima.add(hv)
+        kept = sorted(minima)[:k]
+        state.update((kept,))
+        est = (
+            float(len(kept))
+            if len(kept) < k
+            else (k - 1) * _KMV_DOMAIN / kept[-1]
+        )
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_minima": [len(kept)],
+                "est_distinct": [round(est, 2)],
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, KMV_SCHEMA, _KMV_STATE, "update", GroupStateTimeout.NoTimeout
+    )
