@@ -216,3 +216,111 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("doc_id", "span_start")
     )
+
+
+@query(
+    "substring_dedup_cut",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, i AS pos,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS gram
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - {_K - 1}
+    ),
+    dup AS (
+      SELECT gram FROM pg GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ),
+    cov AS (
+      SELECT DISTINCT p.doc_id, p.pos + o.o AS j
+      FROM pg p CROSS JOIN (SELECT unnest(generate_series(0, {_K - 1})) AS o) o
+      WHERE p.gram IN (SELECT gram FROM dup)
+    ),
+    alltok AS (
+      SELECT doc_id, j AS pos, toks[j] AS tok
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS j)
+      WHERE j <= len(toks)
+    ),
+    kept AS (
+      SELECT a.doc_id, a.pos, a.tok
+      FROM alltok a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.pos = c.j
+      WHERE c.j IS NULL
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           len(t.toks) - count(k.pos) AS n_cut,
+           md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '')) AS clean_md5
+    FROM tok t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, len(t.toks)
+    ORDER BY t.doc_id
+    """,
+    description=(
+        "ExactSubstr dedup APPLIED: tokens covered by any cross-document "
+        "duplicated 5-gram window are cut, the surviving tokens "
+        "reassembled in order (md5 signature of the cleaned text)"
+    ),
+)
+def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut pass that consumes substring_dedup_spans' evidence. Cover
+    positions come from exploding each duplicated window into its K
+    member positions — an equi-anti-join on (doc_id, pos), never a
+    per-doc range probe. Reassembly is collect_list + sort_array inside
+    one per-doc aggregate: the only per-doc sequential work is
+    proportional to that doc's tokens, so the pass parallelizes by doc
+    exactly like the detection pass.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    pg = toks.select(
+        "doc_id", F.explode(F.expr(_POSGRAMS_EXPR)).alias("g")
+    ).select("doc_id", "g.pos", "g.gram")
+    dup = (
+        pg.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram")
+    )
+    cov = (
+        pg.join(dup, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {_K - 1})")).alias("j"),
+        )
+        .distinct()
+    )
+    alltok = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select("doc_id", "n_tokens", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = alltok.join(
+        cov.withColumnRenamed("j", "pos"), ["doc_id", "pos"], "left_anti"
+    )
+    assembled = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"
+                ),
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+    # docs whose every token was cut drop out of `kept` — restore them
+    # with the empty-string signature so the output covers every doc
+    base = toks.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        base.join(assembled.select("doc_id", "n_kept", "clean_md5"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_cut"),
+            F.coalesce("clean_md5", F.md5(F.lit("").cast("binary"))).alias(
+                "clean_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )

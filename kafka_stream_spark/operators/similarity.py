@@ -1028,3 +1028,90 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vr = v.select("vec_id", rotate("e").alias("e"))
     return _pq_adc_search(vr)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity selection (rows-only: greedy selection is inherently
+# sequential — no SQL-expressible oracle; reference-scored in tests)
+# ---------------------------------------------------------------------------
+
+_MMR_QUERY_VEC = 0
+_MMR_LAMBDA = 0.7
+_MMR_CANDIDATES = 50
+_MMR_SELECT = 10
+
+
+def _mmr_greedy(cands: list, lam: float, n_select: int) -> list:
+    """Pure greedy MMR over (vec_id, relevance, vector) triples.
+
+    Deterministic: scores rounded 6dp, ties broken by vec_id. Runs on
+    the driver over the CANDIDATE set only (n_cand × dim floats), never
+    the corpus — the same driver-merge budget as a TakeOrdered top-k.
+    """
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    selected: list = []
+    remaining = {c[0]: c for c in cands}
+    while remaining and len(selected) < n_select:
+        best = None
+        for vid in sorted(remaining):
+            _, rel, vec = remaining[vid]
+            max_sim = max(
+                (cos(vec, s[2]) for s in selected), default=0.0
+            )
+            score = round(lam * rel - (1 - lam) * max_sim, 6)
+            if best is None or score > best[0] or (score == best[0] and vid < best[1]):
+                best = (score, vid)
+        vid = best[1]
+        c = remaining.pop(vid)
+        selected.append((c[0], c[1], c[2], best[0]))
+    return selected
+
+
+@query(
+    "mmr_diverse_topk",
+    oracle=None,  # greedy-sequential; reference-scored in tests instead
+    description=(
+        "Maximal-marginal-relevance selection: top-50 cosine candidates "
+        "reduced to 10 results balancing query relevance against "
+        "redundancy (lambda=0.7) — the diverse-retrieval/diverse-few-shot "
+        "selection shape"
+    ),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is the distributed part (broadcast query
+    vector, TakeOrderedAndProject top-50 — identical plan shape to
+    ann_cosine_topk); the greedy re-selection runs over just those 50
+    on the driver, which is the standard MMR deployment at any corpus
+    size (greedy MMR is sequential by definition — each pick depends on
+    all previous picks). Emitted scores are 6dp-rounded, ties by id, so
+    the selection is engine- and partitioning-independent.
+    """
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") == _MMR_QUERY_VEC).select(F.col("e").alias("qe"))
+    scored = (
+        v.filter(F.col("vec_id") != _MMR_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("qe", "e")), 6).alias("relevance"),
+            "e",
+        )
+        .orderBy(F.col("relevance").desc(), "vec_id")
+        .limit(_MMR_CANDIDATES)
+    )
+    cands = [(r.vec_id, r.relevance, list(r.e)) for r in scored.collect()]
+    picked = _mmr_greedy(cands, _MMR_LAMBDA, _MMR_SELECT)
+    rows = [
+        (i + 1, vid, rel, score) for i, (vid, rel, _, score) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, vec_id LONG, relevance DOUBLE, mmr_score DOUBLE"
+    )
