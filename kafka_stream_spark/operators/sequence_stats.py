@@ -99,13 +99,15 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
     c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
     scored AS (
-      SELECT b.doc_id, round(ln(c2.n2 * 1.0 / c1.n1), 6) AS lp
+      SELECT b.doc_id,
+             CAST(round(ln(c2.n2 * 1.0 / c1.n1) * 1000000, 0) AS BIGINT) AS lp_u
       FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
     )
     SELECT doc_id,
            count(*) AS n_bigrams,
-           round(avg(lp), 6) AS avg_logprob,
-           CASE WHEN round(avg(lp), 6) <= {_LM_THRESHOLD} THEN 1 ELSE 0 END
+           round(sum(lp_u) / (count(*) * 1000000.0), 6) AS avg_logprob,
+           CASE WHEN round(sum(lp_u) / (count(*) * 1000000.0), 6)
+                     <= {_LM_THRESHOLD} THEN 1 ELSE 0 END
              AS low_quality
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
@@ -122,8 +124,11 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional c1(w1) marginal is derived FROM the c2 table (guarantees
     sum-consistency and costs a second tiny agg over distinct bigrams,
     not a second pass over the corpus). The score join shuffles doc
-    bigrams once on (w1, w2); per-bigram log-probs are rounded 6dp
-    before averaging so both engines aggregate identical inputs.
+    bigrams once on (w1, w2); per-bigram log-probs are fixed to integer
+    micro-units BEFORE summing — float addition isn't associative, so
+    a double-sum could differ at the 6dp boundary between engines
+    (observed on importance_weights_dsir), while an integer sum is
+    order-independent.
     """
     toks = _doc_tokens(spark, sf_dir)
     big = toks.select(
@@ -134,9 +139,14 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         big.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
-        .select("doc_id", F.round(F.log(F.col("n2") / F.col("n1")), 6).alias("lp"))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n2") / F.col("n1")) * 1000000, 0)
+            .cast("bigint")
+            .alias("lp_u"),
+        )
     )
-    avg6 = F.round(F.avg("lp"), 6)
+    avg6 = F.round(F.sum("lp_u") / (F.count(F.lit(1)) * 1000000.0), 6)
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -321,6 +331,131 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_md5", F.md5(F.lit("").cast("binary"))).alias(
                 "clean_md5"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# DSIR-style importance weighting: rate every candidate doc by how much
+# more likely its bigrams are under the TARGET slice's (Laplace-smoothed)
+# bigram distribution than under the corpus-wide one (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling" — the
+# hashed-ngram importance-weight shape). src0 plays the target domain,
+# matching decontaminate_documents' use of it as the held-out slice.
+_DSIR_TARGET = "src0"
+_DSIR_THRESHOLD = 0.0  # keep docs more target-like than corpus-average
+
+
+@query(
+    "importance_weights_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - 1
+    ),
+    cc AS (SELECT w1, w2, count(*) AS nc FROM big GROUP BY w1, w2),
+    ct AS (SELECT w1, w2, count(*) AS nt FROM big
+           WHERE source = '{_DSIR_TARGET}' GROUP BY w1, w2),
+    tot AS (
+      SELECT (SELECT count(*) FROM big) AS c_total,
+             (SELECT count(*) FROM big WHERE source = '{_DSIR_TARGET}') AS t_total,
+             (SELECT count(*) FROM cc) AS vocab
+    ),
+    lr AS (
+      SELECT cc.w1, cc.w2,
+             CAST(round(ln(((coalesce(ct.nt, 0) + 1.0) / (t.t_total + t.vocab))
+                           / ((cc.nc + 1.0) / (t.c_total + t.vocab)))
+                        * 1000000, 0) AS BIGINT) AS lr_u
+      FROM cc LEFT JOIN ct USING (w1, w2) CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT b.doc_id, lr.lr_u
+      FROM big b JOIN lr USING (w1, w2)
+      WHERE b.source <> '{_DSIR_TARGET}'
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(sum(lr_u) / (count(*) * 1000000.0), 6) AS avg_log_ratio,
+           CASE WHEN round(sum(lr_u) / (count(*) * 1000000.0), 6)
+                     >= {_DSIR_THRESHOLD} THEN 1 ELSE 0 END
+             AS selected
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    description=(
+        "DSIR-style importance weights: per-doc average log-ratio of "
+        "target-slice vs corpus bigram probability (Laplace-smoothed), "
+        "with the importance-resampling keep flag"
+    ),
+)
+def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weighting for target-domain data selection. Same
+    shuffle profile as lm_bigram_logprob — count tables keyed on the
+    bigram with map-side combine, one score join back — plus one extra
+    tiny agg for the target slice. Laplace smoothing keeps every
+    corpus bigram scoreable (absent-in-target → strong negative), and
+    all inputs to ln() are ratios of exact integers, so the rounded
+    weights are engine-stable. At 100 TB DSIR hashes bigrams into a
+    fixed-width bucket table instead of keeping raw strings — a
+    projection swap on the count key, same plan.
+    """
+    toks_src = (
+        load(spark, sf_dir, "documents")[0]
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+        .cache()
+    )
+    big = toks_src.select(
+        "doc_id", "source", F.explode(F.expr(_BIGRAMS_EXPR)).alias("g")
+    ).select("doc_id", "source", "g.w1", "g.w2")
+    cc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nc"))
+    ct = (
+        big.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    tot = (
+        big.agg(
+            F.count(F.lit(1)).alias("c_total"),
+            F.sum(
+                F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
+            ).alias("t_total"),
+        )
+        .crossJoin(cc.agg(F.count(F.lit(1)).alias("vocab")))
+    )
+    lr = (
+        cc.join(ct, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("nt"), F.lit(0)) + 1.0)
+                     / (F.col("t_total") + F.col("vocab")))
+                    / ((F.col("nc") + 1.0) / (F.col("c_total") + F.col("vocab")))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lr_u"),
+        )
+    )
+    # integer micro-unit sum → order-independent across engines
+    avg6 = F.round(F.sum("lr_u") / (F.count(F.lit(1)) * 1000000.0), 6)
+    return (
+        big.where(F.col("source") != _DSIR_TARGET)
+        .join(lr, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            avg6.alias("avg_log_ratio"),
+            F.when(avg6 >= _DSIR_THRESHOLD, 1).otherwise(0).alias("selected"),
         )
         .orderBy("doc_id")
     )

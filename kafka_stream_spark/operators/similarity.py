@@ -1115,3 +1115,139 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank INT, vec_id LONG, relevance DOUBLE, mmr_score DOUBLE"
     )
+
+
+@query(
+    "ann_eval_metrics",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM (
+          SELECT query_id, vec_id,
+                 round(list_inner_product(qe, e)
+                       / (sqrt(list_inner_product(qe, qe))
+                          * sqrt(list_inner_product(e, e))), 6) AS cosine
+          FROM q CROSS JOIN v WHERE vec_id <> query_id
+        )
+      ) WHERE rn <= 10
+    ),
+    expl AS (
+      SELECT label, i, e[i] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    cent AS (
+      SELECT label, array_agg(cx ORDER BY i) AS c
+      FROM (SELECT label, i, avg(x) AS cx FROM expl GROUP BY label, i)
+      GROUP BY label
+    ),
+    probe AS (
+      SELECT query_id, label, row_number() OVER (
+               PARTITION BY query_id ORDER BY
+               round(list_inner_product(qe, c)
+                     / (sqrt(list_inner_product(qe, qe))
+                        * sqrt(list_inner_product(c, c))), 6) DESC,
+               label) AS brank
+      FROM q CROSS JOIN cent
+    ),
+    ivf AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM (
+          SELECT p.query_id, v.vec_id,
+                 round(list_inner_product(q.qe, v.e)
+                       / (sqrt(list_inner_product(q.qe, q.qe))
+                          * sqrt(list_inner_product(v.e, v.e))), 6) AS cosine
+          FROM probe p JOIN q ON p.query_id = q.query_id
+                       JOIN v ON v.label = p.label AND v.vec_id <> p.query_id
+          WHERE p.brank <= 3
+        )
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT e.query_id, count(i.vec_id) AS n_hits
+      FROM exact e LEFT JOIN ivf i
+        ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+      GROUP BY e.query_id
+    ),
+    top1 AS (SELECT query_id, vec_id FROM exact WHERE rn = 1),
+    rr AS (
+      SELECT t.query_id,
+             coalesce(round(1.0 / min(i.rn), 6), 0.0) AS reciprocal_rank
+      FROM top1 t LEFT JOIN ivf i
+        ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT h.query_id, h.n_hits,
+           round(h.n_hits / 10.0, 6) AS recall_at_10,
+           rr.reciprocal_rank
+    FROM hits h JOIN rr USING (query_id)
+    ORDER BY h.query_id
+    """,
+    description=(
+        "ANN quality evaluation as a query: recall@10 and reciprocal "
+        "rank of the IVF search against the exact cosine ground truth, "
+        "per query vector"
+    ),
+)
+def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval harness expressed as a join of two existing
+    operators' outputs — the pattern for continuously monitoring ANN
+    index quality in production: ground truth on a small query sample
+    (exact search over the sample is cheap even at 100 TB), candidate
+    lists from the index path, metrics from a rank-preserving join.
+    Composes ann_cosine_topk and ann_ivf_topk verbatim so any plan
+    improvement there is inherited here.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        ),
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        ),
+    )
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(
+            ivf.select("query_id", "vec_id", F.col("rn").alias("ivf_rn")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("ivf_rn").alias("n_hits"))
+    )
+    top1 = exact.where(F.col("rn") == 1).select("query_id", "vec_id")
+    rr = (
+        top1.join(
+            ivf.select("query_id", "vec_id", F.col("rn").alias("ivf_rn")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.round(1.0 / F.min("ivf_rn"), 6), F.lit(0.0)).alias(
+                "reciprocal_rank"
+            )
+        )
+    )
+    return (
+        hits.join(rr, "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
+            "reciprocal_rank",
+        )
+        .orderBy("query_id")
+    )

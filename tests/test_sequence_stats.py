@@ -39,14 +39,18 @@ def test_lm_scores_match_reference(spark, sf_dir):
     assert set(rows) == set(scored)
     for doc_id in scored[:50]:
         toks = docs[doc_id]
-        lps = [
-            round(math.log(c2[(a, b)] / c1[a]), 6) for a, b in zip(toks, toks[1:])
+        lps_u = [
+            round(math.log(c2[(a, b)] / c1[a]) * 1e6)
+            for a, b in zip(toks, toks[1:])
         ]
         r = rows[doc_id]
-        assert r.n_bigrams == len(lps)
+        assert r.n_bigrams == len(lps_u)
         # Python round() is half-to-even, engines round half-up: allow one
         # 6dp ulp on the final rounding
-        assert abs(r.avg_logprob - round(sum(lps) / len(lps), 6)) <= 1.0000001e-6
+        assert (
+            abs(r.avg_logprob - round(sum(lps_u) / (len(lps_u) * 1e6), 6))
+            <= 1.0000001e-6
+        )
         assert r.low_quality == int(r.avg_logprob <= _LM_THRESHOLD)
         assert r.avg_logprob < 0  # MLE probs are < 1
 
