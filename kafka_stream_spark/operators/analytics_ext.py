@@ -539,6 +539,10 @@ def hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day", "hr", "bucket")
         .agg(F.max("rho").alias("m_j"))
+        # the hourly register table IS the stored rollup artifact in a
+        # continuous aggregate; cache it so both grains read it, not raw
+        # data (asserted: one raw scan for registers, one for the audit)
+        .cache()
     )
 
     def _estimate(t):

@@ -634,3 +634,76 @@ def redact_pii_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("props", email, F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all("props", num, F.lit(0))).alias("n_numbers"),
     ).orderBy("event_id")
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    h AS (
+      SELECT DISTINCT source,
+             md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                 || toks[i+3] || ' ' || toks[i+4]) AS th
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - 4
+    ),
+    per AS (SELECT source, count(*) AS n_distinct FROM h GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           round(p.n_shared * 1.0 / pa.n_distinct, 6) AS containment_a,
+           round(p.n_shared * 1.0 / pb.n_distinct, 6) AS containment_b
+    FROM pairs p
+    JOIN per pa ON pa.source = p.source_a
+    JOIN per pb ON pb.source = p.source_b
+    ORDER BY p.source_a, p.source_b
+    """,
+    description=(
+        "Cross-source duplication matrix: distinct 5-grams shared "
+        "between source pairs with per-side containment ratios — the "
+        "provenance/leakage dashboard"
+    ),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources share content: the corpus-sized work is one
+    distinct over (source, md5(gram)) — fixed 32-char keys, map-side
+    combinable; the pair join runs on gram-hash collisions only (truly
+    shared text), so its cost is the shared mass, not |docs|² or
+    |sources|²×grams. Containment (not just jaccard) is emitted because
+    ingestion decisions are asymmetric: 'b is 90% contained in a' means
+    drop b, regardless of a's size. Gram hashes reuse the
+    decontaminate/_doc_grams construction (5-token windows).
+    """
+    grams = _doc_grams(spark, sf_dir)
+    h = grams.select("source", F.md5(F.col("gram").cast("binary")).alias("th")).distinct()
+    per = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+    a = h.select(F.col("source").alias("source_a"), "th")
+    b = h.select(F.col("source").alias("source_b"), "th")
+    pairs = (
+        a.join(b, "th")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per.withColumnRenamed("source", "source_a")), "source_a"
+        )
+        .withColumnRenamed("n_distinct", "na")
+        .join(F.broadcast(per.withColumnRenamed("source", "source_b")), "source_b")
+        .withColumnRenamed("n_distinct", "nb")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("na"), 6).alias("containment_a"),
+            F.round(F.col("n_shared") / F.col("nb"), 6).alias("containment_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )

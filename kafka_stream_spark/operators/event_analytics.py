@@ -336,3 +336,98 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     ).orderBy("prev_type", "curr_type")
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "attribution_linear",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts AS vts, event_id AS vid FROM events
+      WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts AS pts, event_id AS pid,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT p.pid, p.cents, v.vid, CAST(v.vts AS DATE) AS view_day,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY v.vts, v.vid) AS rn,
+             count(*) OVER (PARTITION BY p.pid) AS k
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.vts <= p.pts
+       AND v.vts >= p.pts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+    ),
+    credit AS (
+      SELECT view_day,
+             cents // k + CASE WHEN rn <= cents % k THEN 1 ELSE 0 END
+               AS credit_cents
+      FROM touch
+    )
+    SELECT view_day,
+           count(*) AS n_touches,
+           round(sum(credit_cents) / 100.0, 2) AS attributed_revenue
+    FROM credit GROUP BY view_day ORDER BY view_day
+    """,
+    description=(
+        "Linear multi-touch attribution: each purchase's value split in "
+        "integer cents across the user's views in the prior 7 days "
+        "(largest-remainder to earliest touches), rolled up by view day"
+    ),
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution with EXACT allocation: purchase value is
+    fixed to integer cents, split by integer division across the k
+    qualifying touches, remainder cents assigned to the earliest
+    touches (largest-remainder) — every engine allocates identical
+    cents, and per-purchase credits sum exactly to the purchase. The
+    view⋈purchase join is equi-keyed on user_id with the 7-day window
+    as residual (the J2 interval-join cost model); the per-purchase
+    windows run over each purchase's touch list only.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    v = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    touch = (
+        p.join(v, "user_id")
+        .where(
+            (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.expr(f"pts - INTERVAL {_ATTR_WINDOW_DAYS} DAY"))
+        )
+        .select(
+            "pid",
+            "cents",
+            F.to_date("vts").alias("view_day"),
+            F.row_number()
+            .over(Window.partitionBy("pid").orderBy("vts", "vid"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("k"),
+        )
+    )
+    credit = touch.select(
+        "view_day",
+        (
+            F.expr("cents div k")
+            + F.when(F.col("rn") <= F.col("cents") % F.col("k"), 1).otherwise(0)
+        ).alias("credit_cents"),
+    )
+    return (
+        credit.groupBy("view_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit_cents") / 100.0, 2).alias("attributed_revenue"),
+        )
+        .orderBy("view_day")
+    )

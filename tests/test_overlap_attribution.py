@@ -1,0 +1,74 @@
+"""Tests for source_overlap_matrix and attribution_linear."""
+
+import datetime
+
+from kafka_stream_spark.operators.curation_ext import source_overlap_matrix
+from kafka_stream_spark.operators.event_analytics import (
+    _ATTR_WINDOW_DAYS,
+    attribution_linear,
+)
+
+
+def test_source_overlap_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_src: dict = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        g = by_src.setdefault(r.source, set())
+        for i in range(len(toks) - 4):
+            g.add(" ".join(toks[i : i + 5]))
+    expect = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(by_src[a] & by_src[b])
+            if shared:
+                expect[(a, b)] = (
+                    shared,
+                    round(shared / len(by_src[a]), 6),
+                    round(shared / len(by_src[b]), 6),
+                )
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.containment_a, r.containment_b)
+        for r in source_overlap_matrix(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for n, ca, cb in got.values():
+        assert n > 0 and 0 < ca <= 1 and 0 < cb <= 1
+
+
+def test_attribution_credits_sum_to_purchases(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    views = [
+        (r.user_id, r.ts, r.event_id) for r in events if r.event_type == "view"
+    ]
+    window = datetime.timedelta(days=_ATTR_WINDOW_DAYS)
+    total_cents = 0
+    day_cents: dict = {}
+    day_touches: dict = {}
+    for r in events:
+        if r.event_type != "purchase":
+            continue
+        touches = sorted(
+            (v for v in views if v[0] == r.user_id and v[1] <= r.ts and v[1] >= r.ts - window),
+            key=lambda v: (v[1], v[2]),
+        )
+        if not touches:
+            continue
+        cents = round(r.value * 100)
+        total_cents += cents
+        k = len(touches)
+        for rn, (_, vts, _) in enumerate(touches, start=1):
+            c = cents // k + (1 if rn <= cents % k else 0)
+            d = vts.date()
+            day_cents[d] = day_cents.get(d, 0) + c
+            day_touches[d] = day_touches.get(d, 0) + 1
+
+    rows = attribution_linear(spark, sf_dir).collect()
+    got_days = {r.view_day: (r.n_touches, r.attributed_revenue) for r in rows}
+    assert got_days == {
+        d: (day_touches[d], round(day_cents[d] / 100.0, 2)) for d in day_cents
+    }
+    # conservation: every attributed purchase's cents fully allocated
+    assert sum(day_cents.values()) == total_cents
+    assert rows == sorted(rows, key=lambda r: r.view_day)

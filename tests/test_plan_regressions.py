@@ -147,3 +147,46 @@ def test_asof_join_single_data_exchange(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_phash_candidates_from_equi_join(spark, sf_dir):
+    # banded Hamming LSH must generate candidates via an equi-join on
+    # (band, bandval); an all-pairs Hamming pass would be a nested loop
+    p = plan_of(spark, sf_dir, "multimodal_phash_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hybrid_rrf_legs_avoid_global_sort(spark, sf_dir):
+    # both retrieval legs reduce to top-k via TakeOrderedAndProject
+    # before the fusion join touches anything
+    p = plan_of(spark, sf_dir, "hybrid_search_rrf")
+    assert p.count("TakeOrderedAndProject") >= 2
+
+
+def test_lm_bigram_counts_partial_agg(spark, sf_dir):
+    # the bigram count build must partial-aggregate map-side (shuffle
+    # width = distinct bigrams, not the token stream) and never
+    # sort-merge the corpus against the count table
+    p = plan_of(spark, sf_dir, "lm_bigram_logprob")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_substring_cut_no_range_join(spark, sf_dir):
+    # cover positions are exploded then equi-joined (anti); a per-doc
+    # BETWEEN probe would plan as a nested loop
+    p = plan_of(spark, sf_dir, "substring_dedup_cut")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+
+
+def test_hll_rollup_reuses_cached_registers(spark, sf_dir):
+    # hour registers are built once and cached (the stored rollup
+    # artifact); BOTH grains must read that cache — raw events are
+    # scanned only to build registers (once) and for the exact_day
+    # audit column. The plan string still prints the cached subtree's
+    # FileScan, so assert the InMemoryTableScan reuse directly.
+    p = plan_of(spark, sf_dir, "hll_window_rollup")
+    assert p.count("InMemoryTableScan") >= 2, p[:1500]
