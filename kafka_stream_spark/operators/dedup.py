@@ -197,6 +197,50 @@ def _mh_duck_params_values() -> str:
     )
 
 
+def _mh_band_candidates(sh: DataFrame) -> DataFrame:
+    """MinHash band-collision candidate pairs over a (doc_id, sh) table —
+    the LSH candidate stage, shared by dedup_minhash_lsh and the
+    dedup_eval_metrics recall probe (identical stage, same constants)."""
+    rows_per_band = len(_MH_PARAMS) // _MH_BANDS
+    hx = sh.withColumn("x", F.expr(_SPARK_H60))
+    # one groupBy(doc_id) computing all 16 signature minima as separate
+    # aggregates — no 16x row explosion, one shuffle instead of two
+    sig = hx.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a}L * x + {b}L) % {_MH_P}L")).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    )
+    # band signature = concat of that band's minima; unpivot to (doc, band, sig)
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+                ],
+            ).alias("band_sig"),
+        )
+        for band in range(_MH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -235,45 +279,8 @@ def _mh_duck_params_values() -> str:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows_per_band = len(_MH_PARAMS) // _MH_BANDS
     sh = _doc_shingles(spark, sf_dir).cache()
-    hx = sh.withColumn("x", F.expr(_SPARK_H60))
-    # one groupBy(doc_id) computing all 16 signature minima as separate
-    # aggregates — no 16x row explosion, one shuffle instead of two
-    sig = hx.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"({a}L * x + {b}L) % {_MH_P}L")).alias(f"h{i}")
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ]
-    )
-    # band signature = concat of that band's minima; unpivot to (doc, band, sig)
-    band_cols = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"h{i}").cast("string")
-                    for i in range(band * rows_per_band, (band + 1) * rows_per_band)
-                ],
-            ).alias("band_sig"),
-        )
-        for band in range(_MH_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _mh_band_candidates(sh)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # candidate-driven common-shingle count: cand ⋈ shingles(doc_a) ⋈ shingles(doc_b)
     sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -686,4 +693,112 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _PF_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation (the S-curve as a query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_eval_metrics",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+                 JOIN sz sb ON doc_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    hx AS (SELECT doc_id, sh, {_DUCK_H60} AS x FROM sh),
+    hp(i, a, b) AS (VALUES {_mh_duck_params_values()}),
+    sig AS (
+      SELECT doc_id, i, min((a * x + b) % {_MH_P}) AS minv
+      FROM hx CROSS JOIN hp GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {len(_MH_PARAMS) // _MH_BANDS} AS band,
+             string_agg(minv::VARCHAR, ',' ORDER BY i) AS band_sig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    bucketed AS (
+      SELECT CAST(floor(t.jaccard * 10) AS INT) / 10.0 AS bucket_lo,
+             count(*) AS n_truth,
+             count(c.doc_a) AS n_hit
+      FROM truth t LEFT JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      GROUP BY bucket_lo
+    )
+    SELECT bucket_lo, n_truth, n_hit,
+           round(n_hit * 1.0 / n_truth, 6) AS recall
+    FROM bucketed ORDER BY bucket_lo
+    """,
+    description=(
+        "LSH recall S-curve as a query: per exact-Jaccard bucket, the "
+        "fraction of true near-dup pairs (J >= 0.5) the MinHash band "
+        "candidate stage surfaces"
+    ),
+)
+def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitoring for the dedup path (the twin of
+    ann_eval_metrics for retrieval): the truth side is the exact
+    posting-list join, the candidate side is the SAME band stage the
+    production dedup runs (shared helper), and the output is recall by
+    similarity bucket — the empirical LSH S-curve. Run at a sampled SF
+    in production; the truth join is the cost the sketch exists to
+    avoid.
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    truth = (
+        pairs.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            ["doc_a"],
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            ["doc_b"],
+        )
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    cand = _mh_band_candidates(sh).withColumn("hit", F.lit(1))
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(
+            (F.floor(F.col("jaccard") * 10).cast("int") / 10.0).alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "bucket_lo",
+            "n_truth",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        )
+        .orderBy("bucket_lo")
     )

@@ -72,3 +72,23 @@ def test_attribution_credits_sum_to_purchases(spark, sf_dir):
     # conservation: every attributed purchase's cents fully allocated
     assert sum(day_cents.values()) == total_cents
     assert rows == sorted(rows, key=lambda r: r.view_day)
+
+
+def test_dedup_eval_consistency(spark, sf_dir):
+    """Recall bookkeeping must be internally consistent, and the
+    candidate stage must surface nearly all very-high-similarity pairs
+    (at J >= 0.9 the 4x4 band miss probability is ~1.5% per pair)."""
+    from kafka_stream_spark.operators.dedup import (
+        dedup_eval_metrics,
+        dedup_ngram_jaccard,
+    )
+
+    rows = dedup_eval_metrics(spark, sf_dir).collect()
+    n_truth_total = dedup_ngram_jaccard(spark, sf_dir).count()
+    assert sum(r.n_truth for r in rows) == n_truth_total
+    for r in rows:
+        assert 0.5 <= r.bucket_lo <= 1.0
+        assert 0 <= r.n_hit <= r.n_truth
+        assert abs(r.recall - round(r.n_hit / r.n_truth, 6)) < 1e-9
+        if r.bucket_lo >= 0.9 and r.n_truth >= 5:
+            assert r.recall >= 0.8
