@@ -11,7 +11,10 @@ concatenation.
 
 Supported type surface = what `avro_schema.py` maps (the reference's six
 schemas need exactly: int, long, float, double, boolean, string, bytes,
-[null,T] unions, arrays, nested records).
+[null,T] unions, arrays, nested records) plus map/enum/fixed and the
+Avro logical types (decimal over bytes/fixed, date, time-millis/-micros,
+timestamp-millis/-micros, uuid) — logical values convert at the codec
+boundary, the wire bytes stay pure base-type Avro.
 
 Spark integration is Arrow-batched ``mapInPandas`` (decode) / pandas UDF
 (encode) — the Python-side cost is paid only on topics that actually use
@@ -20,6 +23,8 @@ Avro; JSON topics stay JVM-side.
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import struct
 from collections.abc import Iterator
 from typing import Any
@@ -63,7 +68,56 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _logical_to_base(v: Any, schema: dict) -> Any:
+    """Convert a logical-typed Python value to its Avro base representation."""
+    lt = schema["logicalType"]
+    if lt == "decimal":
+        d = _decimal.Decimal(v)
+        unscaled = int(d.scaleb(schema.get("scale", 0)).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)  # two's-complement width
+        if schema["type"] == "fixed":
+            n = schema["size"]
+        return unscaled.to_bytes(n, "big", signed=True)
+    if lt == "date":
+        return (v - _EPOCH_DATE).days
+    if lt == "time-millis":
+        return (v.hour * 3600 + v.minute * 60 + v.second) * 1000 + v.microsecond // 1000
+    if lt == "time-micros":
+        return (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        us = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        return us // 1000 if lt == "timestamp-millis" else us
+    if lt == "uuid":
+        return str(v)
+    return v  # unknown logical types pass through per Avro spec
+
+
+def _logical_from_base(v: Any, schema: dict) -> Any:
+    lt = schema["logicalType"]
+    if lt == "decimal":
+        unscaled = int.from_bytes(v, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-schema.get("scale", 0))
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=v)
+    if lt == "time-millis":
+        return (_dt.datetime.min + _dt.timedelta(milliseconds=v)).time()
+    if lt == "time-micros":
+        return (_dt.datetime.min + _dt.timedelta(microseconds=v)).time()
+    if lt == "timestamp-millis":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=v)
+    if lt == "timestamp-micros":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+    return v
+
+
 def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
+    if isinstance(schema, dict) and "logicalType" in schema:
+        v = _logical_to_base(v, schema)
     if isinstance(schema, list):  # [null, T] union: index then value
         if v is None:
             out += _zigzag_encode(schema.index("null"))
@@ -122,6 +176,13 @@ def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
 
 
 def _decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
+    v, pos = _decode_base(buf, pos, schema)
+    if isinstance(schema, dict) and "logicalType" in schema:
+        v = _logical_from_base(v, schema)
+    return v, pos
+
+
+def _decode_base(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
     if isinstance(schema, list):
         idx, pos = _zigzag_decode(buf, pos)
         branch = schema[idx]

@@ -133,3 +133,88 @@ def test_mixed_version_topic_evolving_decode(spark):
     )
     rows = {r.id: (r.name, r.address) for r in out.collect()}
     assert rows == {1: ("alice", None), 2: ("bob", "oak st")}
+
+
+# ---------------------------------------------------------------------------
+# logical types (decimal / date / time / timestamp / uuid)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import decimal as _decimal
+
+from hypothesis import given, settings, strategies as st
+
+
+_LOGICAL_SCHEMA = {
+    "type": "record",
+    "name": "logical",
+    "fields": [
+        {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 20, "scale": 4}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+        {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+        {"name": "tsm", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "tsu", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+    ],
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    unscaled=st.integers(min_value=-(10**18), max_value=10**18),
+    days=st.integers(min_value=-100_000, max_value=100_000),
+    t=st.times(),
+    ts=st.datetimes(
+        min_value=_dt.datetime(1901, 1, 1), max_value=_dt.datetime(2200, 1, 1)
+    ),
+    u=st.uuids(),
+)
+def test_logical_types_roundtrip(unscaled, days, t, ts, u):
+    from kafka_stream_spark.functions.avro_codec import decode_record, encode_record
+
+    rec = {
+        "dec": _decimal.Decimal(unscaled).scaleb(-4),
+        "day": _dt.date(1970, 1, 1) + _dt.timedelta(days=days),
+        "tm": t.replace(microsecond=(t.microsecond // 1000) * 1000),  # ms grain
+        "tu": t,
+        "tsm": ts.replace(microsecond=(ts.microsecond // 1000) * 1000),
+        "tsu": ts,
+        "u": str(u),
+    }
+    assert decode_record(encode_record(rec, _LOGICAL_SCHEMA), _LOGICAL_SCHEMA) == rec
+
+
+def test_decimal_fixed_twos_complement():
+    """Fixed-width decimals pad the two's complement to the declared size;
+    negative values round-trip bit-exactly."""
+    from kafka_stream_spark.functions.avro_codec import decode_record, encode_record
+
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "v", "type": {"type": "fixed", "name": "d8", "size": 8,
+                                   "logicalType": "decimal", "precision": 18,
+                                   "scale": 3}},
+        ],
+    }
+    for txt in ("-0.001", "123456789.999", "-987654321.001", "0.000"):
+        rec = {"v": _decimal.Decimal(txt)}
+        got = decode_record(encode_record(rec, sch), sch)
+        assert got == rec, txt
+    # encoded body is exactly the fixed size (no length prefix)
+    body = encode_record({"v": _decimal.Decimal("1.000")}, sch)
+    assert len(body) == 8
+
+
+def test_timestamp_aware_input_normalizes_to_utc():
+    from kafka_stream_spark.functions.avro_codec import decode_record, encode_record
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}}]}
+    aware = _dt.datetime(2024, 6, 1, 12, 0, 0,
+                         tzinfo=_dt.timezone(_dt.timedelta(hours=-4)))
+    got = decode_record(encode_record({"ts": aware}, sch), sch)["ts"]
+    assert got == _dt.datetime(2024, 6, 1, 16, 0, 0)  # UTC-naive
