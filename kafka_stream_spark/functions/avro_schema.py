@@ -22,6 +22,8 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DataType,
+    DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -30,6 +32,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 _SPARK_TO_AVRO = {
@@ -102,6 +105,18 @@ def _avro_to_spark(t: Any) -> tuple[DataType, bool]:
         return _AVRO_TO_SPARK[t](), False
     if isinstance(t, dict):
         k = t["type"]
+        lt = t.get("logicalType")
+        # logical types first: the annotation refines the base primitive
+        # (matches what the codec emits — Decimal / date / UTC-naive dt)
+        if lt == "decimal":
+            return DecimalType(t.get("precision", 38), t.get("scale", 0)), False
+        if lt == "date":
+            return DateType(), False
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return TimestampNTZType(), False
+        if lt == "uuid":
+            return StringType(), False
+        # time-millis/micros deliberately degrade: Spark has no TIME type
         if k == "record":
             return from_avro_json(json.dumps(t)), False
         if k == "array":
@@ -110,7 +125,11 @@ def _avro_to_spark(t: Any) -> tuple[DataType, bool]:
         if k == "map":
             dt, v_null = _avro_to_spark(t["values"])
             return MapType(StringType(), dt, valueContainsNull=v_null), False
-        # logical types degrade to their base primitive
+        if k == "enum":
+            return StringType(), False
+        if k == "fixed":
+            return BinaryType(), False
+        # other annotated primitives degrade to their base type
         if isinstance(k, str) and k in _AVRO_TO_SPARK:
             return _AVRO_TO_SPARK[k](), False
     raise ValueError(f"unsupported Avro type {t!r}")

@@ -218,3 +218,36 @@ def test_timestamp_aware_input_normalizes_to_utc():
                          tzinfo=_dt.timezone(_dt.timedelta(hours=-4)))
     got = decode_record(encode_record({"ts": aware}, sch), sch)["ts"]
     assert got == _dt.datetime(2024, 6, 1, 16, 0, 0)  # UTC-naive
+
+
+def test_logical_types_map_to_spark_types():
+    import json
+
+    from pyspark.sql.types import (
+        BinaryType,
+        DateType,
+        DecimalType,
+        IntegerType,
+        StringType,
+        TimestampNTZType,
+    )
+
+    from kafka_stream_spark.functions.avro_schema import from_avro_json
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 12, "scale": 2}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": ["null", {"type": "long",
+                                         "logicalType": "timestamp-micros"}]},
+        {"name": "e", "type": {"type": "enum", "name": "c", "symbols": ["A", "B"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        {"name": "t", "type": {"type": "int", "logicalType": "time-millis"}},
+    ]}
+    st_ = from_avro_json(json.dumps(sch))
+    assert st_["d"].dataType == DecimalType(12, 2)
+    assert st_["day"].dataType == DateType()
+    assert st_["ts"].dataType == TimestampNTZType() and st_["ts"].nullable
+    assert st_["e"].dataType == StringType()
+    assert st_["fx"].dataType == BinaryType()
+    assert st_["t"].dataType == IntegerType()  # Spark has no TIME type
