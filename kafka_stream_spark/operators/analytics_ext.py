@@ -434,6 +434,47 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_hour_registers(events: "DataFrame") -> "DataFrame":
+    """(day, hr, bucket, m_j) HLL registers from a (ts, user_id) frame —
+    shared by the batch rollup and the streaming register maintainer
+    (identical construction, so stream state merges with batch sketches)."""
+    hv = (
+        "cast(conv(substr(md5(cast(concat('hll:', cast(user_id as string)) "
+        "as binary)), 1, 15), 16, 10) as bigint)"
+    )
+    h = events.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.expr(f"{hv} % {_HLL_M}").alias("bucket"),
+        F.expr(f"{hv} div {_HLL_M}").alias("w"),
+    )
+    return (
+        h.select(
+            "day",
+            "hr",
+            "bucket",
+            F.expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END").alias(
+                "rho"
+            ),
+        )
+        .groupBy("day", "hr", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate_col(n_present, sum_int):
+    """Raw-or-corrected HLL estimate from register aggregates (columns)."""
+    v = F.lit(_HLL_M) - n_present
+    e_raw = F.expr(_HLL_NUM) / (
+        sum_int + v * F.expr("shiftleft(cast(1 as bigint), 55)")
+    )
+    return F.when(
+        (e_raw <= 2.5 * _HLL_M) & (v > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+
+
+
 @query(
     "hll_window_rollup",
     oracle=f"""
@@ -518,43 +559,13 @@ def hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_spark.operators._common import load as _load
 
     (events,) = _load(spark, sf_dir, "events")
-    hv = (
-        "cast(conv(substr(md5(cast(concat('hll:', cast(user_id as string)) "
-        "as binary)), 1, 15), 16, 10) as bigint)"
-    )
-    h = events.select(
-        F.to_date("ts").alias("day"),
-        F.date_trunc("hour", "ts").alias("hr"),
-        F.expr(f"{hv} % {_HLL_M}").alias("bucket"),
-        F.expr(f"{hv} div {_HLL_M}").alias("w"),
-    )
-    r = (
-        h.select(
-            "day",
-            "hr",
-            "bucket",
-            F.expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END").alias(
-                "rho"
-            ),
-        )
-        .groupBy("day", "hr", "bucket")
-        .agg(F.max("rho").alias("m_j"))
-        # the hourly register table IS the stored rollup artifact in a
-        # continuous aggregate; cache it so both grains read it, not raw
-        # data (asserted: one raw scan for registers, one for the audit)
-        .cache()
-    )
+    # the hourly register table IS the stored rollup artifact in a
+    # continuous aggregate; cache it so both grains read it, not raw
+    # data (asserted: one raw scan for registers, one for the audit)
+    r = hll_hour_registers(events).cache()
 
     def _estimate(t):
-        """(…, n_present, sum_int) -> raw-or-corrected HLL estimate column."""
-        v = F.lit(_HLL_M) - F.col("n_present")
-        e_raw = F.expr(_HLL_NUM) / (
-            F.col("sum_int") + v * F.expr("shiftleft(cast(1 as bigint), 55)")
-        )
-        return F.when(
-            (e_raw <= 2.5 * _HLL_M) & (v > 0),
-            _HLL_M * F.log(F.lit(float(_HLL_M)) / v),
-        ).otherwise(e_raw)
+        return hll_estimate_col(F.col("n_present"), F.col("sum_int"))
 
     th = r.groupBy("day", "hr").agg(
         F.count(F.lit(1)).alias("n_present"),
