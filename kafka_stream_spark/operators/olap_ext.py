@@ -235,3 +235,89 @@ def equidepth_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOPK = 50
+
+
+@query(
+    "part_cooccurrence_lift",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM p),
+    freq AS (SELECT l_partkey, count(*) AS n_part FROM p GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    scored AS (
+      SELECT part_a, part_b, n_both,
+             round(n_both * 1.0 * o.n / (fa.n_part * fb.n_part), 6) AS lift
+      FROM pairs
+      JOIN freq fa ON fa.l_partkey = part_a
+      JOIN freq fb ON fb.l_partkey = part_b
+      CROSS JOIN n_orders o
+    )
+    SELECT part_a, part_b, n_both, lift
+    FROM scored
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {_BASKET_TOPK}
+    """,
+    description=(
+        "Market-basket co-occurrence: part pairs sharing orders, scored "
+        "by lift (observed / expected-under-independence), min support "
+        f"{_BASKET_MIN_SUPPORT}, top {_BASKET_TOPK}"
+    ),
+    bench=True,
+)
+def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over the fact table. The pair join is keyed on
+    the order — its cost is Σ(items-per-order²), bounded by basket
+    width (~7), never |parts|². Part frequencies (|parts| rows) and the
+    order count (1 row) broadcast back onto the pair aggregate; lift is
+    one division of exact integers, rounded before the rank so the
+    top-k is engine-stable. The min-support HAVING prunes the long tail
+    before any scoring work. At 100 TB this is the A-Priori first pass;
+    higher-order itemsets iterate the same join shape on the survivors.
+    """
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = p.agg(F.countDistinct("l_orderkey").alias("n"))
+    freq = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= _BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("n_part").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("n_part").alias("nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") * F.col("n") / (F.col("na") * F.col("nb")), 6)
+            .alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOPK)
+    )

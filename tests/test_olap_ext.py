@@ -46,3 +46,39 @@ def test_range_join_partitions_every_in_domain_event(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     in_domain = events.filter((F.col("value") >= 0) & (F.col("value") < 500)).count()
     assert sum(r.n_events for r in rows) == in_domain
+
+
+def test_basket_lift_reference(spark, sf_dir):
+    """Lift bookkeeping vs a pure-Python reference on the small corpus."""
+    from kafka_stream_spark.operators.olap_ext import (
+        _BASKET_MIN_SUPPORT,
+        part_cooccurrence_lift,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(baskets)
+    freq: dict = {}
+    pair_n: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for x in ps:
+            freq[x] = freq.get(x, 0) + 1
+        for i, x in enumerate(ps):
+            for y in ps[i + 1 :]:
+                pair_n[(x, y)] = pair_n.get((x, y), 0) + 1
+
+    rows = part_cooccurrence_lift(spark, sf_dir).collect()
+    prev = None
+    for r in rows:
+        assert r.n_both == pair_n[(r.part_a, r.part_b)]
+        assert r.n_both >= _BASKET_MIN_SUPPORT
+        expect = round(
+            r.n_both * n_orders / (freq[r.part_a] * freq[r.part_b]), 6
+        )
+        assert abs(r.lift - expect) <= 1.0000001e-6
+        if prev is not None:
+            assert r.lift <= prev + 1e-12
+        prev = r.lift
