@@ -431,3 +431,82 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_day")
     )
+
+
+@query(
+    "user_rfm_features",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    base AS (
+      SELECT user_id,
+             datediff('day', CAST(max(ts) AS DATE),
+                      (SELECT CAST(max_ts AS DATE) FROM mx)) AS recency_days,
+             count(*) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM base
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_segment
+    FROM scored ORDER BY user_id
+    """,
+    description=(
+        "Per-user RFM feature table: purchase recency/frequency/monetary "
+        "with quintile scores and the composite segment code — the "
+        "feature-engineering shape for churn/LTV models"
+    ),
+)
+def user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM featurization. One groupBy(user) builds the base features;
+    the three quintile assignments are rank statistics over the (much
+    smaller) per-user table — the same single-sort cost class as the
+    equi-depth histogram, with deterministic (metric, user_id)
+    tie-breaks so segment codes are engine-stable. Best-score
+    convention: quintile 1 = most recent / most frequent / highest
+    spend.
+    """
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase")
+    max_day = p.agg(F.to_date(F.max("ts")).alias("d"))
+    base = (
+        p.groupBy("user_id")
+        .agg(
+            F.to_date(F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            F.datediff(F.col("d"), F.col("last_day")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(5).over(W.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_segment"
+        ),
+    ).orderBy("user_id")

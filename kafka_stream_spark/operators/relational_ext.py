@@ -234,3 +234,129 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+           (SELECT count(*) FROM lineitem) AS n_checked
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           (SELECT coalesce(sum(n - 1), 0) FROM
+              (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'events_unknown_type',
+           (SELECT count(*) FROM events
+            WHERE event_type NOT IN
+              ('click', 'view', 'purchase', 'signup', 'error')),
+           (SELECT count(*) FROM events)
+    UNION ALL
+    SELECT 'events_null_value',
+           (SELECT count(*) FROM events WHERE value IS NULL),
+           (SELECT count(*) FROM events)
+    ORDER BY check_name
+    """,
+    description=(
+        "Data-quality audit: referential integrity (orphan foreign keys), "
+        "primary-key uniqueness, domain and null checks — one row per "
+        "check with violation counts"
+    ),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-gate audit (Great-Expectations/DBT-tests shape) as
+    one query. Referential checks are LeftAnti joins (key-hashed, no
+    payload movement); uniqueness is a groupBy on the key; domain/null
+    checks are single-scan conditional counts that Catalyst collapses
+    into one pass per table. Every check emits (violations, checked) so
+    a gate thresholds on rates, not absolutes, at any scale.
+    """
+    (lineitem, orders, customer, events) = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "events"
+    )
+
+    def _one(name, viol_df, total_df):
+        return (
+            viol_df.agg(F.count(F.lit(1)).alias("n_violations"))
+            .crossJoin(total_df.agg(F.count(F.lit(1)).alias("n_checked")))
+            .select(
+                F.lit(name).alias("check_name"), "n_violations", "n_checked"
+            )
+        )
+
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("n_checked")))
+        .select(
+            F.lit("orders_duplicate_pk").alias("check_name"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    checks = [
+        _one(
+            "lineitem_orphan_orderkey",
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem["l_orderkey"] == orders["o_orderkey"],
+                "left_anti",
+            ),
+            lineitem,
+        ),
+        _one(
+            "orders_orphan_custkey",
+            orders.join(
+                customer.select("c_custkey"),
+                orders["o_custkey"] == customer["c_custkey"],
+                "left_anti",
+            ),
+            orders,
+        ),
+        dup_orders,
+        _one(
+            "lineitem_nonpositive_quantity",
+            lineitem.where(F.col("l_quantity") <= 0),
+            lineitem,
+        ),
+        _one(
+            "lineitem_discount_out_of_range",
+            lineitem.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            lineitem,
+        ),
+        _one(
+            "events_unknown_type",
+            events.where(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )
+            ),
+            events,
+        ),
+        _one("events_null_value", events.where(F.col("value").isNull()), events),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
