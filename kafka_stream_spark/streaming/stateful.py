@@ -510,3 +510,74 @@ def kmv_distinct_tracker(grouped, key_col: str, id_col: str, k: int = 32) -> Dat
     return grouped.applyInPandasWithState(
         fn, KMV_SCHEMA, _KMV_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Welford anomaly detector — streaming twin of zscore_outlier_events
+# ---------------------------------------------------------------------------
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+_ANOMALY_STATE = "n LONG, mean DOUBLE, m2 DOUBLE"
+
+
+def anomaly_detector(
+    grouped,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 3.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """Per-key streaming z-score anomaly detection with Welford's online
+    mean/variance — the numerically stable recurrence (no sum-of-squares
+    catastrophic cancellation), O(3 numbers) state per key forever.
+
+    Each row is scored against the statistics of all PRIOR rows for its
+    key (so an outlier can't mask itself), then folded into the state.
+    Alerts emit in append mode once the key has ``min_n`` observations.
+    The batch twin (zscore_outlier_events) scores against the full-pass
+    statistics; this is the causal, one-pass version a live pipeline
+    runs. Welford states also merge pairwise (Chan's parallel formula)
+    if state ever needs re-sharding.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        alerts = {"key": [], "event_id": [], "value": [], "zscore": [], "n_seen": []}
+        rows = []
+        for pdf in pdfs:
+            for eid, v in zip(pdf[id_col], pdf[value_col]):
+                rows.append((int(eid), float(v)))
+        rows.sort()  # event-id order: deterministic replay regardless of batching
+        for eid, v in rows:
+            if n >= min_n:
+                var = m2 / (n - 1)
+                if var > 0:
+                    z = (v - mean) / var**0.5
+                    if abs(z) >= z_threshold:
+                        alerts["key"].append(str(key[0]))
+                        alerts["event_id"].append(eid)
+                        alerts["value"].append(v)
+                        alerts["zscore"].append(round(z, 6))
+                        alerts["n_seen"].append(n)
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        if alerts["key"]:
+            yield pd.DataFrame(alerts)
+
+    return grouped.applyInPandasWithState(
+        fn, ANOMALY_SCHEMA, _ANOMALY_STATE, "append", GroupStateTimeout.NoTimeout
+    )
