@@ -364,3 +364,118 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "qcosine")
         .orderBy("query_id", F.desc("qcosine"), "vec_id")
     )
+
+
+_TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "cooccurrence_triangles",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY u, v
+      HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (  -- orient every edge from lower (degree, id) to higher
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      -- wedge endpoints ordered by the SAME (degree, id) total order as
+      -- the orientation, else triangles whose upper nodes sort
+      -- differently by id vs by degree are missed
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.s = e1.s AND (e2.td, e2.t) > (e1.td, e1.t)
+      JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    per_node AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, n_triangles FROM per_node
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+    description=(
+        "Triangle counting on the part co-occurrence graph: degree-"
+        "oriented edge joins (bounded fan-out), top-20 parts by "
+        "triangle participation"
+    ),
+)
+def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle enumeration (Suri & Vassilvitskii's MR
+    formulation, public): orient every edge from its lower-(degree, id)
+    endpoint, so each wedge is generated at exactly one node and the
+    per-node join fan-out is bounded by O(sqrt(m)) — the trick that
+    keeps power-law hubs from exploding the wedge join at 100 TB. Two
+    equi-joins: wedges (s→t1, s→t2) then closure against the oriented
+    edge list. Orientation comparisons use exact integer (degree, id)
+    tuples, so the triangle set — and the ranking — is engine-stable.
+    """
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = p.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "u")
+                               .withColumnRenamed("d", "du")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")
+                          .withColumnRenamed("d", "dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    )
+    e1 = oriented.select(F.col("s"), F.col("t").alias("t1"), F.col("td").alias("td1"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("t2"), F.col("td").alias("td2"))
+    # wedge endpoints ordered by the SAME (degree, id) order as the
+    # orientation — ordering by raw id would drop triangles whose upper
+    # nodes sort differently by id than by degree
+    wedges = e1.join(e2, "s").where(
+        (F.col("td2") > F.col("td1"))
+        | ((F.col("td2") == F.col("td1")) & (F.col("t2") > F.col("t1")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+    ).select(F.col("s").alias("a"), F.col("t1").alias("b"), F.col("t2").alias("c"))
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node.orderBy(F.desc("n_triangles"), "node").limit(20)

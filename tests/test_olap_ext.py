@@ -82,3 +82,37 @@ def test_basket_lift_reference(spark, sf_dir):
         if prev is not None:
             assert r.lift <= prev + 1e-12
         prev = r.lift
+
+
+def test_triangles_match_reference(spark, sf_dir):
+    from itertools import combinations
+
+    from kafka_stream_spark.operators.components import (
+        _TRI_MIN_SUPPORT,
+        cooccurrence_triangles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair_n: dict = {}
+    for parts in baskets.values():
+        for x, y in combinations(sorted(parts), 2):
+            pair_n[(x, y)] = pair_n.get((x, y), 0) + 1
+    edges = {e for e, n in pair_n.items() if n >= _TRI_MIN_SUPPORT}
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    per_node: dict = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            # count each triangle once per node via ordered triple
+            if w > v:
+                for n in (u, v, w):
+                    per_node[n] = per_node.get(n, 0) + 1
+    expect = sorted(per_node.items(), key=lambda t: (-t[1], t[0]))[:20]
+
+    got = [(r.node, r.n_triangles) for r in cooccurrence_triangles(spark, sf_dir).collect()]
+    assert got == expect
