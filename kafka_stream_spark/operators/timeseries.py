@@ -194,3 +194,75 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+_DECAY_HALFLIFE_DAYS = 3.0
+
+
+@query(
+    "trending_decayed_topk",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS t_max FROM events),
+    term AS (
+      SELECT event_type,
+             CAST(round(pow(2.0,
+                    -(epoch_us(m.t_max) - epoch_us(e.ts))
+                      / ({_DECAY_HALFLIFE_DAYS} * 86400000000.0))
+                  * 1000000, 0) AS BIGINT) AS w_u
+      FROM events e CROSS JOIN mx m
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(w_u) / 1000000.0, 4) AS decayed_count,
+           round(sum(w_u) * 1.0 / count(*) / 1000000.0, 6) AS freshness
+    FROM term
+    GROUP BY event_type
+    ORDER BY decayed_count DESC, event_type
+    """,
+    description=(
+        "Exponentially time-decayed event counts per type (half-life 3 "
+        "days): the trending score that forgets old traffic, with the "
+        "freshness ratio (decayed/raw) alongside"
+    ),
+)
+def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed counting — the leaderboard that doesn't need windows or
+    state resets: each event contributes 2^(-age/halflife), so scores
+    halve every 3 days of silence and a SINGLE number per key maintains
+    the whole history (streaming: fold new events and multiply the old
+    score by the elapsed decay — O(1) state). Per-event weights are
+    fixed to integer micro-units before summing (float addition is
+    order-sensitive; integer sums aren't), and ages are exact integer
+    microseconds.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    t_max = events.agg(F.max("ts").alias("t_max"))
+    hl_us = _DECAY_HALFLIFE_DAYS * 86400000000.0
+    term = events.crossJoin(F.broadcast(t_max)).select(
+        "event_type",
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                -(
+                    F.unix_micros(F.col("t_max").cast("timestamp"))
+                    - F.unix_micros(F.col("ts").cast("timestamp"))
+                )
+                / hl_us,
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("w_u"),
+    )
+    return (
+        term.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("w_u") / 1000000.0, 4).alias("decayed_count"),
+            F.round(
+                F.sum("w_u") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("freshness"),
+        )
+        .orderBy(F.desc("decayed_count"), "event_type")
+    )
