@@ -510,3 +510,100 @@ def user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rfm_segment"
         ),
     ).orderBy("user_id")
+
+
+_PATH_LEN = 3
+_PATH_TOPK = 10
+
+
+@query(
+    "top_session_paths",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(CASE WHEN prev IS NULL OR ts - prev > {_SESSION_GAP_DUCK}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM o
+    ),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id, session_id
+      HAVING count(*) = {_PATH_LEN}
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
+    """,
+    description=(
+        "Top session-opening paths: first 3 event types of each gap-based "
+        "session, ranked by session count (the navigation-flow dashboard)"
+    ),
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining on top of the sessionize machinery: the lag, the
+    running session-id sum, the per-session rank, and the path assembly
+    all share the user_id partitioning — one data exchange end to end,
+    then a tiny groupBy over |paths| strings. Sessions shorter than the
+    path length are excluded (HAVING), so every counted path is a full
+    prefix. Ties on ts break by event_id in both engines.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id", "ts", "event_id", "event_type", F.lag("ts").over(w).alias("prev")
+    )
+    s = o.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts") - F.col("prev") > F.expr(_SESSION_GAP)),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("session_id"),
+    )
+    ranked = s.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    paths = (
+        ranked.where(F.col("rn") <= _PATH_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat_ws(
+                ">",
+                F.expr("transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+            ).alias("path"),
+        )
+        .where(F.col("n") == _PATH_LEN)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOPK)
+    )
