@@ -266,3 +266,105 @@ def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("decayed_count"), "event_type")
     )
+
+
+@query(
+    "heatmap_hour_value",
+    oracle="""
+    WITH t AS (
+      SELECT extract(hour FROM ts) AS hour_of_day,
+             ntile(10) OVER (ORDER BY value, event_id) AS value_decile
+      FROM events
+    )
+    SELECT hour_of_day, value_decile, count(*) AS n
+    FROM t GROUP BY hour_of_day, value_decile
+    ORDER BY hour_of_day, value_decile
+    """,
+    description=(
+        "2D dashboard heatmap: event counts per (hour-of-day, "
+        "value-decile) cell — activity-vs-magnitude at a glance"
+    ),
+)
+def heatmap_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2D binning behind a heatmap tile: one rank pass for the value
+    deciles (deterministic (value, event_id) tie-break), one groupBy
+    over at most 24x10 cells. At 100 TB the decile edges come from
+    approx_percentile instead of ntile (same trade as
+    equidepth_histogram_value) and the cell aggregation is unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    t = events.select(
+        F.hour("ts").alias("hour_of_day"),
+        F.ntile(10).over(W.orderBy("value", "event_id")).alias("value_decile"),
+    )
+    return (
+        t.groupBy("hour_of_day", "value_decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour_of_day", "value_decile")
+    )
+
+
+_LAG_BUCKET_HOURS = 6
+
+
+@query(
+    "conversion_lag_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts AS vts, event_id AS vid FROM events
+      WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts AS pts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'
+    ),
+    lag_min AS (
+      SELECT pid,
+             min(epoch_us(p2.pts) - epoch_us(v2.vts)) AS lag_us
+      FROM p p2 JOIN v v2 ON p2.user_id = v2.user_id AND v2.vts <= p2.pts
+      GROUP BY pid
+    )
+    SELECT CAST(lag_us // ({_LAG_BUCKET_HOURS} * 3600000000) AS BIGINT)
+             AS bucket_{_LAG_BUCKET_HOURS}h,
+           count(*) AS n_purchases
+    FROM lag_min
+    GROUP BY 1 ORDER BY 1
+    """,
+    description=(
+        "View-to-purchase conversion lag histogram: time from the "
+        "nearest prior view, bucketed in 6-hour integer-microsecond "
+        "bins (duration math stays exact-integer for engine parity)"
+    ),
+)
+def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution. Durations are emitted only as
+    integer-µs bucket ids (NOTES rule: engines disagree on sub-second
+    duration SEMANTICS, but epoch-µs subtraction and integer floor-div
+    are exact everywhere). The view⋈purchase join is user-keyed with
+    the time bound as residual; per-purchase minimization is one
+    map-side-combinable agg.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    v = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    lag_us = F.unix_micros(F.col("pts").cast("timestamp")) - F.unix_micros(
+        F.col("vts").cast("timestamp")
+    )
+    lag_min = (
+        p.join(v, "user_id")
+        .where(F.col("vts") <= F.col("pts"))
+        .groupBy("pid")
+        .agg(F.min(lag_us).alias("lag_us"))
+    )
+    bucket = F.expr(f"lag_us div ({_LAG_BUCKET_HOURS} * 3600000000)")
+    return (
+        lag_min.groupBy(bucket.alias(f"bucket_{_LAG_BUCKET_HOURS}h"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(f"bucket_{_LAG_BUCKET_HOURS}h")
+    )
