@@ -581,3 +581,62 @@ def anomaly_detector(
     return grouped.applyInPandasWithState(
         fn, ANOMALY_SCHEMA, _ANOMALY_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# decayed counter — streaming twin of trending_decayed_topk
+# ---------------------------------------------------------------------------
+
+DECAY_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("last_ts_us", LongType()),
+        StructField("decayed_count", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_DECAY_STATE = "last_ts_us LONG, score DOUBLE, n LONG"
+
+
+def decayed_counter(grouped, key_col: str, ts_us_col: str, halflife_us: float) -> DataFrame:
+    """Per-key exponentially decayed event count as O(1) state: the score
+    is referenced at the newest event time; folding an event multiplies
+    the old score by the elapsed decay and adds 1 (the telescoping form
+    of the batch sum Σ 2^(-(T-tᵢ)/halflife) that trending_decayed_topk
+    computes over history — equal up to float associativity, test-bounded).
+    Events fold in event-time order within each batch so replays are
+    deterministic; out-of-order events still fold correctly because
+    2^(-(t_new-t_old)/hl) telescopes regardless of arrival order ONLY
+    under in-order folding — late events are decayed relative to the
+    newest time instead (the standard forward-decay compromise).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last, score, n = state.get if state.exists else (None, 0.0, 0)
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t) for t in pdf[ts_us_col])
+        for t in sorted(ts_list):
+            if last is None:
+                score, last = 1.0, t
+            elif t >= last:
+                score = score * 2.0 ** (-(t - last) / halflife_us) + 1.0
+                last = t
+            else:  # late event: decay its unit contribution to "now"
+                score += 2.0 ** (-(last - t) / halflife_us)
+            n += 1
+        state.update((last, score, n))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "last_ts_us": [last],
+                "decayed_count": [score],
+                "n_events": [n],
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, DECAY_SCHEMA, _DECAY_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -69,3 +69,50 @@ def test_kmv_tracker_converges_to_batch_sketch(spark, batched_events_dir):
         n_min, est = final[key]
         assert n_min == _K
         assert 10 <= est <= 160
+
+
+def test_decayed_counter_matches_batch_sum(spark, tmp_path):
+    """Streaming decay-then-fold state equals the batch Σ 2^(-(T-ti)/hl)
+    (up to float associativity) across micro-batches."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_stream_spark.streaming.stateful import decayed_counter
+
+    hl = 3.0 * 86400e6  # 3 days in µs
+    schema = StructType(
+        [StructField("k", StringType()), StructField("t_us", LongType())]
+    )
+    rows = [("a", i * 7_200_000_000) for i in range(50)] + [
+        ("b", i * 43_200_000_000) for i in range(20)
+    ]
+    ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+    path = str(tmp_path / "src")
+    third = (len(ordered) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            ordered[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = decayed_counter(stream.groupBy("k"), "k", "t_us", hl)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decayed")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("SELECT * FROM decayed").collect():
+        final[r.key] = (r.last_ts_us, r.decayed_count, r.n_events)
+
+    for k in ("a", "b"):
+        ts = [t for kk, t in rows if kk == k]
+        T = max(ts)
+        batch = sum(2.0 ** (-(T - t) / hl) for t in ts)
+        last, score, n = final[k]
+        assert last == T and n == len(ts)
+        assert abs(score - batch) <= 1e-9 * batch
