@@ -707,3 +707,56 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_WS_K = 25  # sample size
+
+
+@query(
+    "weighted_sample_documents",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 13))::BIGINT)
+               / 4503599627370496.0 AS unif
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(round(ln(unif) / n_chars * 1000000000, 0) AS BIGINT) AS key_u
+      FROM u WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, key_u
+    FROM keyed
+    ORDER BY key_u DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+    description=(
+        "Weighted sampling without replacement (Efraimidis-Spirakis "
+        "exponential keys, weight = doc length): deterministic md5 "
+        "uniforms, one-pass top-k — the quality-weighted subsample shape"
+    ),
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling in ONE pass, no RNG state: each row
+    draws its uniform from md5(doc_id) (reproducible across engines,
+    reruns, and partitionings), the E-S key ln(u)/w makes top-k by key
+    a weight-proportional sample without replacement, and the top-k is
+    a TakeOrderedAndProject — per-partition heads merge at the driver,
+    nothing shuffles. Keys are fixed to integer nano-units so ranking
+    ties are impossible to get wrong across engines; doc_id breaks the
+    (measure-zero) exact ties.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    unif = (
+        "cast(conv(substr(md5(cast(concat('ws:', cast(doc_id as string)) "
+        "as binary)), 1, 13), 16, 10) as bigint) / 4503599627370496.0"
+    )
+    keyed = documents.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(F.expr(unif)) / F.col("n_chars") * 1e9, 0)
+        .cast("bigint")
+        .alias("key_u"),
+    )
+    return keyed.orderBy(F.desc("key_u"), "doc_id").limit(_WS_K)
