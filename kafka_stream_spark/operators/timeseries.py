@@ -368,3 +368,97 @@ def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy(f"bucket_{_LAG_BUCKET_HOURS}h")
     )
+
+
+@query(
+    "cusum_revenue_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS nd, sum(cents) AS total FROM daily),
+    dev AS (  -- scale by n_days so deviations vs the mean stay integral
+      SELECT day, cents, cents * n.nd - n.total AS dev_u
+      FROM daily CROSS JOIN n
+    ),
+    s AS (
+      SELECT day, cents, dev_u,
+             sum(dev_u) OVER (ORDER BY day) AS run_sum
+      FROM dev
+    ),
+    c AS (
+      SELECT day, cents,
+             run_sum - min(run_sum) OVER (ORDER BY day) AS cusum_hi_u,
+             max(run_sum) OVER (ORDER BY day) - run_sum AS cusum_lo_u
+      FROM s
+    ),
+    thresh AS (  -- 4 x mean absolute deviation, in the same scaled units
+      -- explicit floor: DuckDB's double->BIGINT cast rounds, Spark's
+      -- truncates; floor() agrees everywhere
+      SELECT CAST(floor(4 * avg(abs(dev_u))) AS BIGINT) AS t_u FROM dev
+    )
+    SELECT day, cents AS revenue_cents,
+           cusum_hi_u, cusum_lo_u,
+           CASE WHEN cusum_hi_u > t.t_u THEN 1
+                WHEN cusum_lo_u > t.t_u THEN -1 ELSE 0 END AS shift_flag
+    FROM c CROSS JOIN thresh t
+    ORDER BY day
+    """,
+    description=(
+        "CUSUM change-point detection on daily purchase revenue: "
+        "upward/downward cumulative-sum excursions vs the corpus mean, "
+        "flagged past 4x the mean absolute deviation — all integer math"
+    ),
+)
+def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection without recursion: the CUSUM-with-reset
+    recurrence max(0, C+dev) equals running-sum minus running-min (resp.
+    running-max minus running-sum for downward shifts) — two window
+    functions over the daily series. Deviations are scaled by n_days so
+    everything from cents to excursions stays exact BIGINT; the only
+    float is the threshold's mean-absolute-deviation, floored to the
+    same integer units in both engines. The window runs over |days|
+    rows — at any raw-data scale the sequential part is the calendar,
+    not the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    )
+    n = daily.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("cents").alias("total")
+    )
+    dev = daily.crossJoin(F.broadcast(n)).select(
+        "day", "cents", (F.col("cents") * F.col("nd") - F.col("total")).alias("dev_u")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = dev.select("day", "cents", "dev_u", F.sum("dev_u").over(w).alias("run_sum"))
+    c = s.select(
+        "day",
+        "cents",
+        (F.col("run_sum") - F.min("run_sum").over(w)).alias("cusum_hi_u"),
+        (F.max("run_sum").over(w) - F.col("run_sum")).alias("cusum_lo_u"),
+    )
+    thresh = dev.agg(
+        F.floor(4 * F.avg(F.abs("dev_u"))).cast("bigint").alias("t_u")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .select(
+            "day",
+            F.col("cents").alias("revenue_cents"),
+            "cusum_hi_u",
+            "cusum_lo_u",
+            F.when(F.col("cusum_hi_u") > F.col("t_u"), 1)
+            .when(F.col("cusum_lo_u") > F.col("t_u"), -1)
+            .otherwise(0)
+            .alias("shift_flag"),
+        )
+        .orderBy("day")
+    )
