@@ -321,3 +321,156 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(_BASKET_TOPK)
     )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.digit, c.n,
+           round(c.n * 1.0 / t.total, 6) AS observed,
+           round(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS benford,
+           round(c.n * 1.0 / t.total
+                 - ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS deviation
+    FROM c CROSS JOIN t
+    ORDER BY c.digit
+    """,
+    description=(
+        "Benford first-digit audit over order totals: observed leading-"
+        "digit shares vs log10(1 + 1/d) with per-digit deviations — the "
+        "fabricated-data screen"
+    ),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic forensic screen as one aggregate: first digits come
+    from the integer-cents string (no float formatting ambiguity),
+    so the digit extraction is byte-identical across engines; the
+    Benford expectation is a constant per digit. One scan, one
+    9-row group — the whole query is map-side at any scale.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed"),
+            F.round(benford, 6).alias("benford"),
+            F.round(F.col("n") / F.col("total") - benford, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "revenue_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS total
+      FROM c
+    ),
+    g AS (  -- Gini = (2*sum(rk*cents) - (n+1)*total) / (n*total), exact ints
+      SELECT max(n) AS n, max(total) AS total,
+             sum(rk * cents) AS weighted
+      FROM r
+    ),
+    shares AS (
+      SELECT sum(CASE WHEN rk > n - CAST(floor(n * 0.01) AS BIGINT)
+                      THEN cents ELSE 0 END) AS top1,
+             sum(CASE WHEN rk > n - CAST(floor(n * 0.10) AS BIGINT)
+                      THEN cents ELSE 0 END) AS top10
+      FROM r
+    )
+    SELECT g.n AS n_customers,
+           round(g.total / 100.0, 2) AS total_revenue,
+           round((2.0 * g.weighted - (g.n + 1.0) * g.total)
+                 / (g.n * 1.0 * g.total), 6) AS gini,
+           round(s.top1 * 1.0 / g.total, 6) AS top1pct_share,
+           round(s.top10 * 1.0 / g.total, 6) AS top10pct_share
+    FROM g CROSS JOIN shares s
+    """,
+    description=(
+        "Revenue concentration: Gini coefficient plus top-1%/top-10% "
+        "customer revenue shares — exact integer-cents rank arithmetic"
+    ),
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality metrics from one rank pass: Gini's closed form over
+    sorted values needs only Σ(rank×value), n, and the total — all
+    exact BIGINTs (cents × ranks), with the two float divisions at the
+    very end. Ranks tie-break on customer id so the statistic is
+    engine-stable even with equal revenues. One shuffle to the per-
+    customer aggregate, one sort of |customers| rows.
+    """
+    from pyspark.sql import Window as W
+
+    (orders,) = load(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+    )
+    r = c.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("rk"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("rk") * F.col("cents")).alias("weighted"),
+    )
+    shares = (
+        r.crossJoin(F.broadcast(agg.select("n")))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk") > F.col("n") - F.floor(F.col("n") * 0.01).cast("bigint"),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("top1"),
+            F.sum(
+                F.when(
+                    F.col("rk") > F.col("n") - F.floor(F.col("n") * 0.10).cast("bigint"),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("top10"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(shares))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(F.col("total") / 100.0, 2).alias("total_revenue"),
+            F.round(
+                (2.0 * F.col("weighted") - (F.col("n") + 1.0) * F.col("total"))
+                / (F.col("n") * 1.0 * F.col("total")),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top1") / F.col("total"), 6).alias("top1pct_share"),
+            F.round(F.col("top10") / F.col("total"), 6).alias("top10pct_share"),
+        )
+    )
