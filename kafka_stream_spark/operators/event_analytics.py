@@ -607,3 +607,119 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_PATH_TOPK)
     )
+
+
+@query(
+    "ab_test_analysis",
+    oracle="""
+    WITH assign AS (  -- deterministic 50/50 split on md5(user) parity
+      SELECT DISTINCT user_id,
+             CASE WHEN (('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))
+                        ::BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT a.variant,
+             count(*) AS n_users,
+             count(p.user_id) AS n_converted
+      FROM assign a LEFT JOIN (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200
+      ) p ON p.user_id = a.user_id
+      GROUP BY a.variant
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 'A' THEN n_users END) AS na,
+        max(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+        max(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+        max(CASE WHEN variant = 'B' THEN n_converted END) AS cb
+      FROM conv
+    )
+    SELECT na AS n_a, ca AS conv_a, round(ca * 1.0 / na, 6) AS rate_a,
+           nb AS n_b, cb AS conv_b, round(cb * 1.0 / nb, 6) AS rate_b,
+           round((ca * 1.0 / na) - (cb * 1.0 / nb), 6) AS lift,
+           CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0.0
+                ELSE round(((ca * 1.0 / na) - (cb * 1.0 / nb))
+                     / sqrt(((ca + cb) * 1.0 / (na + nb))
+                            * (1 - (ca + cb) * 1.0 / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 6) END AS z_stat
+    FROM wide
+    """,
+    description=(
+        "A/B experiment readout: deterministic md5 bucket assignment, "
+        "per-variant purchase conversion, lift, and the pooled "
+        "two-proportion z statistic"
+    ),
+)
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation readout as one query. Assignment is the same
+    md5-bucket determinism as dataset_split (a user lands in the same
+    variant on every engine, rerun, and scale); conversion is a
+    distinct-user semi-structure (LEFT JOIN on the converter set);
+    the z statistic is a handful of scalar arithmetic ops on exact
+    integer counts, rounded once at the end. One corpus scan for
+    assignment, one for conversions — both map-side aggregable.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    hv = (
+        "cast(conv(substr(md5(cast(concat('ab:', cast(user_id as string)) "
+        "as binary)), 1, 8), 16, 10) as bigint)"
+    )
+    assign = events.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.expr(f"{hv} % 2") == 0, "A").otherwise("B").alias("variant"),
+    )
+    # conversion = a HIGH-VALUE purchase (every user purchases something
+    # at this event density; value > 200 splits converters ~20/80)
+    conv_users = (
+        events.where((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+    )
+    conv = (
+        assign.join(
+            conv_users.withColumn("converted", F.lit(1)), "user_id", "left"
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("converted").alias("n_converted"),
+        )
+    )
+    wide = conv.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    ra = F.col("ca") / F.col("na")
+    rb = F.col("cb") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    return wide.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.round(ra, 6).alias("rate_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(ra - rb, 6).alias("lift"),
+        # degenerate experiments (0% or 100% pooled conversion) have zero
+        # variance: report z = 0 instead of dividing by it
+        F.when(
+            (F.col("ca") + F.col("cb") == 0)
+            | (F.col("ca") + F.col("cb") == F.col("na") + F.col("nb")),
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                (ra - rb)
+                / F.sqrt(
+                    pooled * (1 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                ),
+                6,
+            )
+        )
+        .alias("z_stat"),
+    )
