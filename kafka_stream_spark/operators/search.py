@@ -259,3 +259,63 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(_TOPK)
     )
+
+
+_KWIC_TERM = "spark"
+_KWIC_WIN = 3  # tokens of context on each side
+_KWIC_LIMIT = 50
+
+
+@query(
+    "kwic_concordance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    hit AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[greatest(1, i - {_KWIC_WIN}):i - 1], ' ')
+               AS left_ctx,
+             array_to_string(toks[i + 1:least(len(toks), i + {_KWIC_WIN})], ' ')
+               AS right_ctx
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) AND toks[i] = '{_KWIC_TERM}'
+    )
+    SELECT doc_id, pos, left_ctx, right_ctx
+    FROM hit ORDER BY doc_id, pos LIMIT {_KWIC_LIMIT}
+    """,
+    description=(
+        f"Keyword-in-context concordance for '{_KWIC_TERM}': every "
+        f"occurrence with +/-{_KWIC_WIN} tokens of context, corpus order"
+    ),
+)
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-linguistics KWIC view (and the debug view behind any
+    search result snippet). posexplode gives positions; contexts are
+    pure slice arithmetic on the cached token arrays — no joins, no
+    re-tokenization (cache barrier as usual), and the global LIMIT is a
+    TakeOrdered merge. Case-sensitive exact-token match; swap in a
+    normalizer upstream for folded matching.
+    """
+    from kafka_stream_spark.operators.sequence_stats import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir)
+    hit = (
+        toks.select("doc_id", "toks", F.posexplode("toks").alias("p0", "tok"))
+        .where(F.col("tok") == _KWIC_TERM)
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(toks, greatest(1, p0 + 1 - {_KWIC_WIN}), "
+                       f"least({_KWIC_WIN}, p0))"),
+            ).alias("left_ctx"),
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(toks, p0 + 2, "
+                       f"least({_KWIC_WIN}, size(toks) - p0 - 1))"),
+            ).alias("right_ctx"),
+        )
+    )
+    return hit.orderBy("doc_id", "pos").limit(_KWIC_LIMIT)

@@ -307,3 +307,70 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "supplier_ship_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT l.l_suppkey,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    agg AS (
+      SELECT l_suppkey, count(*) AS n_items,
+             round(avg(lag_days), 4) AS avg_lag_days,
+             max(lag_days) AS max_lag_days,
+             sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS n_late
+      FROM lag GROUP BY l_suppkey
+    )
+    SELECT s.s_name, a.n_items, a.avg_lag_days, a.max_lag_days, a.n_late,
+           round(a.n_late * 1.0 / a.n_items, 6) AS late_rate
+    FROM agg a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    ORDER BY late_rate DESC, s.s_name LIMIT 25
+    """,
+    description=(
+        "Supplier fulfillment scorecard: order-to-ship lag in whole days "
+        "(integer date math), >90-day late rates, worst-25 suppliers"
+    ),
+)
+def supplier_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain lead-time analytics. Day-level datediff on DATE
+    columns is exact integer arithmetic in both engines (the sub-second
+    duration hazard doesn't exist at date grain). The fact join is the
+    lineitem⋈orders equi-join AQE plans; the supplier dim broadcasts
+    onto the |suppliers|-row aggregate; the worst-k is a TakeOrdered
+    merge. round-before-rank applies to the late_rate ordering.
+    """
+    (lineitem, orders, supplier) = load(
+        spark, sf_dir, "lineitem", "orders", "supplier"
+    )
+    lag = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    agg = lag.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("lag_days"), 4).alias("avg_lag_days"),
+        F.max("lag_days").alias("max_lag_days"),
+        F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0)).alias("n_late"),
+    )
+    return (
+        agg.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            agg["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            "s_name",
+            "n_items",
+            "avg_lag_days",
+            "max_lag_days",
+            "n_late",
+            F.round(F.col("n_late") / F.col("n_items"), 6).alias("late_rate"),
+        )
+        .orderBy(F.desc("late_rate"), "s_name")
+        .limit(25)
+    )
