@@ -462,3 +462,80 @@ def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "mad_outlier_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           m.med, d.mad,
+           sum(CASE WHEN abs(e.value - m.med) > 4 * d.mad THEN 1 ELSE 0 END)
+             AS n_outliers,
+           round(sum(CASE WHEN abs(e.value - m.med) > 4 * d.mad
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_rate
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    ORDER BY e.event_type
+    """,
+    description=(
+        "Robust outlier rates per event type via median absolute "
+        "deviation (4x MAD fence) — the zscore variant that a single "
+        "extreme value can't poison"
+    ),
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics where mean/stddev would be dragged by the very
+    outliers being hunted. Two aggregate passes (median, then median of
+    absolute deviations — MAD needs the first median joined back) plus
+    one counting pass; all three group on event_type, and the
+    |types|-row stat dims broadcast onto the count scan. Medians round
+    6dp before the fence comparison (the same exact-percentile parity
+    quantiles_orders established).
+    """
+    (events,) = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+        )
+    )
+    fenced = events.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    is_out = F.when(
+        F.abs(F.col("value") - F.col("med")) > 4 * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        fenced.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_out).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "med",
+            "mad",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_events"), 6).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
