@@ -760,3 +760,97 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key_u"),
     )
     return keyed.orderBy(F.desc("key_u"), "doc_id").limit(_WS_K)
+
+
+@query(
+    "lang_source_independence",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rowt AS (SELECT lang, sum(o) AS rn FROM cell GROUP BY lang),
+    colt AS (SELECT source, sum(o) AS cn FROM cell GROUP BY source),
+    tot AS (SELECT sum(o) AS n FROM cell),
+    terms AS (
+      SELECT c.lang, c.source, c.o,
+             round(r.rn * ct.cn * 1.0 / t.n, 6) AS expected,
+             CAST(round(
+               (c.o - r.rn * ct.cn * 1.0 / t.n)
+               * (c.o - r.rn * ct.cn * 1.0 / t.n)
+               / (r.rn * ct.cn * 1.0 / t.n) * 1000000, 0) AS BIGINT) AS chi_u
+      FROM cell c
+      JOIN rowt r ON r.lang = c.lang
+      JOIN colt ct ON ct.source = c.source
+      CROSS JOIN tot t
+    ),
+    stat AS (
+      SELECT round(sum(chi_u) / 1000000.0, 4) AS chi2,
+             (SELECT (count(*) - 1) FROM rowt)
+               * (SELECT (count(*) - 1) FROM colt) AS dof
+      FROM terms
+    )
+    SELECT s.chi2, s.dof, t.lang, t.source, t.o, t.expected,
+           round(t.chi_u / 1000000.0, 4) AS cell_chi2
+    FROM stat s CROSS JOIN terms t
+    ORDER BY t.chi_u DESC, t.lang, t.source
+    LIMIT 10
+    """,
+    description=(
+        "Chi-square independence screen for language x source: the "
+        "global statistic plus the 10 most over/under-represented "
+        "cells — the corpus-mix drift detector"
+    ),
+)
+def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the language mix the same across sources? One groupBy builds
+    the contingency table; row/column marginals and the total are tiny
+    broadcast dims; each cell's chi-square term is fixed to integer
+    micro-units before summing (order-independent), and the top
+    contributing cells are returned alongside the statistic — the
+    actionable part of the test. At any scale the only corpus-sized
+    work is the first groupBy.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    cell = documents.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rowt = cell.groupBy("lang").agg(F.sum("o").alias("rn"))
+    colt = cell.groupBy("source").agg(F.sum("o").alias("cn"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    exp_raw = F.col("rn") * F.col("cn") / F.col("n")
+    terms = (
+        cell.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "o",
+            F.round(exp_raw, 6).alias("expected"),
+            F.round((F.col("o") - exp_raw) * (F.col("o") - exp_raw) / exp_raw * 1e6, 0)
+            .cast("bigint")
+            .alias("chi_u"),
+        )
+    )
+    dof = (
+        rowt.agg((F.count(F.lit(1)) - 1).alias("r"))
+        .crossJoin(colt.agg((F.count(F.lit(1)) - 1).alias("c")))
+        .select((F.col("r") * F.col("c")).alias("dof"))
+    )
+    stat = terms.agg(F.round(F.sum("chi_u") / 1e6, 4).alias("chi2")).crossJoin(
+        F.broadcast(dof)
+    )
+    # order on the exact micro-units (same tie semantics as the oracle),
+    # then project the rounded display value
+    return (
+        stat.crossJoin(terms)
+        .orderBy(F.desc("chi_u"), "lang", "source")
+        .limit(10)
+        .select(
+            "chi2",
+            "dof",
+            "lang",
+            "source",
+            "o",
+            "expected",
+            F.round(F.col("chi_u") / 1e6, 4).alias("cell_chi2"),
+        )
+    )
