@@ -474,3 +474,92 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top10") / F.col("total"), 6).alias("top10pct_share"),
         )
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pairs():
+    return [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+
+
+@query(
+    "numeric_correlation_matrix",
+    oracle=f"""
+    WITH c AS (
+      SELECT {", ".join(
+          f"CAST(round({c} * 100, 0) AS DECIMAL(38, 0)) AS {c}" for c in _CORR_COLS
+      )}
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             {", ".join(f"sum({c}) AS s_{c}" for c in _CORR_COLS)},
+             {", ".join(f"sum({c} * {c}) AS ss_{c}" for c in _CORR_COLS)},
+             {", ".join(f"sum({a} * {b}) AS sp_{a}_{b}" for a, b in _corr_pairs())}
+      FROM c
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{a}' AS col_a, '{b}' AS col_b,
+            round((n * sp_{a}_{b} - s_{a} * s_{b})
+                  / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))
+                     * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))), 6)
+              AS pearson_r
+            FROM s''' for a, b in _corr_pairs()
+    )}
+    ORDER BY col_a, col_b
+    """,
+    description=(
+        "Pearson correlation matrix over the lineitem numeric columns — "
+        "moments accumulated as exact DECIMAL(38) integers (cents), so "
+        "the statistic is order-independent across engines"
+    ),
+)
+def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling correlations in ONE aggregate pass: every moment
+    (sums, squares, cross-products) accumulates as exact DECIMAL(38,0)
+    over integer cents — float summation order can't perturb anything;
+    the only doubles are the final 6 divisions. The aggregate is
+    map-side combinable and emits a single row of moments; the matrix
+    unpivot is driver-scale. Spark's built-in corr() is the convenience
+    path — this formulation exists because corr()'s float accumulation
+    is partition-order-dependent, which breaks cross-engine parity.
+    """
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    c = lineitem.select(
+        *[
+            F.round(F.col(col) * 100, 0).cast("decimal(38,0)").alias(col)
+            for col in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(col).alias(f"s_{col}") for col in _CORR_COLS]
+    aggs += [
+        F.sum(F.col(col) * F.col(col)).alias(f"ss_{col}") for col in _CORR_COLS
+    ]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}") for a, b in _corr_pairs()
+    ]
+    s = c.agg(*aggs)
+    outs = []
+    for a, b in _corr_pairs():
+        num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        db = (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        outs.append(
+            s.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / (F.sqrt(da) * F.sqrt(db)), 6).alias("pearson_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_a", "col_b")
