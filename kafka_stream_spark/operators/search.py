@@ -274,10 +274,11 @@ _KWIC_LIMIT = 50
     ),
     hit AS (
       SELECT doc_id, i AS pos,
-             array_to_string(toks[greatest(1, i - {_KWIC_WIN}):i - 1], ' ')
-               AS left_ctx,
-             array_to_string(toks[i + 1:least(len(toks), i + {_KWIC_WIN})], ' ')
-               AS right_ctx
+             coalesce(array_to_string(toks[greatest(1, i - {_KWIC_WIN}):i - 1],
+                                      ' '), '') AS left_ctx,
+             coalesce(array_to_string(toks[i + 1:least(len(toks),
+                                                       i + {_KWIC_WIN})], ' '),
+                      '') AS right_ctx
       FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
       WHERE i <= len(toks) AND toks[i] = '{_KWIC_TERM}'
     )
