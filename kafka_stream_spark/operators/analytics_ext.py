@@ -345,7 +345,7 @@ _TOPK_OTHER = 3
     )
     SELECT CASE WHEN rk <= {_TOPK_OTHER} THEN event_type ELSE 'OTHER' END
              AS bucket,
-           sum(n) AS n, round(sum(total_value), 2) AS total_value
+           CAST(sum(n) AS BIGINT) AS n, round(sum(total_value), 2) AS total_value
     FROM ranked
     GROUP BY 1
     ORDER BY n DESC, bucket

@@ -185,7 +185,7 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bigram_counts GROUP BY doc_id
     )
     SELECT w.doc_id,
-           w.n_tokens,
+           CAST(w.n_tokens AS BIGINT) AS n_tokens,
            round(w.top_c * 1.0 / w.n_tokens, 6) AS top_word_frac,
            round(b.top_c * 1.0 / b.n_bigrams, 6) AS top_bigram_frac,
            CASE WHEN w.top_c * 1.0 / w.n_tokens > 0.20
@@ -284,7 +284,7 @@ def _rate_case_sql() -> str:
     )
     SELECT lang,
            count(*) AS n_in,
-           sum(CASE WHEN b < rate * 10000 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN b < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            round(sum(CASE WHEN b < rate * 10000 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
              AS kept_frac
     FROM rated
@@ -362,9 +362,9 @@ _PACK_SHARDS = 4
       SELECT source, shard, start_off // {_PACK_CAPACITY} AS chunk_id, doc_id, n_tok
       FROM offs
     )
-    SELECT source, shard, chunk_id,
+    SELECT source, shard, CAST(chunk_id AS BIGINT) AS chunk_id,
            count(*) AS n_docs,
-           sum(n_tok) AS n_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc_id
     FROM chunks
     GROUP BY source, shard, chunk_id
@@ -444,8 +444,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            round(scale, 6) AS scale_r,
-           list_sum(q) AS sum_q,
-           list_sum(list_transform(q, v -> abs(v))) AS l1_q,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS l1_q,
            list_max(q) AS max_q
     FROM quant
     ORDER BY vec_id
@@ -522,11 +522,11 @@ _MIX_BUDGET_FRAC = 0.5  # total budget = 50% of corpus tokens, split evenly
       FROM totals t CROSS JOIN budget b
     )
     SELECT k.source,
-           r.src_tokens AS n_tokens_in,
+           CAST(r.src_tokens AS BIGINT) AS n_tokens_in,
            r.thresh AS keep_per_10k,
            count(*) FILTER (WHERE k.b < r.thresh) AS n_docs_kept,
-           coalesce(sum(k.n_tok) FILTER (WHERE k.b < r.thresh), 0)
-             AS n_tokens_kept
+           CAST(coalesce(sum(k.n_tok) FILTER (WHERE k.b < r.thresh), 0)
+             AS BIGINT) AS n_tokens_kept
     FROM tok k JOIN rated r ON k.source = r.source
     GROUP BY k.source, r.src_tokens, r.thresh
     ORDER BY k.source

@@ -171,7 +171,7 @@ _SESSION_GAP_DUCK = "INTERVAL '6 hours'"
                               ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM m
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events
     FROM s

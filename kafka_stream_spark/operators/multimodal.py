@@ -285,7 +285,7 @@ def audio_window_features(media: DataFrame) -> DataFrame:
     SELECT doc_id,
            pos // {_AUDIO_WINDOW} AS window_idx,
            count(*) AS n_samples,
-           sum(sample) AS energy,
+           CAST(sum(sample) AS BIGINT) AS energy,
            max(sample) AS peak
     FROM s
     GROUP BY doc_id, window_idx

@@ -252,7 +252,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM orders)
     UNION ALL
     SELECT 'orders_duplicate_pk',
-           (SELECT coalesce(sum(n - 1), 0) FROM
+           (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
               (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
            (SELECT count(*) FROM orders)
     UNION ALL

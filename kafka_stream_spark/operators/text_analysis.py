@@ -364,7 +364,8 @@ _WIN_MOD = 1_000_000_007  # checksum modulus (keeps sums < 2^47, ANSI-safe)
     )
     SELECT doc_id,
            len(sel) AS n_fingerprints,
-           list_sum(list_transform(sel, x -> x % {_WIN_MOD})) AS fp_checksum,
+           CAST(list_sum(list_transform(sel, x -> x % {_WIN_MOD})) AS BIGINT)
+             AS fp_checksum,
            list_min(sel) AS fp_min
     FROM winnowed
     WHERE len(sel) > 0

@@ -399,8 +399,9 @@ def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- truncates; floor() agrees everywhere
       SELECT CAST(floor(4 * avg(abs(dev_u))) AS BIGINT) AS t_u FROM dev
     )
-    SELECT day, cents AS revenue_cents,
-           cusum_hi_u, cusum_lo_u,
+    SELECT day, CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cusum_hi_u AS BIGINT) AS cusum_hi_u,
+           CAST(cusum_lo_u AS BIGINT) AS cusum_lo_u,
            CASE WHEN cusum_hi_u > t.t_u THEN 1
                 WHEN cusum_lo_u > t.t_u THEN -1 ELSE 0 END AS shift_flag
     FROM c CROSS JOIN thresh t
@@ -481,8 +482,8 @@ def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            count(*) AS n_events,
            m.med, d.mad,
-           sum(CASE WHEN abs(e.value - m.med) > 4 * d.mad THEN 1 ELSE 0 END)
-             AS n_outliers,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 4 * d.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
            round(sum(CASE WHEN abs(e.value - m.med) > 4 * d.mad
                           THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_rate
     FROM events e

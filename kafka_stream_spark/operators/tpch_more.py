@@ -197,10 +197,10 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_priority",
     oracle="""
     SELECT l_returnflag AS ship_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
       AND l_shipdate >= DATE '1995-01-01'
@@ -321,7 +321,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey, count(*) AS n_items,
              round(avg(lag_days), 4) AS avg_lag_days,
              max(lag_days) AS max_lag_days,
-             sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS n_late
+             CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
       FROM lag GROUP BY l_suppkey
     )
     SELECT s.s_name, a.n_items, a.avg_lag_days, a.max_lag_days, a.n_late,
