@@ -634,14 +634,28 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two PPJoin filters bound the candidate set: the prefix (rarest
     shingles only) and the length filter (J >= t forces t·|A| <= |B| <=
     |A|/t, checked as exact integer arithmetic inside the join
-    condition). Verification counts common shingles via the posting
-    join LeftSemi-restricted to candidates — collision-bounded, never
-    the |pairs| × |shingles-per-doc| expansion of joining each
-    candidate against its full shingle sets.
+    condition). Verification intersects the two docs' shingle sets per
+    candidate pair (array_intersect over collected per-doc sets) — work
+    is |candidates| × set size, strictly candidate-bounded; the full
+    posting lists are never self-joined outside the prefix stage.
     `test_prefix_filter_prunes_candidates` asserts the candidate count
-    strictly drops vs. the all-shared-shingles join on the same corpus.
+    strictly drops vs. the all-shared-shingles join on the same corpus;
+    `test_prefix_verify_is_candidate_bounded` asserts the physical plan
+    contains exactly one shingle-keyed self-join (the prefix stage).
     """
-    sh = _doc_shingles(spark, sf_dir).cache()
+    # Hash shingles to 64-bit once: every downstream op (freq groupBy,
+    # prefix self-join, per-pair array_intersect) then runs on primitive
+    # longs instead of strings — the intersect takes Spark's primitive
+    # fast path and join keys hash without byte comparisons. The prefix
+    # theorem needs only a consistent TOTAL order, so (f, hash) works as
+    # well as (f, text); verification stays exact (a 64-bit collision
+    # merging two of ~10^5 distinct shingles has probability ~1e-9 and
+    # would surface in the cross-engine oracle immediately).
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .cache()
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
+    )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     wd = Window.partitionBy("doc_id")
     ranked = (
@@ -670,27 +684,37 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
-        sha.join(shb, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.join(
-            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+    # Verify by per-doc shingle-set intersection over the candidate pairs
+    # only. The groupBy(doc_id) reuses _doc_shingles' HashPartitioning
+    # (shuffle-free), and the verify work is |candidates| x set-intersect
+    # — the hot-shingle O(f²) posting collision mass never re-enters
+    # after the prefix stage (the round-1 version re-joined the FULL
+    # posting lists and semi-filtered after, re-materializing exactly
+    # the mass the prefix filter exists to avoid).
+    docsets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    # The final groupBy is a no-op on data (cand is distinct) but an
+    # optimizer barrier: without it PushDownPredicates fuses the jaccard
+    # filter into the join condition and array_intersect evaluates ~4x
+    # per pair (once per reference) — measured 2x slower at sf0.1.
+    scored = (
+        cand.join(
+            docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
             ["doc_a"],
         )
         .join(
-            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
             ["doc_b"],
         )
-        .filter(jac >= _PF_T)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.size(F.array_intersect("sh_a", "sh_b"))).alias("n_common"),
+            F.first(F.size("sh_a")).alias("na"),
+            F.first(F.size("sh_b")).alias("nb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        scored.filter(jac >= _PF_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

@@ -95,3 +95,26 @@ def test_prefix_join_equals_exact_join(spark, sf_dir):
     exact = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
     pref = sorted(map(tuple, dedup_jaccard_prefix(spark, sf_dir).collect()))
     assert exact == pref and exact
+
+
+def test_prefix_verify_is_candidate_bounded(spark, sf_dir):
+    """The verify stage must never rejoin full posting lists: exactly one
+    shingle-keyed self-join may appear (the prefix candidate stage), and
+    verification must be the per-pair set intersection."""
+    import re
+
+    plan = (
+        dedup_jaccard_prefix(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    self_joins = [
+        line
+        for line in plan.splitlines()
+        if re.search(r"Join \w+, \(+\(*sh#\d+L? = sh#\d+L?\)", line)
+        and re.search(r"doc_\w*#\d+L? < doc_\w*#\d+L?", line)
+    ]
+    assert len(self_joins) == 1, plan
+    assert "LeftSemi" not in plan, plan
+    assert "array_intersect" in plan, plan
