@@ -277,8 +277,10 @@ _BASKET_TOPK = 50
 def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining over the fact table. The pair join is keyed on
     the order — its cost is Σ(items-per-order²), bounded by basket
-    width (~7), never |parts|². Part frequencies (|parts| rows) and the
-    order count (1 row) broadcast back onto the pair aggregate; lift is
+    width (~7), never |parts|². Part frequencies (|parts| rows, sized by
+    AQE — not hint-forced, the dim is unbounded in |parts|) and the
+    order count (1 row, explicit broadcast) join back onto the pair
+    aggregate; lift is
     one division of exact integers, rounded before the rank so the
     top-k is engine-stable. The min-support HAVING prunes the long tail
     before any scoring work. At 100 TB this is the A-Priori first pass;
@@ -297,15 +299,18 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= _BASKET_MIN_SUPPORT)
     )
+    # No broadcast hint on freq: it scales with |parts| (unbounded at
+    # 100x part cardinality). AQE sizes the join at runtime and still
+    # picks a broadcast when the dim actually fits.
     scored = (
         pairs.join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
-                                    F.col("n_part").alias("na"))),
+            freq.select(F.col("l_partkey").alias("part_a"),
+                        F.col("n_part").alias("na")),
             "part_a",
         )
         .join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
-                                    F.col("n_part").alias("nb"))),
+            freq.select(F.col("l_partkey").alias("part_b"),
+                        F.col("n_part").alias("nb")),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
