@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         search,
         tpch_more,
         tpch_deep,
+        tpch_partsupp,
         sequence_stats,
         sketches_kmv,
     )
