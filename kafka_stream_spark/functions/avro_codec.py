@@ -71,12 +71,24 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 
 
-def _logical_to_base(v: Any, schema: dict) -> Any:
-    """Convert a logical-typed Python value to its Avro base representation."""
+def _logical_to_base(v: Any, schema: dict, raw_time: bool = False) -> Any:
+    """Convert a logical-typed Python value to its Avro base representation.
+
+    ``raw_time``: time-millis/micros stay raw ints — the DataFrame-path
+    representation (Spark has no TIME type; avro_schema maps these to
+    int/long, so encode_df receives int columns, not datetime.time).
+    """
     lt = schema["logicalType"]
     if lt == "decimal":
         d = _decimal.Decimal(v)
-        unscaled = int(d.scaleb(schema.get("scale", 0)).to_integral_value())
+        scaled = d.scaleb(schema.get("scale", 0))
+        if scaled != scaled.to_integral_value():
+            # match the Avro Java library: reject precision loss instead
+            # of silently half-even rounding on the wire
+            raise ValueError(
+                f"decimal {v} does not fit scale {schema.get('scale', 0)}"
+            )
+        unscaled = int(scaled)
         n = max(1, (unscaled.bit_length() + 8) // 8)  # two's-complement width
         if schema["type"] == "fixed":
             n = schema["size"]
@@ -84,8 +96,12 @@ def _logical_to_base(v: Any, schema: dict) -> Any:
     if lt == "date":
         return (v - _EPOCH_DATE).days
     if lt == "time-millis":
+        if raw_time:
+            return int(v)
         return (v.hour * 3600 + v.minute * 60 + v.second) * 1000 + v.microsecond // 1000
     if lt == "time-micros":
+        if raw_time:
+            return int(v)
         return (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond
     if lt in ("timestamp-millis", "timestamp-micros"):
         if v.tzinfo is not None:
@@ -97,8 +113,10 @@ def _logical_to_base(v: Any, schema: dict) -> Any:
     return v  # unknown logical types pass through per Avro spec
 
 
-def _logical_from_base(v: Any, schema: dict) -> Any:
+def _logical_from_base(v: Any, schema: dict, raw_time: bool = False) -> Any:
     lt = schema["logicalType"]
+    if raw_time and lt in ("time-millis", "time-micros"):
+        return v  # stays int — matches the int/long Spark schema mapping
     if lt == "decimal":
         unscaled = int.from_bytes(v, "big", signed=True)
         return _decimal.Decimal(unscaled).scaleb(-schema.get("scale", 0))
@@ -115,21 +133,21 @@ def _logical_from_base(v: Any, schema: dict) -> Any:
     return v
 
 
-def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
+def _encode_value(v: Any, schema: Any, out: bytearray, raw_time: bool = False) -> None:
     if isinstance(schema, dict) and "logicalType" in schema:
-        v = _logical_to_base(v, schema)
+        v = _logical_to_base(v, schema, raw_time)
     if isinstance(schema, list):  # [null, T] union: index then value
         if v is None:
             out += _zigzag_encode(schema.index("null"))
             return
         idx = 1 if schema[0] == "null" else 0
         out += _zigzag_encode(idx)
-        _encode_value(v, schema[idx], out)
+        _encode_value(v, schema[idx], out, raw_time)
         return
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "record":
         for f in schema["fields"]:
-            _encode_value(v.get(f["name"]) if isinstance(v, dict) else getattr(v, f["name"]), f["type"], out)
+            _encode_value(v.get(f["name"]) if isinstance(v, dict) else getattr(v, f["name"]), f["type"], out, raw_time)
     elif t in ("int", "long"):
         out += _zigzag_encode(int(v))
     elif t == "float":
@@ -150,7 +168,7 @@ def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
         if items:
             out += _zigzag_encode(len(items))
             for item in items:
-                _encode_value(item, schema["items"], out)
+                _encode_value(item, schema["items"], out, raw_time)
         out += _zigzag_encode(0)
     elif t == "map":
         entries = dict(v)
@@ -160,7 +178,7 @@ def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
                 kb = str(k).encode("utf-8")
                 out += _zigzag_encode(len(kb))
                 out += kb
-                _encode_value(mv, schema["values"], out)
+                _encode_value(mv, schema["values"], out, raw_time)
         out += _zigzag_encode(0)
     elif t == "enum":
         out += _zigzag_encode(schema["symbols"].index(v))
@@ -175,25 +193,29 @@ def _encode_value(v: Any, schema: Any, out: bytearray) -> None:
         raise ValueError(f"unsupported Avro type for encode: {t!r}")
 
 
-def _decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
-    v, pos = _decode_base(buf, pos, schema)
+def _decode_value(
+    buf: bytes, pos: int, schema: Any, raw_time: bool = False
+) -> tuple[Any, int]:
+    v, pos = _decode_base(buf, pos, schema, raw_time)
     if isinstance(schema, dict) and "logicalType" in schema:
-        v = _logical_from_base(v, schema)
+        v = _logical_from_base(v, schema, raw_time)
     return v, pos
 
 
-def _decode_base(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
+def _decode_base(
+    buf: bytes, pos: int, schema: Any, raw_time: bool = False
+) -> tuple[Any, int]:
     if isinstance(schema, list):
         idx, pos = _zigzag_decode(buf, pos)
         branch = schema[idx]
         if branch == "null":
             return None, pos
-        return _decode_value(buf, pos, branch)
+        return _decode_value(buf, pos, branch, raw_time)
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "record":
         rec = {}
         for f in schema["fields"]:
-            rec[f["name"]], pos = _decode_value(buf, pos, f["type"])
+            rec[f["name"]], pos = _decode_value(buf, pos, f["type"], raw_time)
         return rec, pos
     if t in ("int", "long"):
         return _zigzag_decode(buf, pos)
@@ -219,7 +241,7 @@ def _decode_base(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
                 _, pos = _zigzag_decode(buf, pos)
                 n = -n
             for _ in range(n):
-                item, pos = _decode_value(buf, pos, schema["items"])
+                item, pos = _decode_value(buf, pos, schema["items"], raw_time)
                 items.append(item)
         return items, pos
     if t == "map":
@@ -235,7 +257,7 @@ def _decode_base(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
                 kn, pos = _zigzag_decode(buf, pos)
                 k = buf[pos : pos + kn].decode("utf-8")
                 pos += kn
-                entries[k], pos = _decode_value(buf, pos, schema["values"])
+                entries[k], pos = _decode_value(buf, pos, schema["values"], raw_time)
         return entries, pos
     if t == "enum":
         idx, pos = _zigzag_decode(buf, pos)
@@ -246,14 +268,14 @@ def _decode_base(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
     raise ValueError(f"unsupported Avro type for decode: {t!r}")
 
 
-def encode_record(record: dict, avro_schema: dict) -> bytes:
+def encode_record(record: dict, avro_schema: dict, raw_time: bool = False) -> bytes:
     out = bytearray()
-    _encode_value(record, avro_schema, out)
+    _encode_value(record, avro_schema, out, raw_time)
     return bytes(out)
 
 
-def decode_record(payload: bytes, avro_schema: dict) -> dict:
-    rec, pos = _decode_value(payload, 0, avro_schema)
+def decode_record(payload: bytes, avro_schema: dict, raw_time: bool = False) -> dict:
+    rec, pos = _decode_value(payload, 0, avro_schema, raw_time)
     if pos != len(payload):
         raise ValueError(f"trailing bytes after Avro record: {len(payload) - pos}")
     return rec
@@ -284,7 +306,7 @@ def encode_df(df: DataFrame, avro_schema: dict, schema_id: int, out_col: str = "
         out = []
         for vals in zip(*series):
             rec = dict(zip(cols, (None if pd.isna(v) and not isinstance(v, (list, tuple, dict, bytes)) else v for v in vals)))
-            out.append(encode_record(rec, sch))
+            out.append(encode_record(rec, sch, raw_time=True))
         return pd.Series(out)
 
     body = enc(*[F.col(c) for c in cols])
@@ -331,7 +353,7 @@ def decode_df(
             recs, corrupt = [], []
             for b in pdf["__body"]:
                 try:
-                    recs.append(decode_record(bytes(b), sch))
+                    recs.append(decode_record(bytes(b), sch, raw_time=True))
                     corrupt.append(None)
                 except Exception:
                     if not permissive:
@@ -389,7 +411,7 @@ def decode_df_evolving(
                     writer = writers[int(sid)]
                 except KeyError:
                     raise ValueError(f"unknown schema id {sid} (have {sorted(writers)})")
-                raw = decode_record(bytes(b), writer)
+                raw = decode_record(bytes(b), writer, raw_time=True)
                 recs.append({n: raw.get(n, defaults[n]) for n in names})
             yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
 

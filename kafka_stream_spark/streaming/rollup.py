@@ -52,15 +52,21 @@ class HllRegisterMaintainer:
             old = spark.read.parquet(self.state_dir).where(
                 F.col("day").isin(touched)
             )
+            # localCheckpoint materializes the merged registers (tiny:
+            # days x 24 x 2^p rows) BEFORE the overwrite so the plan
+            # never reads the path it is rewriting
             merged = (
                 old.unionByName(new)
                 .groupBy("day", "hr", "bucket")
                 .agg(F.max("m_j").alias("m_j"))
+                .localCheckpoint()
             )
-            # rewrite only the touched day partitions
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # rewrite only the touched day partitions; the overwrite mode
+            # is scoped to THIS write (a session-level conf.set here would
+            # leak to every other write in the session)
             (
                 merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("day")
                 .parquet(self.state_dir)
             )

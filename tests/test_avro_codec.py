@@ -251,3 +251,58 @@ def test_logical_types_map_to_spark_types():
     assert st_["e"].dataType == StringType()
     assert st_["fx"].dataType == BinaryType()
     assert st_["t"].dataType == IntegerType()  # Spark has no TIME type
+
+
+def test_time_fields_dataframe_roundtrip(spark):
+    """DataFrame path with time-millis/micros: avro_schema maps these to
+    int/long (Spark has no TIME type), so encode_df/decode_df must keep
+    raw ints at the boundary — the pure-Python path's datetime.time
+    conversion would crash Arrow coercion (decode) and v.hour access
+    (encode)."""
+    from kafka_stream_spark.functions.avro_schema import from_avro_json
+    import json
+
+    sch = {
+        "type": "record",
+        "name": "timed",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+        ],
+    }
+    spark_schema = from_avro_json(json.dumps(sch))
+    assert [f.dataType.simpleString() for f in spark_schema.fields] == [
+        "bigint", "int", "bigint",
+    ]
+    rows = [(1, 13 * 3600_000 + 500, 13 * 3600_000_000 + 500_000),
+            (2, 0, 0), (3, 86_399_999, 86_399_999_999)]
+    src = spark.createDataFrame(rows, spark_schema)
+    framed = avro_codec.encode_df(src, sch, schema_id=11)
+    back = avro_codec.decode_df(framed, sch, spark_schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_pure_python_time_still_datetime():
+    """The non-DataFrame path keeps datetime.time semantics (round-trip
+    covered by test_logical_types_roundtrip); raw_time only changes the
+    DataFrame boundary."""
+    sch = {"type": "record", "name": "t", "fields": [
+        {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}}]}
+    rec = {"tm": _dt.time(12, 34, 56, 789000)}
+    out = avro_codec.decode_record(avro_codec.encode_record(rec, sch), sch)
+    assert out == rec
+
+
+def test_decimal_encode_rejects_precision_loss():
+    """A value finer than the declared scale must raise, not silently
+    round on the wire (Avro Java library behavior)."""
+    import pytest
+
+    sch = {"type": "record", "name": "d", "fields": [
+        {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 10, "scale": 4}}]}
+    ok = {"x": _decimal.Decimal("1.2345")}
+    assert avro_codec.decode_record(avro_codec.encode_record(ok, sch), sch) == ok
+    with pytest.raises(ValueError, match="scale"):
+        avro_codec.encode_record({"x": _decimal.Decimal("1.23456")}, sch)

@@ -117,3 +117,21 @@ def test_topic_configs_match_reference(spark):
     assert cfg["telecom_italia_grid"]["cleanup"] == "compact"
     assert cfg["reddit_posts"]["partitions"] == 5
     assert sum(c["partitions"] for c in cfg.values()) == 16
+
+
+def test_documents_token_cap_invariant():
+    """Nine oracles tokenize positionally via generate_series(1, 200)
+    (kwic/bigram-LM/substring-dedup/DSIR/repetition/...): DuckDB silently
+    ignores tokens past position 200 while the Spark side is unbounded,
+    so oracle parity REQUIRES every document to stay <= 200 tokens.
+    Assert that testdata invariant per SF so a corpus change fails loudly
+    instead of silently diverging the engines."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = con.sql(
+            "SELECT max(len(string_split(text, ' '))) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert mx <= 200, f"{sf}: max tokens {mx} > 200 — oracles now diverge"

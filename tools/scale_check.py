@@ -15,15 +15,18 @@ Output: one JSON line per query:
 from __future__ import annotations
 
 import json
+import os
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from kafka_stream_spark.registry import load_all
 from kafka_stream_spark.session import get_spark
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+_TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+SFS = [f"{_TESTDATA}/sf0.001", f"{_TESTDATA}/sf0.01", f"{_TESTDATA}/sf0.1"]
 
 
 def main() -> None:
