@@ -1,0 +1,259 @@
+"""Confluent REST-Proxy-shaped HTTP shim over the engine's topic layer
+(S9: the last user-facing ingestion entry point).
+
+Covers the v1 surface the reference's integration tests exercise
+(kafka-tests.yml:35-43 Avro, :67-71 JSON, :95-113 binary b64):
+
+  POST   /topics/{topic}                      produce (avro/json/binary)
+  POST   /consumers/{group}                   create consumer instance
+  GET    /consumers/{group}/instances/{name}/topics/{topic}   consume
+  DELETE /consumers/{group}/instances/{name}  delete instance
+
+Design: HTTP ingestion is an edge/driver concern — the handler only
+parses + encodes records; the append itself is a Spark write through
+``FileTopic`` (keyed partition assignment, monotonic offsets), so the
+storage semantics are identical to every other producer in the engine.
+Avro values register their writer schema in the in-repo SchemaRegistry
+and go to the wire Confluent-framed, so a consumer (HTTP or Spark
+``decode_df``) can resolve the schema from the frame — the same
+contract the reference's proxy+registry pair implements.
+
+Consumer instances hold per-(topic, partition) committed offsets in
+memory (one process, like the proxy's instance affinity); each GET
+returns records past the committed offsets and advances them —
+at-least-once on crash, exactly the proxy's v1 semantics.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from kafka_stream_spark.functions import avro_codec
+from kafka_stream_spark.functions.avro_schema import from_avro_json
+from kafka_stream_spark.schema_registry import SchemaRegistry
+from kafka_stream_spark.sources.topics import FileTopic
+
+_CT_PREFIX = "application/vnd.kafka."
+
+
+@dataclass
+class _Consumer:
+    fmt: str
+    offsets: dict[tuple[str, int], int] = field(default_factory=dict)
+
+
+class RestProxy:
+    """The engine-side state behind the HTTP handler."""
+
+    def __init__(self, spark: SparkSession, topic_root: str,
+                 registry: SchemaRegistry | None = None, partitions: int = 4):
+        self.spark = spark
+        self.topic_root = topic_root
+        self.partitions = partitions
+        self.registry = registry or SchemaRegistry()
+        self._avro_schemas: dict[int, dict] = {}  # schema id → avro json dict
+        self._consumers: dict[tuple[str, str], _Consumer] = {}
+        self._lock = threading.Lock()
+
+    def _topic(self, name: str) -> FileTopic:
+        return FileTopic(self.spark, self.topic_root, name,
+                         partitions=self.partitions)
+
+    # -- produce -----------------------------------------------------------
+
+    def produce(self, topic: str, fmt: str, body: dict) -> dict:
+        records = body.get("records", [])
+        resp: dict = {}
+        if fmt == "avro":
+            schema = json.loads(body["value_schema"])
+            sid = self.registry.register(
+                f"{topic}-value", from_avro_json(body["value_schema"])
+            )
+            self._avro_schemas[sid] = schema
+            resp["value_schema_id"] = sid
+            frame = b"\x00" + sid.to_bytes(4, "big")
+            vals = [
+                frame + avro_codec.encode_record(r["value"], schema)
+                for r in records
+            ]
+        elif fmt == "json":
+            vals = [json.dumps(r["value"]).encode() for r in records]
+        elif fmt == "binary":
+            vals = [base64.b64decode(r["value"]) for r in records]
+        else:
+            raise ValueError(f"unsupported embedded format {fmt!r}")
+        keys = [
+            r.get("key") if fmt != "binary"
+            else (base64.b64decode(r["key"]) if r.get("key") else None)
+            for r in records
+        ]
+        key_bytes = [
+            None if k is None
+            else (k if isinstance(k, bytes) else json.dumps(k).encode())
+            for k in keys
+        ]
+        df = self.spark.createDataFrame(
+            list(zip(key_bytes, vals)), "key binary, value binary"
+        )
+        ft = self._topic(topic)
+        with self._lock:  # offset assignment reads current maxima
+            before = (
+                {r.partition: r.offset for r in ft.read()
+                 .groupBy("partition").max("offset")
+                 .withColumnRenamed("max(offset)", "offset").collect()}
+                if ft.exists() else {}
+            )
+            ft.append(df)
+            after = (
+                ft.read().groupBy("partition").max("offset")
+                .withColumnRenamed("max(offset)", "offset").collect()
+            )
+        resp["offsets"] = [
+            {"partition": int(r.partition), "offset": int(r.offset)}
+            for r in after
+            if before.get(r.partition, -1) < r.offset
+        ]
+        return resp
+
+    # -- consumers ---------------------------------------------------------
+
+    def create_consumer(self, group: str, body: dict) -> dict:
+        name = body["name"]
+        with self._lock:
+            self._consumers[(group, name)] = _Consumer(
+                fmt=body.get("format", "binary")
+            )
+        return {
+            "instance_id": name,
+            "base_uri": f"/consumers/{group}/instances/{name}",
+        }
+
+    def delete_consumer(self, group: str, name: str) -> None:
+        with self._lock:
+            self._consumers.pop((group, name), None)
+
+    def consume(self, group: str, name: str, topic: str) -> list[dict]:
+        with self._lock:
+            cons = self._consumers[(group, name)]
+            committed = dict(cons.offsets)
+        ft = self._topic(topic)
+        if not ft.exists():
+            return []
+        rows = sorted(
+            ft.read().collect(), key=lambda r: (r.partition, r.offset)
+        )
+        out, new_offsets = [], dict(committed)
+        for r in rows:
+            if r.offset <= committed.get((topic, r.partition), -1):
+                continue
+            out.append(self._render(cons.fmt, r))
+            new_offsets[(topic, r.partition)] = r.offset
+        with self._lock:
+            cons.offsets.update(new_offsets)
+        return out
+
+    def _render(self, fmt: str, r) -> dict:
+        rec = {"partition": int(r.partition), "offset": int(r.offset)}
+        if fmt == "avro":
+            sid = int.from_bytes(bytes(r.value)[1:5], "big")
+            rec["value"] = avro_codec.decode_record(
+                bytes(r.value)[5:], self._avro_schemas[sid]
+            )
+            rec["key"] = json.loads(bytes(r.key)) if r.key is not None else None
+        elif fmt == "json":
+            rec["value"] = json.loads(bytes(r.value))
+            rec["key"] = json.loads(bytes(r.key)) if r.key is not None else None
+        else:
+            rec["value"] = base64.b64encode(bytes(r.value)).decode()
+            rec["key"] = (
+                base64.b64encode(bytes(r.key)).decode()
+                if r.key is not None else None
+            )
+        return rec
+
+
+def _make_handler(proxy: RestProxy):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/vnd.kafka.v1+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def _fmt_from_content_type(self) -> str:
+            ct = self.headers.get("Content-Type", "")
+            if ct.startswith(_CT_PREFIX):
+                rest = ct[len(_CT_PREFIX):]  # e.g. "avro.v1+json"
+                return rest.split(".", 1)[0]
+            return "binary"
+
+        def do_POST(self):
+            parts = self.path.strip("/").split("/")
+            try:
+                if parts[0] == "topics" and len(parts) == 2:
+                    fmt = self._fmt_from_content_type()
+                    self._send(200, proxy.produce(parts[1], fmt, self._body()))
+                elif parts[0] == "consumers" and len(parts) == 2:
+                    self._send(200, proxy.create_consumer(parts[1], self._body()))
+                else:
+                    self._send(404, {"error_code": 40401, "message": "not found"})
+            except Exception as e:  # proxy-style error envelope
+                self._send(500, {"error_code": 50002, "message": str(e)})
+
+        def do_GET(self):
+            parts = self.path.strip("/").split("/")
+            try:
+                if (len(parts) == 6 and parts[0] == "consumers"
+                        and parts[2] == "instances" and parts[4] == "topics"):
+                    self._send(200, proxy.consume(parts[1], parts[3], parts[5]))
+                else:
+                    self._send(404, {"error_code": 40401, "message": "not found"})
+            except KeyError as e:
+                self._send(404, {"error_code": 40403, "message": str(e)})
+            except Exception as e:
+                self._send(500, {"error_code": 50002, "message": str(e)})
+
+        def do_DELETE(self):
+            parts = self.path.strip("/").split("/")
+            if (len(parts) == 4 and parts[0] == "consumers"
+                    and parts[2] == "instances"):
+                proxy.delete_consumer(parts[1], parts[3])
+                self._send(204, {})
+            else:
+                self._send(404, {"error_code": 40401, "message": "not found"})
+
+    return Handler
+
+
+class RestProxyServer:
+    """Threaded HTTP server wrapper; ``port=0`` picks an ephemeral port."""
+
+    def __init__(self, proxy: RestProxy, host: str = "127.0.0.1", port: int = 0):
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(proxy))
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+
+    def start(self) -> "RestProxyServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
