@@ -22,18 +22,27 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     description: str = ""
     bench: bool = False  # include in bench.py headline suite
+    #: golden-backed oracles embed frozen selections for ONE sf dir (the
+    #: driver gate's sf0.01); other SFs fall back to rows-only checks
+    oracle_sf: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, description: str = "", bench: bool = False):
+def query(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    bench: bool = False,
+    oracle_sf: str | None = None,
+):
     """Decorator registering a (builder, oracle) pair under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, description, bench)
+        QUERIES[name] = QuerySpec(name, fn, oracle, description, bench, oracle_sf)
         return fn
 
     return deco
@@ -62,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_deep,
         tpch_partsupp,
         sequence_stats,
+        sketches_cms,
         sketches_kmv,
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401

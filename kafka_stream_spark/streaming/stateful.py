@@ -24,6 +24,9 @@ Ready-made processors:
   as-of join — both sides buffered in watermark-bounded state, each
   purchase finalized (append-mode, exactly once) only when the
   watermark proves its attribution can't change.
+- ``cms_tracker``: count-min sketch row maintainer — fixed-width
+  counter state per hash row, hash-compatible with the batch
+  ``cms_heavy_hitters`` so streamed counters equal batch counters.
 
 Scale: state lives in the state store (set RocksDB via
 ``session.enable_rocksdb_state`` for big keyspaces); keys are hash-
@@ -39,6 +42,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -639,4 +643,54 @@ def decayed_counter(grouped, key_col: str, ts_us_col: str, halflife_us: float) -
 
     return grouped.applyInPandasWithState(
         fn, DECAY_SCHEMA, _DECAY_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch tracker — streaming twin of operators.sketches_cms
+# ---------------------------------------------------------------------------
+
+CMS_SCHEMA = StructType(
+    [
+        StructField("j", LongType()),
+        StructField("counters", ArrayType(LongType())),
+        StructField("total", LongType()),
+    ]
+)
+_CMS_STATE = "counters ARRAY<LONG>"
+
+
+def cms_tracker(grouped, key_col: str, w: int = 256) -> DataFrame:
+    """Streaming count-min row maintainer.
+
+    ``grouped`` is the stream pre-exploded to one row per (hash-row j,
+    key) and grouped by ``j`` — each of the d hash rows is ONE state key
+    holding a fixed w-length counter array, so total state is d x w
+    longs forever (the sketch property that makes a frequency dashboard
+    run unbounded). Buckets use the same md5('cms{j}:{key}') derivation
+    as the batch ``cms_heavy_hitters``: a streamed counter row merged
+    (element-wise summed) with a batch-built row is meaningful, and the
+    multi-batch test asserts streamed state equals the batch counters
+    over the union of all micro-batches.
+    """
+    import hashlib
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        j = int(key[0])
+        counters = list(state.get[0]) if state.exists else [0] * w
+        for pdf in pdfs:
+            for v in pdf[key_col]:
+                b = int(
+                    hashlib.md5(f"cms{j}:{v}".encode()).hexdigest()[:15], 16
+                ) % w
+                counters[b] += 1
+        state.update((counters,))
+        yield pd.DataFrame(
+            {"j": [j], "counters": [counters], "total": [int(sum(counters))]}
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, CMS_SCHEMA, _CMS_STATE, "update", GroupStateTimeout.NoTimeout
     )
