@@ -14,12 +14,24 @@ import sys
 
 
 def load(path: str) -> dict:
+    """Accept bench.py's one-JSON-line output OR the driver's BENCH_r{N}
+    wrapper ({"n", "rc", ..., "parsed": {bench json}})."""
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-    raise SystemExit(f"no JSON line found in {path}")
+        text = f.read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict):
+            if "queries" in doc:
+                return doc
+            if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+                return doc["parsed"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    raise SystemExit(f"no bench JSON found in {path}")
 
 
 def main() -> int:
