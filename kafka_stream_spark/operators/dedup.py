@@ -116,6 +116,60 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_canonical_documents",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c
+      FROM documents
+    )
+    SELECT md5(c) AS canon_hash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies,
+           CAST(count(*) FILTER (WHERE c = '') AS BIGINT) AS n_empty
+    FROM canon
+    GROUP BY canon_hash
+    ORDER BY canon_hash
+    """,
+    description=(
+        "Canonicalization dedup (the near-exact pass between exact and "
+        "fuzzy): lowercase, strip non-alphanumerics, collapse whitespace, "
+        "THEN hash-groupBy — catches trivially-reformatted copies exact "
+        "dedup misses without any pairwise work"
+    ),
+)
+def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every production corpus pipeline runs this pass before fuzzy
+    dedup: most 'near'-duplicates differ only in case/punctuation/
+    whitespace, and normalizing first lets the O(n) hash-groupBy absorb
+    them so the expensive LSH stage sees a smaller, genuinely-fuzzy
+    residue. Pure map + one groupBy — identical scale shape to exact
+    dedup. Normalization is plain ASCII-class regex (engine-identical);
+    Unicode NFC would be the production extension point.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), F.lit("[^a-z0-9 ]"), F.lit(" ")),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    return (
+        documents.select("doc_id", canon.alias("c"))
+        .groupBy(F.md5(F.col("c").cast("binary")).alias("canon_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum(F.when(F.col("c") == "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty"),
+        )
+        .orderBy("canon_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (exact pairwise via posting-list join)
 # ---------------------------------------------------------------------------

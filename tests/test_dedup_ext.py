@@ -118,3 +118,31 @@ def test_prefix_verify_is_candidate_bounded(spark, sf_dir):
     assert len(self_joins) == 1, plan
     assert "LeftSemi" not in plan, plan
     assert "array_intersect" in plan, plan
+
+
+def test_canonical_dedup_merges_reformatted_copies(spark):
+    """Constructed variants that exact hashing keeps apart must collapse
+    to one canonical group: case, punctuation, and whitespace-run
+    differences (the testdata corpus has no such pairs, so the merge
+    semantics are pinned here)."""
+    from kafka_stream_spark.operators.dedup import dedup_canonical_documents
+    import tempfile, os
+
+    rows = [
+        (1, "Hello, World!  This is FINE."),
+        (2, "hello world this is fine"),
+        (3, "hello   world... THIS is fine"),
+        (4, "a genuinely different document"),
+        (5, "!!!"),  # canonicalizes to empty
+        (6, "???"),  # also empty -> merges with 5
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = dedup_canonical_documents(spark, d).collect()
+    by_keeper = {r.keeper_doc_id: r for r in out}
+    assert len(out) == 3  # {1,2,3}, {4}, {5,6}
+    assert by_keeper[1].n_copies == 3 and by_keeper[1].n_empty == 0
+    assert by_keeper[4].n_copies == 1
+    assert by_keeper[5].n_copies == 2 and by_keeper[5].n_empty == 2

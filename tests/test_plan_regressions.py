@@ -190,3 +190,35 @@ def test_hll_rollup_reuses_cached_registers(spark, sf_dir):
     # FileScan, so assert the InMemoryTableScan reuse directly.
     p = plan_of(spark, sf_dir, "hll_window_rollup")
     assert p.count("InMemoryTableScan") >= 2, p[:1500]
+
+
+def test_cms_counter_table_broadcasts(spark, sf_dir):
+    """The d x w counter table must broadcast-join onto the keys (never
+    shuffle the keys against it), and both aggregates must have partial
+    (map-side) HashAggregate stages."""
+    p = plan_of(spark, sf_dir, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k without global sort
+    assert p.count("HashAggregate") >= 4  # partial+final for counters+truth
+
+
+def test_q2_min_cost_join_is_integer_keyed(spark, sf_dir):
+    """Q2's correlated-min rewrite: the only cross join allowed is the
+    1-row supplier-count broadcast inside partsupp generation; the
+    min-cost equality joins on integer cents."""
+    p = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in p
+    nlj = [l for l in p.splitlines() if "BroadcastNestedLoopJoin" in l]
+    # the partsupp subtree appears in both the costs and mins branches,
+    # each with its 1-row supplier-count crossJoin; nothing else may NLJ
+    assert len(nlj) <= 2 and all("Cross" in l for l in nlj), p
+
+
+def test_partsupp_generation_is_map_only(spark, sf_dir):
+    """The synthesized dim must not shuffle: part scan -> 1-row count
+    broadcast -> explode, all in one stage."""
+    from kafka_stream_spark.operators.tpch_partsupp import partsupp_df
+
+    p = partsupp_df(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    assert "Generate explode" in p
