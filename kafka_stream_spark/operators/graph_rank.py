@@ -1,0 +1,127 @@
+"""PageRank over the part co-occurrence graph — a fixed-iteration
+iterative algorithm that is still EXACTLY oracle-checkable.
+
+The usual reason iterative algorithms escape cross-engine verification
+is float drift across iterations. Here every rank lives in integer
+micro-units (RANK_SCALE = 1e9 per unit mass), per-edge contributions
+are floor divisions, and the damping update is integer times-85-div-100
+— so Spark's 5-iteration loop and a DuckDB query with the same five
+steps unrolled as chained CTEs produce bit-identical BIGINTs. The
+price is floor-rounding mass leakage (~outdeg ulps per node per step),
+which is a deterministic property of the operator, not noise.
+
+Graph: undirected part co-occurrence (parts sharing an order), the same
+edge generation as ``part_cooccurrence_lift`` — per-order pair join
+bounded by basket width squared, never |parts|^2. Degrees and rank
+tables are |parts|-sized; each iteration is one (edge join + groupBy)
+— the standard distributed power-iteration shape, 5 rounds of it.
+
+Public-algorithm citation: Brin & Page 1998; the integer-arithmetic
+determinism trick is the same micro-unit pattern used by
+``lm_bigram_logprob`` / ``attribution_linear`` in this repo.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000  # one unit of rank mass, as BIGINT micro-units
+_PR_BASE = _PR_SCALE * 15 // 100  # (1-d) teleport mass, precomputed exactly
+_PR_TOPK = 25
+
+
+def _duck_iter(i: int) -> str:
+    """One unrolled power-iteration step: r{i} from r{i-1}."""
+    return f"""
+    contrib{i} AS (
+      SELECT e.dst AS part, sum(r.r // d.outdeg) AS c
+      FROM edges e
+      JOIN r{i - 1} r ON r.part = e.src
+      JOIN degs d ON d.part = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT d.part,
+             {_PR_BASE} + coalesce(c.c, 0) * 85 // 100 AS r
+      FROM degs d LEFT JOIN contrib{i} c ON c.part = d.part
+    )"""
+
+
+@query(
+    "pagerank_parts",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY src, dst
+    ),
+    degs AS (SELECT src AS part, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT part, CAST({_PR_SCALE} AS BIGINT) AS r FROM degs),
+    {",".join(_duck_iter(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT part AS l_partkey, CAST(r AS BIGINT) AS rank_u
+    FROM r{_PR_ITERS}
+    ORDER BY rank_u DESC, l_partkey
+    LIMIT {_PR_TOPK}
+    """,
+    description=(
+        f"PageRank ({_PR_ITERS} power iterations, damping 0.85) over the "
+        "part co-occurrence graph in exact integer micro-units — an "
+        "iterative algorithm with a bit-exact cross-engine oracle "
+        "(unrolled-CTE DuckDB twin)"
+    ),
+)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration. Per round: join ranks to edges on
+    src (both hash-partitioned on the part key, so AQE keeps one
+    exchange each), floor-divide by out-degree, groupBy dst with
+    map-side combine, damp in integer arithmetic. localCheckpoint per
+    round keeps the plan linear in iterations instead of exponential
+    (sharp edge #10 in NOTES.md)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).select(
+        F.col("src").alias("part"), "outdeg"
+    )
+    ranks = degs.select("part", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("part").alias("src"), "r"), "src"
+            )
+            .join(degs.select(F.col("part").alias("src"), "outdeg"), "src")
+            .select("dst", F.expr("r div outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            degs.select("part")
+            .join(contrib.select(F.col("dst").alias("part"), "c"), "part", "left")
+            .select("part", F.coalesce("c", F.lit(0)).alias("c"))
+            .select(
+                "part",
+                (F.lit(_PR_BASE).cast("bigint") + F.expr("c * 85 div 100"))
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(F.col("part").alias("l_partkey"), F.col("r").alias("rank_u"))
+        .orderBy(F.desc("rank_u"), "l_partkey")
+        .limit(_PR_TOPK)
+    )

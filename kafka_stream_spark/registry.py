@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_ext,
         components,
         event_analytics,
+        graph_rank,
         timeseries,
         olap_ext,
         search,
