@@ -67,50 +67,6 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cube_returnflag_status",
-    oracle="""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
-             AS grp_id,
-           count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY grp_id, returnflag, linestatus
-    """,
-    description=(
-        "CUBE over (returnflag, linestatus): all 2^2 grouping sets with "
-        "grouping ids in one pass — the OLAP lattice companion to "
-        "rollup_order_status"
-    ),
-)
-def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalyst expands CUBE into a single Expand + one aggregate — every
-    grouping set shares one scan and one exchange (4 x |groups| rows),
-    the same plan shape a hand-written UNION ALL of four groupBys would
-    need four scans for."""
-    (lineitem,) = load(spark, sf_dir, "lineitem")
-    return (
-        lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().cast("bigint").alias("grp_id"),
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "grp_id",
-            "n",
-            "revenue",
-        )
-        .orderBy("grp_id", "returnflag", "linestatus")
-    )
-
-
-@query(
     "union_event_streams",
     oracle="""
     SELECT kind, count(*) AS n, round(sum(value), 2) AS sum_value
