@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_partsupp,
         sequence_stats,
         sketches_cms,
+        sketches_histogram,
         sketches_kmv,
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401

@@ -97,3 +97,23 @@ def test_rrf_fusion_is_consistent(spark, sf_dir):
                 b.cos_rank or _RRF_DEPTH for b in both
             ):
                 assert s.rrf_score <= best_both
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """In-bin interpolation can never be off by more than one bin width
+    (the sketch's deterministic error bound)."""
+    from kafka_stream_spark.operators._common import load
+    from kafka_stream_spark.operators.sketches_histogram import (
+        _HB,
+        histogram_quantile_sketch,
+    )
+    import pyspark.sql.functions as F
+
+    rows = histogram_quantile_sketch(spark, sf_dir).collect()
+    assert [r.q for r in rows] == [0.5, 0.9, 0.99]
+    (events,) = load(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("value"), F.max("value")).first()
+    bin_w = (hi - lo) / _HB
+    for r in rows:
+        assert r.abs_err <= bin_w, (r.q, r.abs_err, bin_w)
+        assert r.est_value >= lo and r.est_value <= hi
