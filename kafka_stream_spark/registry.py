@@ -72,7 +72,6 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_deep,
         tpch_partsupp,
         sequence_stats,
-        sketches_cms,
         sketches_histogram,
         sketches_kmv,
     )

@@ -26,7 +26,7 @@ Ready-made processors:
   watermark proves its attribution can't change.
 - ``cms_tracker``: count-min sketch row maintainer — fixed-width
   counter state per hash row, hash-compatible with the batch
-  ``cms_heavy_hitters`` so streamed counters equal batch counters.
+  ``heavy_hitters_cms`` so streamed counters equal batch counters.
 
 Scale: state lives in the state store (set RocksDB via
 ``session.enable_rocksdb_state`` for big keyspaces); keys are hash-
@@ -668,7 +668,7 @@ def cms_tracker(grouped, key_col: str, w: int = 256) -> DataFrame:
     holding a fixed w-length counter array, so total state is d x w
     longs forever (the sketch property that makes a frequency dashboard
     run unbounded). Buckets use the same md5('cms{j}:{key}') derivation
-    as the batch ``cms_heavy_hitters``: a streamed counter row merged
+    as the batch ``heavy_hitters_cms``: a streamed counter row merged
     (element-wise summed) with a batch-built row is meaningful, and the
     multi-batch test asserts streamed state equals the batch counters
     over the union of all micro-batches.

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 import pytest
 from pyspark.sql.types import LongType, StructField, StructType
 
-from kafka_stream_spark.operators.sketches_cms import _CMS_D, _CMS_W
+from kafka_stream_spark.operators.analytics_ext import _CMS_D, _CMS_W
 from kafka_stream_spark.streaming.stateful import cms_tracker
 
 EV_SCHEMA = StructType([StructField("user_id", LongType())])
