@@ -27,6 +27,9 @@ Ready-made processors:
 - ``cms_tracker``: count-min sketch row maintainer — fixed-width
   counter state per hash row, hash-compatible with the batch
   ``heavy_hitters_cms`` so streamed counters equal batch counters.
+- ``histogram_tracker``: fixed-bin histogram maintainer over a frozen
+  [lo, hi] — per-shard counter arrays whose element-wise sum is the
+  global histogram (the mergeable streaming quantile state).
 
 Scale: state lives in the state store (set RocksDB via
 ``session.enable_rocksdb_state`` for big keyspaces); keys are hash-
@@ -693,4 +696,57 @@ def cms_tracker(grouped, key_col: str, w: int = 256) -> DataFrame:
 
     return grouped.applyInPandasWithState(
         fn, CMS_SCHEMA, _CMS_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# histogram tracker — streaming twin of operators.sketches_histogram
+# ---------------------------------------------------------------------------
+
+HIST_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("counters", ArrayType(LongType())),
+        StructField("total", LongType()),
+    ]
+)
+_HIST_STATE = "counters ARRAY<LONG>"
+
+
+def histogram_tracker(
+    grouped, value_col: str, lo: float, hi: float, bins: int = 128
+) -> DataFrame:
+    """Streaming fixed-bin histogram maintainer.
+
+    ``grouped`` is the stream grouped by a shard key (any hash of the
+    value works — shards exist for parallelism, not semantics); each
+    shard holds its own ``bins``-length counter array, and the global
+    histogram at read time is the element-wise sum over shards — the
+    mergeability that makes fixed-bin histograms THE streaming quantile
+    state (same bin rule as the batch ``histogram_quantile_sketch``:
+    equal width over a FROZEN [lo, hi] — streaming can't re-derive
+    extremes per batch without rewriting history, so the range is a
+    declared parameter here, exactly how production t-digest/KLL
+    deployments freeze their scale)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counters = list(state.get[0]) if state.exists else [0] * bins
+        width = (hi - lo) / bins
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                b = min(int((float(v) - lo) / width), bins - 1) if width > 0 else 0
+                counters[max(0, b)] += 1
+        state.update((counters,))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "counters": [counters],
+                "total": [int(sum(counters))],
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, HIST_SCHEMA, _HIST_STATE, "update", GroupStateTimeout.NoTimeout
     )

@@ -76,3 +76,48 @@ def test_cms_tracker_state_equals_batch_counters(spark, batched_users_dir):
     assert est(3) >= true3
     for v in set(users):
         assert est(v) >= users.count(v)
+
+
+def test_histogram_tracker_shards_merge_to_batch_histogram(spark, tmp_path):
+    """Streamed per-shard histograms element-wise summed across shards
+    and batches equal the batch histogram over all rows (mergeability —
+    the property that makes this the streaming quantile state)."""
+    from kafka_stream_spark.streaming.stateful import histogram_tracker
+
+    vals = [float(v % 50) for v in range(90)] + [49.9, 0.0, 25.0]
+    path = str(tmp_path / "vals")
+    schema = StructType([StructField("value", LongType())])  # placeholder
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("value", T.DoubleType())])
+    for i in range(3):
+        chunk = [(v,) for j, v in enumerate(vals) if j % 3 == i]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    lo, hi, bins = 0.0, 50.0, 16
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sharded = stream.withColumn("shard", (F.xxhash64("value") % 4 + 4) % 4)
+    out = histogram_tracker(sharded.groupBy("shard"), "value", lo, hi, bins)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hist_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("SELECT * FROM hist_updates").collect():
+        final[r.shard] = list(r.counters)  # later updates overwrite
+    merged = [sum(c[b] for c in final.values()) for b in range(bins)]
+    width = (hi - lo) / bins
+    expect = [0] * bins
+    for v in vals:
+        expect[min(int((v - lo) / width), bins - 1)] += 1
+    assert merged == expect
+    assert sum(merged) == len(vals)
