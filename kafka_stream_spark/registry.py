@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_more,
         tpch_deep,
         tpch_partsupp,
+        semdedup,
         sequence_stats,
         sketches_histogram,
         sketches_kmv,

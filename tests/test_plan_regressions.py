@@ -221,3 +221,12 @@ def test_partsupp_generation_is_map_only(spark, sf_dir):
     p = partsupp_df(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in p
     assert "Generate explode" in p
+
+
+def test_semdedup_broadcasts_centroids_no_corpus_quadratic(spark, sf_dir):
+    """SemDeDup's assignment must broadcast the k-centroid table (the
+    corpus never shuffles to meet it), and the near-dup pair stage must
+    be a cid equi-join — within-cluster quadratic, never corpus-wide."""
+    p = plan_of(spark, sf_dir, "semdedup_embeddings")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # centroids
+    assert "CartesianProduct" not in p
