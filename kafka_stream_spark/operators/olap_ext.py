@@ -568,3 +568,62 @@ def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("col_a", "col_b")
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT GROUPING(o_orderpriority, o_orderstatus, yr) AS gid,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(CAST(yr AS VARCHAR), 'ALL') AS year,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM (SELECT o_orderpriority, o_orderstatus,
+                 EXTRACT(year FROM o_orderdate) AS yr, o_totalprice
+          FROM orders)
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (yr), ())
+    ORDER BY gid, priority, status, year
+    """,
+    description=(
+        "Arbitrary GROUPING SETS (non-hierarchical: priority / status / "
+        "year / grand total) in ONE scan+exchange via Catalyst's Expand"
+    ),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four independent dashboards from one pass: unlike CUBE/ROLLUP the
+    sets here are NOT hierarchical, which is precisely the case where
+    hand-running four GROUP BYs costs four scans. Catalyst's Expand node
+    replicates each row once per set (4x) into a single partial-agg
+    shuffle — at 100 TB that is one scan + one exchange of pre-combined
+    partials instead of four of each. Money is summed in integer cents
+    (order-independent, no fp summation drift across engines)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        # round BEFORE the bigint cast: DuckDB's double->int cast rounds
+        # while Spark's truncates — the explicit round makes both agree
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        base.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], ["yr"], []],
+            "o_orderpriority", "o_orderstatus", "yr",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("year"),
+            "n_orders",
+            "total_cents",
+        )
+        .orderBy("gid", "priority", "status", "year")
+    )

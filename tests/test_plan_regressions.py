@@ -230,3 +230,12 @@ def test_semdedup_broadcasts_centroids_no_corpus_quadratic(spark, sf_dir):
     p = plan_of(spark, sf_dir, "semdedup_embeddings")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # centroids
     assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_single_expand_exchange(spark, sf_dir):
+    """Four non-hierarchical grouping sets must compile to ONE Expand
+    feeding ONE partial-aggregated exchange — not four scans."""
+    p = plan_of(spark, sf_dir, "grouping_sets_orders")
+    assert p.count("Expand") >= 1
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
