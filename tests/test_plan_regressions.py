@@ -223,13 +223,20 @@ def test_partsupp_generation_is_map_only(spark, sf_dir):
     assert "Generate explode" in p
 
 
-def test_semdedup_broadcasts_centroids_no_corpus_quadratic(spark, sf_dir):
-    """SemDeDup's assignment must broadcast the k-centroid table (the
-    corpus never shuffles to meet it), and the near-dup pair stage must
-    be a cid equi-join — within-cluster quadratic, never corpus-wide."""
+def test_semdedup_assignment_map_only_pairs_cluster_bounded(spark, sf_dir):
+    """SemDeDup's cluster assignment embeds the k centroids as literals
+    and computes the argmax inline — the corpus must NOT shuffle or
+    cross-join to be assigned. The near-dup pair stage must be the
+    per-cluster grouped matmul (FlatMapGroupsInPandas keyed on cid) —
+    within-cluster quadratic, never corpus-wide."""
     p = plan_of(spark, sf_dir, "semdedup_embeddings")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # centroids
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p  # the blocked-matmul pair stage
+    assert "Window" not in p  # assignment argmax is inline, not ranked
+    # exactly one data exchange: the groupBy(cid) feeding the pair stage
+    # (the anti-join reuses the cached assignment + broadcasts drop ids)
+    assert p.count("Exchange hashpartitioning") <= 2
 
 
 def test_grouping_sets_single_expand_exchange(spark, sf_dir):
