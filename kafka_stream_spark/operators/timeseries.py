@@ -540,3 +540,147 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ewma_event_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, list(cents::DOUBLE ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(vals) AS INTEGER) AS n_days,
+           round(list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) / 100, 6)
+             AS ewma_value
+    FROM ser ORDER BY event_type
+    """,
+    description=(
+        "EWMA level forecast per event type: exact integer daily sums, "
+        "then one sequential fold per key — identical fold order in both "
+        "engines (alpha = 0.5 is exact binary) makes an inherently "
+        "recursive statistic cross-engine verifiable"
+    ),
+)
+def ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily value per event
+    type — the standard streaming level estimator, computed batch-side.
+
+    The recursion ewma_t = a*x_t + (1-a)*ewma_{t-1} is sequential in t,
+    so it folds over the per-key ORDERED daily series with `aggregate`
+    (seeded with the first element, exactly like DuckDB's list_reduce).
+    The sequential part is the calendar (30 elements), never the corpus:
+    the corpus-sized work is the daily integer groupBy, which partial-
+    aggregates map-side. Daily sums are exact BIGINT cents, so the fold
+    consumes identical doubles in both engines, in the same order, with
+    exact-binary 0.5 coefficients — bitwise-equal results before the
+    final 6dp round.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    ser = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " s -> cast(s.cents as double))"
+        ).alias("vals")
+    )
+    return ser.select(
+        "event_type",
+        F.size("vals").alias("n_days"),
+        F.round(
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+                " (acc, x) -> 0.5 * x + 0.5 * acc)"
+            )
+            / 100,
+            6,
+        ).alias("ewma_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "kl_drift_event_types",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(min(ts) AS DATE) + CAST(floor(date_diff('day',
+               CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) / 2) AS INTEGER)
+             AS split_day
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             sum(CASE WHEN CAST(ts AS DATE) < split_day THEN 1 ELSE 0 END) AS n_first,
+             sum(CASE WHEN CAST(ts AS DATE) >= split_day THEN 1 ELSE 0 END) AS n_second
+      FROM events CROSS JOIN mid GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n_first) AS t1, sum(n_second) AS t2 FROM counts)
+    SELECT event_type,
+           CAST(n_first AS BIGINT) AS n_first,
+           CAST(n_second AS BIGINT) AS n_second,
+           round(n_first / t1, 6) AS p_first,
+           round(n_second / t2, 6) AS p_second,
+           round((n_second / t2) * ln((n_second / t2) / (n_first / t1)), 6)
+             AS kl_term
+    FROM counts CROSS JOIN tot
+    ORDER BY event_type
+    """,
+    description=(
+        "Distribution-drift monitor: per-type KL divergence terms of the "
+        "second half-window vs the first — emitted per row so no "
+        "cross-row float summation can diverge between engines"
+    ),
+)
+def kl_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift detection for a training-data feed: split the corpus
+    at the midpoint day, compare the event-type distributions, report
+    each type's KL contribution p2*ln(p2/p1) (sum them for the scalar
+    KL; large positive terms name the drifting categories).
+
+    Scale shape: two scans' worth of work collapsed into ONE groupBy
+    with conditional sums (map-side partial), a 1-row broadcast for the
+    split day and totals — the corpus shuffles only the event_type
+    partials. All counts exact integers; ratios rounded at 6dp.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    mid = events.agg(
+        F.expr(
+            "cast(min(ts) as date) + cast(floor("
+            "datediff(cast(max(ts) as date), cast(min(ts) as date)) / 2) as int)"
+        ).alias("split_day")
+    )
+    counts = (
+        events.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") < F.col("split_day"), 1).otherwise(0)
+            ).alias("n_first"),
+            F.sum(
+                F.when(F.to_date("ts") >= F.col("split_day"), 1).otherwise(0)
+            ).alias("n_second"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_first").alias("t1"), F.sum("n_second").alias("t2")
+    )
+    p1 = F.col("n_first") / F.col("t1")
+    p2 = F.col("n_second") / F.col("t2")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            F.round(p1, 6).alias("p_first"),
+            F.round(p2, 6).alias("p_second"),
+            F.round(p2 * F.log(p2 / p1), 6).alias("kl_term"),
+        )
+        .orderBy("event_type")
+    )

@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_ext,
         curation_ext,
         components,
+        entity_resolution,
         event_analytics,
         graph_rank,
         timeseries,
