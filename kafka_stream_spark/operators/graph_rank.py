@@ -125,3 +125,103 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_u"), "l_partkey")
         .limit(_PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation — synchronous community detection, exactly verifiable
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 4
+_LP_TOPK = 25
+
+
+def _lp_duck_iter(i: int) -> str:
+    """One unrolled synchronous round: each node takes the MODE of its
+    neighbours' labels (count desc, then smallest label — both integer
+    tie-breaks, so the round is deterministic)."""
+    return f"""
+    votes{i} AS (
+      SELECT e.dst AS part, l.lbl, count(*) AS cnt
+      FROM edges e JOIN lbl{i - 1} l ON l.part = e.src
+      GROUP BY e.dst, l.lbl
+    ),
+    lbl{i} AS (
+      SELECT part, lbl FROM (
+        SELECT part, lbl,
+               row_number() OVER (PARTITION BY part
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM votes{i}) WHERE rn = 1
+    )"""
+
+
+@query(
+    "label_prop_communities",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY src, dst
+    ),
+    lbl0 AS (SELECT DISTINCT src AS part, src AS lbl FROM edges),
+    {",".join(_lp_duck_iter(i) for i in range(1, _LP_ITERS + 1))}
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM lbl{_LP_ITERS}
+    GROUP BY lbl
+    ORDER BY n_members DESC, community
+    LIMIT {_LP_TOPK}
+    """,
+    description=(
+        f"Label-propagation community detection ({_LP_ITERS} synchronous "
+        "rounds, mode-of-neighbours update with integer tie-breaks) — a "
+        "second iterative algorithm with a bit-exact unrolled-CTE oracle"
+    ),
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raghavan et al. 2007 label propagation (public algorithm), the
+    standard near-linear community detector. Synchronous update + full
+    integer tie-breaking (max vote count, then min label) makes every
+    round a pure function of the previous labelling — no RNG, no float,
+    so Spark's loop and the DuckDB unrolled CTEs agree exactly.
+
+    Scale: each round is one edges⋈labels hash join on src plus one
+    (dst, lbl) groupBy with map-side combine — the same per-round cost
+    envelope as PageRank here; labels/votes tables are |V|- and
+    |votes|-sized, never |V|². The mode is computed via ONE aggregate
+    (max over (cnt, -lbl) structs), not a ranking window, so each round
+    costs two exchanges. localCheckpoint per round keeps plans linear
+    (sharp edge #10)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("part")).distinct().select(
+        "part", F.col("part").alias("lbl")
+    )
+    for _ in range(_LP_ITERS):
+        votes = (
+            edges.join(labels.select(F.col("part").alias("src"), "lbl"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct("cnt", (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select(F.col("dst").alias("part"), (-F.col("m.neg")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LP_TOPK)
+    )
