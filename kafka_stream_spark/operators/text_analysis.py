@@ -478,3 +478,71 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fastText-shaped scoring path)
+# ---------------------------------------------------------------------------
+
+# per-token integer weight in [-50, 50] micro-units, derived from md5 so
+# both engines compute the identical model. In production the weight
+# table is a trained model broadcast to executors; the SCORING path —
+# hash token, look up weight, sum — is exactly this expression.
+_W_SPARK = (
+    "cast(conv(substr(md5(cast(concat('w:', t) as binary)), 1, 8), 16, 10)"
+    " as bigint) % 101 - 50"
+)
+_W_DUCK = "(('0x' || substr(md5('w:' || t), 1, 8))::BIGINT) % 101 - 50"
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> {_W_DUCK})) AS BIGINT) AS score_u
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           score_u,
+           CASE WHEN score_u > 0 THEN 1 ELSE 0 END AS quality_pass
+    FROM scored ORDER BY doc_id
+    """,
+    description=(
+        "fastText-shaped quality classifier scoring: hashed bag-of-words "
+        "features x integer weights summed per document in ONE map-only "
+        "expression — zero shuffle, zero UDF"
+    ),
+    bench=True,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-quality scoring by the hashing trick (public: fastText,
+    Joulin et al. 2016; Vowpal Wabbit feature hashing): each token hashes
+    to an integer weight, a document's score is the sum. The whole scorer
+    is one JVM-side expression — transform + aggregate over split() — so
+    the classifier runs at scan speed with NO shuffle, NO Python, and NO
+    per-token row explosion: the right shape for gating a 100 TB corpus.
+    Integer micro-unit weights make the sum order-independent and the
+    oracle exact."""
+    (documents,) = load(spark, sf_dir, "documents")
+    score = F.expr(
+        f"""aggregate(transform(split(text, ' '), t -> {_W_SPARK}),
+                      cast(0 as bigint), (acc, v) -> acc + v)"""
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            score.alias("score_u"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_u",
+            F.when(F.col("score_u") > 0, 1).otherwise(0).alias("quality_pass"),
+        )
+        .orderBy("doc_id")
+    )

@@ -246,3 +246,14 @@ def test_grouping_sets_single_expand_exchange(spark, sf_dir):
     assert p.count("Expand") >= 1
     assert p.count("Scan parquet") == 1
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """The hashed linear scorer must run at scan speed: no exchange, no
+    python runner, no per-token row explosion (the final orderBy's range
+    partitioning is presentation, not data-path, so only assert on the
+    pre-sort shape)."""
+    p = plan_of(spark, sf_dir, "quality_classifier_score")
+    assert "Exchange hashpartitioning" not in p
+    assert "Generate explode" not in p
+    assert "Python" not in p  # no UDF anywhere in the scorer
