@@ -135,3 +135,96 @@ def test_asof_step_matches_bruteforce(rows):
     assert len(out) == len(expect)
     for eid, ts, got_view in out:
         assert got_view == expect[eid], (rows, out)
+
+
+# --- wire codecs added in round 2: RESP, CoAP, FTP replies ----------------
+
+from kafka_stream_spark.sources import coap_codec, ftp_codec, resp_codec
+
+RESP_SCALAR = st.one_of(
+    st.none(),
+    INT64,
+    st.binary(max_size=64),
+    st.text(max_size=64),
+)
+RESP_VALUE = st.recursive(
+    RESP_SCALAR, lambda inner: st.lists(inner, max_size=6), max_leaves=24
+)
+
+
+def _resp_canon(v):
+    """Decoded form: text becomes bytes (bulk strings are binary-safe)."""
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, list):
+        return [_resp_canon(x) for x in v]
+    return v
+
+
+@given(RESP_VALUE)
+@settings(max_examples=200)
+def test_resp_roundtrip(v):
+    frames, rest = resp_codec.decode_stream(resp_codec.encode(v))
+    assert rest == b""
+    assert frames == [_resp_canon(v)]
+
+
+@given(st.lists(RESP_VALUE, min_size=1, max_size=4), st.integers(1, 500))
+@settings(max_examples=100)
+def test_resp_arbitrary_split_boundary(vs, cut):
+    whole = b"".join(resp_codec.encode(v) for v in vs)
+    cut = min(cut, len(whole) - 1)
+    f1, rest = resp_codec.decode_stream(whole[:cut])
+    f2, rest2 = resp_codec.decode_stream(rest + whole[cut:])
+    assert rest2 == b""
+    assert f1 + f2 == [_resp_canon(v) for v in vs]
+
+
+COAP_OPT = st.tuples(
+    st.integers(min_value=0, max_value=2000),
+    st.binary(max_size=300),
+)
+
+
+@given(
+    st.integers(0, 3),
+    st.integers(0, 255),
+    st.integers(0, 0xFFFF),
+    st.binary(max_size=8),
+    st.lists(COAP_OPT, max_size=5),
+    st.binary(min_size=1, max_size=64),
+)
+@settings(max_examples=200)
+def test_coap_roundtrip(mtype, code, mid, token, options, payload):
+    msg = coap_codec.Message(
+        type=mtype, code=code, message_id=mid, token=token,
+        options=sorted(options, key=lambda o: o[0]), payload=payload,
+    )
+    out = coap_codec.decode(coap_codec.encode(msg))
+    assert out == msg
+
+
+FTP_LINE = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", max_codepoint=0xFF),
+    max_size=40,
+)
+
+
+@given(st.integers(100, 599), st.lists(FTP_LINE, min_size=1, max_size=5), st.integers(1, 300))
+@settings(max_examples=150)
+def test_ftp_multiline_reply_any_split(code, inner, cut):
+    body = f"{code}-{inner[0]}\r\n"
+    for line in inner[1:]:
+        if line.startswith(f"{code} "):
+            line = " " + line  # RFC 959 §4.2: servers pad ambiguous lines
+        body += line + "\r\n"
+    body += f"{code} done\r\n"
+    whole = body.encode("latin-1")
+    cut = min(cut, len(whole) - 1)
+    r1, rest = ftp_codec.decode_replies(whole[:cut])
+    r2, rest2 = ftp_codec.decode_replies(rest + whole[cut:])
+    replies = r1 + r2
+    assert rest2 == b""
+    assert len(replies) == 1
+    assert replies[0].code == code
+    assert replies[0].lines[-1] == "done"
