@@ -1,0 +1,120 @@
+"""KCQL-routed connector sinks — one declarative entry point across the
+sink families, mirroring how Stream Reactor connectors are configured:
+a connector = a KCQL statement + a target system + connection details.
+
+``kcql_connector_sink`` parses the KCQL, applies its projection/rename/
+filter to the stream (Catalyst still prunes through it), and routes to
+the family's renderer:
+
+- ``redis``   — cache mode (``SET prefix+pk json``) by default;
+  ``STOREAS SortedSet`` switches to ``ZADD`` with the first PK column as
+  the score (Stream Reactor's documented mode mapping). Records are
+  RESP-encoded per partition and handed to the transport as wire bytes.
+- ``cassandra`` — ``INSERT INTO ks.table`` with the KCQL PK as the
+  partition key (single-partition UNLOGGED batches, `cassandra.py`).
+- ``influx``  — the KCQL target is the measurement; PK columns become
+  tags, remaining non-timestamp columns become fields (`influx.py`).
+- ``elastic`` — the KCQL target is the index; the first PK column is
+  the document id (`elastic.py`).
+
+Each family keeps its own transport seam, so every sink is testable
+without its server and swaps to a real client without touching the
+rendering path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from kafka_stream_spark.plans import kcql
+from kafka_stream_spark.sources import resp_codec
+from kafka_stream_spark.streaming.cassandra import cassandra_sink
+from kafka_stream_spark.streaming.elastic import elastic_sink
+from kafka_stream_spark.streaming.influx import influx_sink
+
+
+def redis_sink(
+    stream: DataFrame,
+    key_col: str,
+    transport,
+    checkpoint: str,
+    prefix: str = "",
+    sorted_set: str | None = None,
+    score_col: str | None = None,
+):
+    """Streaming Redis writer: render commands JVM-side (`resp_codec`
+    cache/sorted-set shapes), RESP-encode per partition, send wire bytes
+    through the transport. At-least-once; SET/ZADD are idempotent."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if sorted_set:
+            rendered = resp_codec.sorted_set_commands(
+                batch_df, sorted_set, score_col or key_col
+            )
+        else:
+            rendered = resp_codec.cache_commands(batch_df, key_col, prefix)
+
+        def send_partition(rows) -> None:
+            buf = bytearray()
+            for r in rows:
+                if sorted_set:
+                    buf += resp_codec.encode_command(
+                        r["cmd"], r["key"], repr(r["score"]), r["value"]
+                    )
+                else:
+                    buf += resp_codec.encode_command(r["cmd"], r["key"], r["value"])
+            if buf:
+                transport(bytes(buf))
+
+        rendered.foreachPartition(send_partition)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
+
+
+def kcql_connector_sink(
+    stream: DataFrame,
+    statement: str,
+    system: str,
+    transport,
+    checkpoint: str,
+    ts_col: str | None = None,
+    ttl: int | None = None,
+):
+    """KCQL statement + system → a started-ready DataStreamWriter."""
+    stmt = kcql.parse(statement)
+    df = kcql.apply(stream, stmt)
+    pk = list(stmt.pk)
+    if system == "redis":
+        if not pk:
+            raise ValueError("redis sink needs PK (the cache key / score)")
+        storeas = (stmt.storeas or "").lower()
+        if storeas == "sortedset":
+            return redis_sink(
+                df, pk[0], transport, checkpoint,
+                sorted_set=stmt.target, score_col=pk[0],
+            )
+        return redis_sink(df, pk[0], transport, checkpoint, prefix=f"{stmt.target}:")
+    if system == "cassandra":
+        if not pk:
+            raise ValueError("cassandra sink needs PK (the partition key)")
+        ks, _, table = stmt.target.partition(".")
+        if not table:
+            raise ValueError(f"cassandra target must be keyspace.table: {stmt.target}")
+        return cassandra_sink(df, ks, table, pk, transport, checkpoint, ttl=ttl)
+    if system == "influx":
+        if not ts_col:
+            raise ValueError("influx sink needs ts_col")
+        fields = [c for c in df.columns if c not in pk and c != ts_col]
+        return influx_sink(
+            df, stmt.target, pk, fields, ts_col, transport, checkpoint
+        )
+    if system == "elastic":
+        return (
+            elastic_sink(df, stmt.target, transport, id_col=pk[0] if pk else None)
+            .option("checkpointLocation", checkpoint)
+        )
+    raise ValueError(f"unknown connector system: {system}")
