@@ -546,3 +546,50 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_stats_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           round(avg(n_toks), 6) AS avg_tokens,
+           round(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_toks, 0.9), 6) AS p90_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM d GROUP BY source ORDER BY source
+    """,
+    description=(
+        "Dataset-card rollup per source: doc/token counts, interpolated "
+        "token-length percentiles (Spark percentile == DuckDB "
+        "quantile_cont, verified), language spread — ONE groupBy"
+    ),
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary table a data card / mixing decision starts from. One
+    scan, one groupBy with map-side partials; exact percentiles are the
+    one non-mergeable piece (they buffer per-group values), which is
+    fine per SOURCE (group count is small); at petabyte scale swap
+    percentile -> the mergeable histogram sketch
+    (`histogram_quantile_sketch`) with identical output shape."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = documents.select(
+        "source", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+            F.round(F.expr("percentile(n_toks, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_toks, 0.9)"), 6).alias("p90_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
