@@ -148,3 +148,107 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("replace(pair, ' ', '')").alias("merged"),
         F.col("cnt").cast("bigint").alias("support"),
     ).orderBy("round")
+
+
+@query(
+    "bpe_compression_by_source",
+    oracle=f"""
+    WITH wf AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    words0 AS (
+      SELECT w, freq,
+             concat(' ', array_to_string(string_split(w, ''), ' '), ' ') AS s
+      FROM wf
+    ),
+    {",".join(_duck_round(i) for i in range(1, _BPE_ROUNDS + 1))},
+    sym AS (
+      SELECT w, len(string_split(trim(s), ' ')) AS n_sym, length(w) AS n_chars
+      FROM words{_BPE_ROUNDS}
+    ),
+    docw AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_sym) AS BIGINT) AS total_bpe_tokens,
+           round(sum(n_chars) / sum(n_sym), 6) AS compression
+    FROM docw JOIN sym USING (w)
+    GROUP BY source ORDER BY source
+    """,
+    description=(
+        "BPE APPLY path: encode the corpus with the learned merges and "
+        "report per-source token compression — the tokenizer-throughput "
+        "side of vocabulary training"
+    ),
+)
+def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying BPE at scale is a broadcast join: the (vocab-sized)
+    symbol-count table joins the exploded corpus words — the corpus
+    never shuffles; per-source sums partial-aggregate map-side. The
+    learned merges come from the same 3-round loop as
+    ``bpe_learned_merges`` (deterministic, so both queries agree on the
+    vocabulary)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    wf = (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = wf.select(
+        "w",
+        "freq",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)),"
+            " i -> substr(w, i, 1)), ' '), ' ')"
+        ).alias("s"),
+    ).localCheckpoint()
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            words.select("freq", F.split(F.trim("s"), " ").alias("arr"))
+            .where(F.size("arr") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1),"
+                        " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        words = (
+            words.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                "w",
+                "freq",
+                F.expr(
+                    "replace(s, concat(' ', pair, ' '),"
+                    " concat(' ', replace(pair, ' ', ''), ' '))"
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    sym = words.select(
+        "w",
+        F.size(F.split(F.trim("s"), " ")).alias("n_sym"),
+        F.length("w").alias("n_chars"),
+    )
+    docw = documents.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        docw.join(F.broadcast(sym), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_sym").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_sym"), 6).alias("compression"),
+        )
+        .orderBy("source")
+    )
