@@ -684,3 +684,121 @@ def kl_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "kaplan_meier_repurchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(day) AS max_day FROM p),
+    gaps AS (
+      SELECT user_id, day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+      FROM p
+    ),
+    dur AS (
+      SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', day, nxt)
+                  ELSE date_diff('day', day, max_day) END AS t,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM gaps CROSS JOIN mx
+    ),
+    at_t AS (SELECT t, count(*) AS n_ending, sum(ev) AS d FROM dur GROUP BY t),
+    km AS (
+      SELECT t, d, sum(n_ending) OVER (ORDER BY t DESC) AS n_risk
+      FROM at_t
+    ),
+    ser AS (
+      SELECT list(struct_pack(t := t, d := d, n_risk := n_risk) ORDER BY t) AS rows_,
+             list(1.0 - d / n_risk ORDER BY t) AS terms
+      FROM km
+    ),
+    idx AS (
+      SELECT i, rows_[i].t AS t, rows_[i].d AS d, rows_[i].n_risk AS n_risk,
+             terms
+      FROM ser CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS i)
+      WHERE i <= len(rows_)
+    )
+    SELECT CAST(t AS INTEGER) AS gap_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_repurchased,
+           round(list_reduce(list_slice(terms, 1, i), (a, b) -> a * b), 6)
+             AS km_survival
+    FROM idx WHERE d > 0 ORDER BY gap_days
+    """,
+    description=(
+        "Kaplan-Meier survival over inter-purchase gaps (right-censored "
+        "at the window end): exact integer risk/event counts, survival "
+        "via identical prefix-product folds in both engines"
+    ),
+)
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-repurchase survival — the standard churn/LTV curve.
+    Product-limit estimator S(t) = prod_{t_i<=t} (1 - d_i/n_i) over
+    distinct gap lengths; censored spells (no next purchase before the
+    window ends) enter the risk set but never the numerator.
+
+    Scale shape: gap construction is one lead() window per user
+    partition (the same exchange sessionization uses); the KM table is
+    CALENDAR-sized (17 rows here), so collecting it into one array and
+    computing prefix products by slice+fold is O(|times|^2) on a
+    driver-negligible series — and the folds run in identical order in
+    both engines, so survival matches bitwise before the 6dp round.
+    Censored-only times contribute an exact 1.0 factor (1 - 0/n), so
+    including them in the fold is a no-op, and only event times are
+    emitted."""
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    mx = p.agg(F.max("day").alias("max_day"))
+    gaps = p.withColumn(
+        "nxt", F.lead("day").over(W.partitionBy("user_id").orderBy("day"))
+    )
+    dur = gaps.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "day"))
+        .otherwise(F.datediff("max_day", "day"))
+        .alias("t"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    at_t = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_ending"), F.sum("ev").alias("d")
+    )
+    km = at_t.select(
+        "t",
+        "d",
+        F.sum("n_ending")
+        .over(W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("n_risk"),
+    )
+    ser = km.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "n_risk"))).alias("rows_")
+    ).select(
+        "rows_",
+        F.expr(
+            "transform(rows_, r -> 1.0 - r.d / r.n_risk)"
+        ).alias("terms"),
+    )
+    return (
+        ser.select(F.posexplode("rows_").alias("pos", "r"), "terms")
+        .select(
+            F.col("r.t").cast("int").alias("gap_days"),
+            F.col("r.n_risk").cast("bigint").alias("n_risk"),
+            F.col("r.d").cast("bigint").alias("n_repurchased"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(terms, 1, pos + 1), cast(1.0 as double),"
+                    " (a, b) -> a * b)"
+                ),
+                6,
+            ).alias("km_survival"),
+        )
+        .where(F.col("n_repurchased") > 0)
+        .orderBy("gap_days")
+    )
