@@ -802,3 +802,63 @@ def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_repurchased") > 0)
         .orderBy("gap_days")
     )
+
+
+@query(
+    "theilsen_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2026-01-01', CAST(ts AS DATE)) AS x,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    m AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           round(m.slope, 6) AS slope_cents_per_day,
+           round((SELECT quantile_cont(y - m.slope * x, 0.5) FROM daily), 6)
+             AS intercept_cents
+    FROM m
+    """,
+    description=(
+        "Theil-Sen robust trend of daily purchase revenue: median of all "
+        "pairwise slopes (outlier breakdown point 29%), median-residual "
+        "intercept — exact integer inputs, verified quantile_cont parity"
+    ),
+)
+def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil 1950 / Sen 1968 (public estimator): the slope a single
+    wild day cannot move, unlike OLS. Pairwise slopes are CALENDAR² —
+    30 days → 435 pairs — so the self-join is driver-negligible at any
+    corpus size; the corpus-scale work is the one daily integer groupBy
+    feeding it. Day index is anchored to a fixed epoch so x is an exact
+    int in both engines; y is exact cents; each slope is one int/int
+    division — identical doubles — and the medians interpolate
+    identically (Spark percentile == DuckDB quantile_cont, verified)."""
+    (events,) = load(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2026-01-01").cast("date")).alias("x")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("y"))
+        .localCheckpoint()  # reused by slopes (twice) + residuals
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    m = slopes.agg(F.expr("percentile(s, 0.5)").alias("slope"))
+    resid = daily.crossJoin(F.broadcast(m)).select(
+        "slope", (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    n = daily.count()
+    return resid.agg(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.round(F.first("slope"), 6).alias("slope_cents_per_day"),
+        F.round(F.expr("percentile(r, 0.5)"), 6).alias("intercept_cents"),
+    )
