@@ -14,6 +14,8 @@ the family's renderer:
   partition key (single-partition UNLOGGED batches, `cassandra.py`).
 - ``influx``  — the KCQL target is the measurement; PK columns become
   tags, remaining non-timestamp columns become fields (`influx.py`).
+- ``hbase``   — the KCQL PK composes the rowkey; non-key columns become
+  ``family:qualifier`` cells with row-atomic put batching (`hbase.py`).
 - ``elastic`` — the KCQL target is the index; the first PK column is
   the document id (`elastic.py`).
 
@@ -30,6 +32,7 @@ from kafka_stream_spark.plans import kcql
 from kafka_stream_spark.sources import resp_codec
 from kafka_stream_spark.streaming.cassandra import cassandra_sink
 from kafka_stream_spark.streaming.elastic import elastic_sink
+from kafka_stream_spark.streaming.hbase import hbase_sink
 from kafka_stream_spark.streaming.influx import influx_sink
 
 
@@ -83,6 +86,7 @@ def kcql_connector_sink(
     checkpoint: str,
     ts_col: str | None = None,
     ttl: int | None = None,
+    family: str = "d",
 ):
     """KCQL statement + system → a started-ready DataStreamWriter."""
     stmt = kcql.parse(statement)
@@ -112,6 +116,10 @@ def kcql_connector_sink(
         return influx_sink(
             df, stmt.target, pk, fields, ts_col, transport, checkpoint
         )
+    if system == "hbase":
+        if not pk:
+            raise ValueError("hbase sink needs PK (the composite rowkey)")
+        return hbase_sink(df, family, pk, transport, checkpoint)
     if system == "elastic":
         return (
             elastic_sink(df, stmt.target, transport, id_col=pk[0] if pk else None)

@@ -128,3 +128,24 @@ def test_kcql_influx_routing(spark, tmp_path):
     assert len(lines) == 6
     # PK -> tag, remaining non-ts column -> field
     assert all(l.startswith("cpu,event_type=click value=") for l in lines)
+
+
+def test_kcql_hbase_routing(spark, tmp_path):
+    from kafka_stream_spark.streaming.hbase import file_put_transport
+
+    out = str(tmp_path / "puts")
+    q = kcql_connector_sink(
+        _src(spark, tmp_path, n=6),
+        "INSERT INTO metrics SELECT user_id, event_type, value FROM events PK user_id, event_type",
+        system="hbase",
+        transport=file_put_transport(out),
+        checkpoint=str(tmp_path / "ck"),
+        family="m",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    cells = []
+    for p in glob.glob(f"{out}/puts-*.tsv"):
+        cells += [l.split("\t") for l in open(p, encoding="utf-8").read().splitlines()]
+    assert len(cells) == 6  # one non-key column -> one cell per record
+    assert all(c[1] == "m:value" for c in cells)
+    assert {c[0] for c in cells} == {f"{i}|click" for i in range(6)}
