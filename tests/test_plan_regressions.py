@@ -257,3 +257,19 @@ def test_quality_classifier_is_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in p
     assert "Generate explode" not in p
     assert "Python" not in p  # no UDF anywhere in the scorer
+
+
+def test_entity_resolution_blocking_is_equi_join(spark, sf_dir):
+    """Candidate generation must be the token posting-list equi-join —
+    an all-pairs name comparison would plan as a nested loop."""
+    p = plan_of(spark, sf_dir, "entity_resolution_parts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bpe_apply_vocab_join_is_broadcast(spark, sf_dir):
+    """The BPE apply path must broadcast the vocab symbol table back to
+    the exploded corpus — the corpus itself never sort-merges."""
+    p = plan_of(spark, sf_dir, "bpe_compression_by_source")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
