@@ -451,3 +451,98 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _PH_MAXDIST)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_ACT_THRESH = 100  # mean u8 sample >= 100 -> "active" (letters-heavy) window
+
+
+@query(
+    "multimodal_activity_segments",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, i - 1 AS pos, ord(substr(text, i, 1)) AS sample
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(1, 8000)) AS i)
+      WHERE i <= octet_length(encode(text))
+    ),
+    w AS (
+      SELECT doc_id, pos // {_AUDIO_WINDOW} AS window_idx,
+             count(*) AS n, sum(sample) AS energy
+      FROM s GROUP BY 1, 2
+    ),
+    flags AS (
+      SELECT doc_id, window_idx,
+             CASE WHEN energy >= {_ACT_THRESH} * n THEN 1 ELSE 0 END AS active
+      FROM w
+    ),
+    runs AS (
+      SELECT doc_id, window_idx, active,
+             CASE WHEN active = lag(active) OVER
+                    (PARTITION BY doc_id ORDER BY window_idx)
+                  THEN 0 ELSE 1 END AS edge
+      FROM flags
+    ),
+    grp AS (
+      SELECT doc_id, window_idx, active,
+             sum(edge) OVER (PARTITION BY doc_id ORDER BY window_idx) AS seg
+      FROM runs
+    )
+    SELECT doc_id, CAST(seg AS INTEGER) AS segment,
+           CAST(active AS INTEGER) AS active,
+           CAST(min(window_idx) AS INTEGER) AS start_window,
+           CAST(max(window_idx) AS INTEGER) AS end_window,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, seg, active
+    ORDER BY doc_id, segment
+    """,
+    description=(
+        "Activity segmentation (VAD shape): threshold windowed energy, "
+        "then gaps-and-islands (lag + running-sum edges) merges runs "
+        "into segments — all inside one per-doc window partitioning"
+    ),
+)
+def multimodal_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The voice-activity-detection output shape over the u8 payload:
+    per document, maximal runs of active/silent windows. Integer
+    threshold compare (energy >= T*n — no division), then the classic
+    islands trick: an edge flag via lag(), a running sum to number
+    segments, one groupBy to collapse runs. Everything after the
+    windowed features shares ONE doc_id partitioning — lag, running
+    sum, and segment aggregation cause no extra exchange; segmentation
+    cost is linear in windows regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    (documents,) = load(spark, sf_dir, "documents")
+    w = audio_window_features(documents_as_media(documents))
+    flags = w.select(
+        "doc_id",
+        "window_idx",
+        F.when(F.col("energy") >= _ACT_THRESH * F.col("n_samples"), 1)
+        .otherwise(0)
+        .alias("active"),
+    )
+    byd = W.partitionBy("doc_id").orderBy("window_idx")
+    runs = flags.withColumn(
+        "edge",
+        F.when(F.col("active") == F.lag("active").over(byd), 0).otherwise(1),
+    )
+    grp = runs.withColumn(
+        "seg", F.sum("edge").over(byd.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        grp.groupBy("doc_id", "seg", "active")
+        .agg(
+            F.min("window_idx").alias("start_window"),
+            F.max("window_idx").alias("end_window"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg").cast("int").alias("segment"),
+            F.col("active").cast("int").alias("active"),
+            F.col("start_window").cast("int").alias("start_window"),
+            F.col("end_window").cast("int").alias("end_window"),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+        )
+        .orderBy("doc_id", "segment")
+    )
