@@ -58,6 +58,23 @@ def quality_gate(
     )
 
 
+def classifier_gate(stream: DataFrame, min_score: int = 0) -> DataFrame:
+    """Model-based quality gate: the hashed-feature linear scorer from
+    ``operators/text_analysis.py`` (fastText-shaped; one map-only JVM
+    expression, no UDF) — batch and stream score identically because
+    they share the expression. Keep records with score > ``min_score``
+    micro-units."""
+    from kafka_stream_spark.operators.text_analysis import _W_SPARK
+
+    score = F.expr(
+        f"""aggregate(transform(split(text, ' '), t -> {_W_SPARK}),
+                      cast(0 as bigint), (acc, v) -> acc + v)"""
+    )
+    return stream.withColumn("quality_score_u", score).filter(
+        F.col("quality_score_u") > min_score
+    )
+
+
 def dedup_by_fingerprint(
     stream: DataFrame, ts_col: str = "ts", watermark: str = "10 minutes"
 ) -> DataFrame:
@@ -107,6 +124,7 @@ def streaming_curation(
     min_tokens: int = 20,
     min_distinct_ratio: float = 0.3,
     contamination_threshold: float = 0.5,
+    classifier_min_score: int | None = None,
 ):
     """Wire the full flow and return the (unstarted) DataStreamWriter.
 
@@ -114,6 +132,8 @@ def streaming_curation(
     stream-static machinery if backed by files).
     """
     gated = quality_gate(stream, min_tokens, min_distinct_ratio)
+    if classifier_min_score is not None:
+        gated = classifier_gate(gated, classifier_min_score)
     deduped = dedup_by_fingerprint(gated, ts_col, watermark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -77,3 +77,36 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
     # audit columns survive the pipeline
     cols = set(spark.read.parquet(out_dir).columns)
     assert {"doc_id", "ts", "text", "n_tokens", "distinct_ratio", "fp"} <= cols
+
+
+def test_classifier_gate_matches_batch_scorer(spark, tmp_path):
+    """The streaming classifier gate must score EXACTLY like the batch
+    quality_classifier_score query (they share the expression)."""
+    import pyspark.sql.functions as F
+
+    from kafka_stream_spark.operators._common import load
+    from kafka_stream_spark.registry import load_all
+    from kafka_stream_spark.streaming.curation import classifier_gate
+
+    sf = "/root/testdata/sf0.001"
+    batch = load_all()["quality_classifier_score"].build(spark, sf)
+    expected = {r.doc_id: r.score_u for r in batch.collect()}
+
+    (documents,) = load(spark, sf, "documents")
+    src = str(tmp_path / "docs")
+    documents.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        classifier_gate(stream, min_score=-10**9)
+        .select("doc_id", "quality_score_u")
+        .writeStream.format("memory").queryName("clf_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.quality_score_u
+           for r in spark.sql("SELECT * FROM clf_gate").collect()}
+    assert got == expected
+    # and a real threshold actually filters
+    assert sum(1 for v in got.values() if v > 0) < len(got)
