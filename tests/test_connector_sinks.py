@@ -149,3 +149,44 @@ def test_kcql_hbase_routing(spark, tmp_path):
     assert len(cells) == 6  # one non-key column -> one cell per record
     assert all(c[1] == "m:value" for c in cells)
     assert {c[0] for c in cells} == {f"{i}|click" for i in range(6)}
+
+
+def test_sink_checkpoint_no_replay(spark, tmp_path):
+    """Restarting a connector sink on the same checkpoint with no new
+    input must emit NOTHING new (offsets committed); new input emits
+    only the delta — the at-least-once contract across restarts."""
+    import pyspark.sql.functions as FF
+
+    from kafka_stream_spark.streaming.influx import file_write_transport
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "click", float(i), TS) for i in range(10)], SCHEMA
+    ).write.parquet(src)
+    out = str(tmp_path / "lp")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = kcql_connector_sink(
+            spark.readStream.schema(SCHEMA).parquet(src),
+            "INSERT INTO cpu SELECT event_type, value, ts FROM events PK event_type",
+            system="influx",
+            transport=file_write_transport(out),
+            checkpoint=ck,
+            ts_col="ts",
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(60)
+        lines = []
+        for p in glob.glob(f"{out}/*.lp"):
+            lines += open(p, encoding="utf-8").read().split("\n")
+        return lines
+
+    assert len(run()) == 10
+    assert len(run()) == 10  # restart, no new data -> no replay
+    # append 5 more rows -> only the delta flows
+    spark.createDataFrame(
+        [(100 + i, "click", 100.0 + i, TS) for i in range(5)], SCHEMA
+    ).write.mode("append").parquet(src)
+    lines = run()
+    assert len(lines) == 15
+    assert sum("value=10" in l for l in lines) >= 5  # the new values arrived
