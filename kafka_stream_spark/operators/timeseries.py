@@ -862,3 +862,73 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("slope"), 6).alias("slope_cents_per_day"),
         F.round(F.expr("percentile(r, 0.5)"), 6).alias("intercept_cents"),
     )
+
+
+@query(
+    "forecast_eval_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, cents,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS snaive,
+             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS naive1
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(snaive) AS BIGINT) AS n_forecasts,
+           CAST(sum(abs(cents - snaive)) AS BIGINT) AS abs_err_cents,
+           round((sum(abs(cents - snaive)) / count(snaive))
+                 / (sum(CASE WHEN naive1 IS NOT NULL THEN abs(cents - naive1) END)
+                    / count(naive1)), 6) AS mase
+    FROM lagged
+    WHERE snaive IS NOT NULL OR naive1 IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description=(
+        "Forecast-accuracy harness: seasonal-naive lag-7 predictions "
+        "scored by MASE (scale-free, exact-integer numerators) per "
+        "event type — the backtest every forecasting pipeline needs"
+    ),
+)
+def forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman & Koehler 2006 MASE (public): forecast MAE scaled by the
+    in-sample naive-1 MAE, so values compare across series of different
+    magnitude (MASE < 1 beats naive). Seasonal-naive lag-7 is the
+    standard baseline every real model must beat. Scale shape: the
+    corpus-sized work is the daily integer groupBy; both lags share ONE
+    per-key window partitioning; absolute errors stay exact BIGINT and
+    only the final scale-free ratio is floating (6dp round)."""
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    byk = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 7).over(byk).alias("snaive"),
+        F.lag("cents", 1).over(byk).alias("naive1"),
+    )
+    err7 = F.abs(F.col("cents") - F.col("snaive"))
+    err1 = F.abs(F.col("cents") - F.col("naive1"))
+    return (
+        lagged.where(F.col("snaive").isNotNull() | F.col("naive1").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("snaive").cast("bigint").alias("n_forecasts"),
+            F.sum(err7).cast("bigint").alias("abs_err_cents"),
+            F.round(
+                (F.sum(err7) / F.count("snaive"))
+                / (F.sum(err1) / F.count("naive1")),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
