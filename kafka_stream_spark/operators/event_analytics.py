@@ -723,3 +723,108 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_stat"),
     )
+
+
+@query(
+    "markov_eval_accuracy",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(min(ts) AS DATE) + CAST(floor(date_diff('day',
+               CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) / 2) AS INTEGER)
+             AS split_day
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             lag(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_day
+      FROM events
+    ),
+    train AS (  -- transitions fully inside the first half
+      SELECT prev_type, event_type, count(*) AS c
+      FROM seq CROSS JOIN mid
+      WHERE prev_type IS NOT NULL AND day < split_day
+      GROUP BY 1, 2
+    ),
+    pred AS (  -- argmax next-type per prev-type (count desc, type asc)
+      SELECT prev_type, event_type AS predicted FROM (
+        SELECT prev_type, event_type,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM train) WHERE rn = 1
+    ),
+    test AS (  -- transitions fully inside the second half
+      SELECT s.prev_type, s.event_type
+      FROM seq s CROSS JOIN mid
+      WHERE s.prev_type IS NOT NULL AND s.prev_day >= split_day
+    )
+    SELECT t.prev_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.event_type = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN t.event_type = p.predicted THEN 1 ELSE 0 END)
+                 / count(*), 6) AS accuracy
+    FROM test t JOIN pred p ON p.prev_type = t.prev_type
+    GROUP BY t.prev_type
+    ORDER BY t.prev_type
+    """,
+    description=(
+        "Markov next-event backtest: argmax transitions trained on the "
+        "first half-window, top-1 accuracy measured on the second — the "
+        "train/test-split discipline applied to a behavioral model"
+    ),
+)
+def markov_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A sequence model you can actually grade: first-order Markov
+    argmax (integer-count tie-break) fit on the first half of the
+    window, evaluated out-of-sample on the second. One user_id window
+    pass produces both halves' transitions; the model table is at most
+    |types|² rows and broadcasts back onto the test transitions —
+    corpus-scale work is the single lag() exchange."""
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    mid = events.agg(
+        F.expr(
+            "cast(min(ts) as date) + cast(floor("
+            "datediff(cast(max(ts) as date), cast(min(ts) as date)) / 2) as int)"
+        ).alias("split_day")
+    )
+    byu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.lag("event_type").over(byu).alias("prev_type"),
+        F.lag(F.to_date("ts")).over(byu).alias("prev_day"),
+    ).crossJoin(F.broadcast(mid))
+    train = (
+        seq.where(F.col("prev_type").isNotNull() & (F.col("day") < F.col("split_day")))
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pred = (
+        train.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("prev_type").orderBy(F.desc("c"), F.asc("event_type"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("event_type").alias("predicted"))
+    )
+    test = seq.where(
+        F.col("prev_type").isNotNull() & (F.col("prev_day") >= F.col("split_day"))
+    ).select("prev_type", "event_type")
+    hit = F.when(F.col("event_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )
