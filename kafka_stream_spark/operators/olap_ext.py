@@ -627,3 +627,95 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "priority", "status", "year")
     )
+
+
+_BOM_QTY_SPARK = (
+    "cast(conv(substr(md5(cast(concat('bom:', cast(p_partkey as string))"
+    " as binary)), 1, 8), 16, 10) as bigint) % 3 + 1"
+)
+_BOM_ROUNDS = 10  # covers hierarchies to 4^10 parts (fan-out 4 per level)
+
+
+@query(
+    "bom_explosion_parts",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT p_partkey AS child, (p_partkey - 1) // 4 AS parent,
+             (('0x' || substr(md5('bom:' || p_partkey::VARCHAR), 1, 8))::BIGINT
+              % 3) + 1 AS qty
+      FROM part WHERE p_partkey >= 1
+    ),
+    up(part, anc, mult, depth) AS (
+      SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0 FROM part
+      UNION ALL
+      SELECT u.part, e.parent, u.mult * e.qty, u.depth + 1
+      FROM up u JOIN edges e ON e.child = u.anc
+    )
+    SELECT CAST(part AS BIGINT) AS p_partkey,
+           CAST(depth AS INTEGER) AS depth,
+           CAST(mult AS BIGINT) AS total_qty_mult
+    FROM up WHERE anc = 0 ORDER BY p_partkey
+    """,
+    description=(
+        "Recursive hierarchy traversal (BOM explosion): Spark's "
+        "fixed-round iterative ancestor join == DuckDB's WITH RECURSIVE "
+        "— the arbitrary-depth query family Spark SQL lacks natively"
+    ),
+)
+def bom_explosion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts explosion over a synthetic 4-ary BOM tree (child k →
+    parent (k-1)//4, md5-derived per-edge quantity — the same
+    deterministic-synthesis pattern as ``tpch_partsupp``): each part's
+    depth and cumulative quantity multiplier up to the root.
+
+    Spark has no recursive CTE; the distributed equivalent is a
+    conditional-advance loop: rows that already reached the root pass
+    through untouched (left join misses), everyone else climbs one
+    level per round. Ten rounds cover 4^10 parts; each round is one
+    |parts|-sized hash join + map — total work O(rounds x |parts|),
+    the same envelope a recursive engine pays. localCheckpoint per
+    round keeps plans linear (sharp edge #10). Multipliers stay exact
+    BIGINT (qty ≤ 3, depth ≤ 10 ⇒ ≤ 3^10)."""
+    (part,) = load(spark, sf_dir, "part")
+    edges = (
+        part.where(F.col("p_partkey") >= 1)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("(p_partkey - 1) div 4").alias("parent"),
+            F.expr(_BOM_QTY_SPARK).alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    state = part.select(
+        F.col("p_partkey").alias("part"),
+        F.col("p_partkey").alias("anc"),
+        F.lit(1).cast("bigint").alias("mult"),
+        F.lit(0).alias("depth"),
+    )
+    for _ in range(_BOM_ROUNDS):
+        state = (
+            state.join(edges, state["anc"] == edges["child"], "left")
+            .select(
+                "part",
+                F.coalesce("parent", "anc").alias("anc"),
+                F.when(
+                    F.col("parent").isNotNull(), F.col("mult") * F.col("qty")
+                )
+                .otherwise(F.col("mult"))
+                .alias("mult"),
+                F.when(F.col("parent").isNotNull(), F.col("depth") + 1)
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        state.filter(F.col("anc") == 0)
+        .select(
+            F.col("part").alias("p_partkey"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("mult").cast("bigint").alias("total_qty_mult"),
+        )
+        .orderBy("p_partkey")
+    )
