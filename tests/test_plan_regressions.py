@@ -273,3 +273,27 @@ def test_bpe_apply_vocab_join_is_broadcast(spark, sf_dir):
     p = plan_of(spark, sf_dir, "bpe_compression_by_source")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_hard_negatives_corpus_not_shuffled(spark, sf_dir):
+    """Queries broadcast against the corpus; no corpus exchange before
+    scoring (same contract as ann_cosine_topk)."""
+    p = plan_of(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_markov_model_broadcasts_back(spark, sf_dir):
+    """The |types|^2 prediction table must broadcast onto the test
+    transitions — the corpus-sized side never sort-merges."""
+    p = plan_of(spark, sf_dir, "markov_eval_accuracy")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_forecast_eval_single_window_exchange(spark, sf_dir):
+    """Both lags (7 and 1) share one event_type window partitioning:
+    exactly one hash exchange on the daily table."""
+    p = plan_of(spark, sf_dir, "forecast_eval_mase")
+    hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) <= 2  # daily groupBy + the shared window
