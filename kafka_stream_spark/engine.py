@@ -1,0 +1,82 @@
+"""One front door for a user switching from the reference stack.
+
+The reference (FireMonkey69/kafka-stream) hands a user four surfaces:
+topics+SQL browsing (Lenses, README.md:41-43), a schema registry,
+Connect pipelines, and the REST proxy. This facade composes the
+engine's analogs behind a single object so that switching is one
+import:
+
+    from kafka_stream_spark.engine import Engine
+    eng = Engine(spark, "/root/testdata/sf0.01")
+    eng.sql("SELECT event_type, count(*) n FROM events GROUP BY 1")
+    eng.shell("SHOW TOPICS")                 # Lenses-dialect shell
+    eng.browse("orders", where="o_totalprice > 400000", limit=5)
+    eng.query("dedup_minhash_lsh")           # any registered operator
+    eng.queries()                            # ... and their names
+    eng.schemas.register("events", SCHEMA)   # SR analog
+    eng.pipelines.start(PIPELINE_SPEC)       # Connect analog
+    eng.topic("clicks")                      # keyed/partitioned topic
+
+Everything here delegates; no logic lives in the facade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.catalog import Catalog
+from kafka_stream_spark.plans.lenses_sql import LensesShell
+from kafka_stream_spark.registry import load_all
+from kafka_stream_spark.schema_registry import SchemaRegistry
+from kafka_stream_spark.sources.topics import FileTopic
+from kafka_stream_spark.streaming.pipelines import PipelineRegistry
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str, topic_root: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.catalog = Catalog(spark, sf_dir)
+        self._shell = LensesShell(self.catalog)
+        self.schemas = SchemaRegistry()
+        self.pipelines = PipelineRegistry(spark)
+        self._topic_root = topic_root
+        self._specs = load_all()
+
+    # --- query surfaces ---------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """ANSI SQL over the catalog tables (Catalyst end to end)."""
+        return self.catalog.sql(query)
+
+    def shell(self, statement: str) -> DataFrame:
+        """Lenses-dialect shell: SHOW/DESCRIBE/SET/SELECT/INSERT INTO."""
+        return self._shell.execute(statement)
+
+    def browse(self, name: str, where: str | None = None, limit: int = 100) -> DataFrame:
+        return self.catalog.browse(name, where=where, limit=limit)
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    # --- registered operators --------------------------------------------
+
+    def queries(self) -> list[str]:
+        return sorted(self._specs)
+
+    def query(self, name: str) -> DataFrame:
+        """Run a registered operator against this engine's dataset dir."""
+        if name not in self._specs:
+            raise KeyError(f"unknown query: {name!r} (see .queries())")
+        return self._specs[name].build(self.spark, self.sf_dir)
+
+    def describe(self, name: str) -> str:
+        return self._specs[name].description
+
+    # --- topics -----------------------------------------------------------
+
+    def topic(self, name: str, partitions: int = 4) -> FileTopic:
+        """Keyed, partitioned, compactable topic (Kafka-record semantics)."""
+        if self._topic_root is None:
+            raise ValueError("Engine(topic_root=...) required for topics")
+        return FileTopic(self.spark, self._topic_root, name, partitions=partitions)

@@ -1,0 +1,57 @@
+"""Engine facade: the single front door composes catalog/shell/registry/
+schemas/pipelines/topics without adding logic of its own."""
+
+import pytest
+
+from kafka_stream_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir, tmp_path_factory):
+    return Engine(spark, sf_dir, topic_root=str(tmp_path_factory.mktemp("topics")))
+
+
+def test_sql_and_browse(eng):
+    n = eng.sql("SELECT count(*) AS n FROM orders").collect()[0].n
+    assert n > 0
+    rows = eng.browse("orders", where="o_totalprice > 0", limit=5).collect()
+    assert 0 < len(rows) <= 5
+
+
+def test_shell_dialect(eng):
+    topics = {r[0] for r in eng.shell("SHOW TOPICS").collect()}
+    assert {"orders", "events", "documents"} <= topics
+
+
+def test_registered_queries(eng):
+    names = eng.queries()
+    assert "q1_pricing_summary" in names and len(names) >= 160
+    assert eng.query("q1_pricing_summary").count() > 0
+    assert "dedup" in eng.describe("dedup_minhash_lsh").lower() or eng.describe(
+        "dedup_minhash_lsh"
+    )
+    with pytest.raises(KeyError):
+        eng.query("nope")
+
+
+def test_schema_and_pipeline_surfaces(eng):
+    # surfaces exist and are live objects (full behavior covered in their
+    # own suites) — the facade must hand back the real things
+    from kafka_stream_spark.schema_registry import SchemaRegistry
+    from kafka_stream_spark.streaming.pipelines import PipelineRegistry
+
+    assert isinstance(eng.schemas, SchemaRegistry)
+    assert isinstance(eng.pipelines, PipelineRegistry)
+
+
+def test_topics_roundtrip(eng, spark):
+    t = eng.topic("clicks", partitions=2)
+    df = spark.createDataFrame([("k1", b"v1"), ("k2", b"v2")], "key string, value binary")
+    t.append(df)
+    got = {bytes(r.value) for r in t.read().collect()}
+    assert got == {b"v1", b"v2"}
+
+
+def test_topics_require_root(spark, sf_dir):
+    with pytest.raises(ValueError, match="topic_root"):
+        Engine(spark, sf_dir).topic("x")
