@@ -28,10 +28,12 @@ from __future__ import annotations
 
 import base64
 import json
+import pathlib
 import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from kafka_stream_spark.functions import avro_codec
@@ -64,6 +66,47 @@ class RestProxy:
     def _topic(self, name: str) -> FileTopic:
         return FileTopic(self.spark, self.topic_root, name,
                          partitions=self.partitions)
+
+    # -- topic metadata (kafka-tests.yml:24-32: list / info / partitions) --
+
+    def list_topics(self) -> list[str]:
+        root = pathlib.Path(self.topic_root)
+        if not root.is_dir():
+            return []
+        return sorted(p.name for p in root.iterdir() if p.is_dir())
+
+    def topic_info(self, name: str) -> dict:
+        if name not in self.list_topics():
+            raise KeyError(f"topic not found: {name}")
+        return {
+            "name": name,
+            "configs": {},
+            "partitions": self.topic_partitions(name),
+        }
+
+    def topic_partitions(self, name: str) -> list[dict]:
+        """Confluent-v1-shaped partition list; leader/replicas are the
+        single local 'broker' 0 (there is no cluster to report)."""
+        if name not in self.list_topics():
+            raise KeyError(f"topic not found: {name}")
+        t = self._topic(name)
+        counts = {
+            int(r["partition"]): (int(r["n"]), int(r["max_offset"]))
+            for r in t.read()
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("offset").alias("max_offset"))
+            .collect()
+        }
+        return [
+            {
+                "partition": p,
+                "leader": 0,
+                "replicas": [{"broker": 0, "leader": True, "in_sync": True}],
+                "records": counts.get(p, (0, -1))[0],
+                "end_offset": counts.get(p, (0, -1))[1] + 1,
+            }
+            for p in range(self.partitions)
+        ]
 
     # -- produce -----------------------------------------------------------
 
@@ -221,6 +264,13 @@ def _make_handler(proxy: RestProxy):
                 if (len(parts) == 6 and parts[0] == "consumers"
                         and parts[2] == "instances" and parts[4] == "topics"):
                     self._send(200, proxy.consume(parts[1], parts[3], parts[5]))
+                elif parts == ["topics"]:
+                    self._send(200, proxy.list_topics())
+                elif len(parts) == 2 and parts[0] == "topics":
+                    self._send(200, proxy.topic_info(parts[1]))
+                elif (len(parts) == 3 and parts[0] == "topics"
+                        and parts[2] == "partitions"):
+                    self._send(200, proxy.topic_partitions(parts[1]))
                 else:
                     self._send(404, {"error_code": 40401, "message": "not found"})
             except KeyError as e:

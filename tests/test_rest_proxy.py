@@ -134,3 +134,28 @@ def test_keyed_produce_partitions_consistently(server):
              "application/vnd.kafka.json.v1+json")
     parts = {r.partition for r in proxy._topic("keyed").read().collect()}
     assert len(parts) == 1
+
+
+def test_topic_metadata_endpoints(server):
+    """kafka-tests.yml:24-32: GET /topics, /topics/<t>, /topics/<t>/partitions."""
+    srv, proxy = server
+    _req(
+        srv.port, "POST", "/topics/meta_demo",
+        {"records": [{"value": {"a": 1}}, {"value": {"a": 2}}]},
+        "application/vnd.kafka.json.v1+json",
+    )
+    status, topics = _req(srv.port, "GET", "/topics")
+    assert status == 200 and "meta_demo" in topics
+    status, info = _req(srv.port, "GET", "/topics/meta_demo")
+    assert status == 200 and info["name"] == "meta_demo"
+    status, parts = _req(srv.port, "GET", "/topics/meta_demo/partitions")
+    assert status == 200 and len(parts) == proxy.partitions
+    assert sum(p["records"] for p in parts) == 2
+    assert all(p["leader"] == 0 for p in parts)
+    import urllib.error
+
+    try:
+        _req(srv.port, "GET", "/topics/does_not_exist")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
