@@ -202,3 +202,127 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid", F.col("ccos").alias("centroid_cosine"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# the 100 TB path: banded-LSH semantic dedup (never cluster-quadratic)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_semdedup_oracle() -> str:
+    """Mirror of ``embedding_lsh_banded``'s signature SQL + the
+    lowest-id-wins keep rule."""
+    from kafka_stream_spark.operators.similarity import _BSIGNS, _B_PLANES, _B_BANDS, _B_BITS
+
+    sig_sum = " + ".join(
+        "(CASE WHEN round(list_inner_product(e, "
+        + "[" + ", ".join(f"{s}.0" for s in _BSIGNS[j]) + "]::DOUBLE[]"
+        + f"), 9) > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(_B_PLANES)
+    )
+    mask = (1 << _B_BITS) - 1
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {sig_sum} AS s FROM v),
+    bands AS (
+      SELECT vec_id, b.band, (s >> (b.band * {_B_BITS})) & {mask} AS bval
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_B_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT c.vec_b AS vec_id
+      FROM cand c JOIN v x ON x.vec_id = c.vec_a JOIN v y ON y.vec_id = c.vec_b
+      WHERE round(list_inner_product(x.e, y.e)
+                  / (sqrt(list_inner_product(x.e, x.e))
+                     * sqrt(list_inner_product(y.e, y.e))), 6) >= {_TAU}
+    )
+    SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.s AS BIGINT) AS lsh_sig
+    FROM sig s ANTI JOIN dropped d ON s.vec_id = d.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+@query(
+    "semdedup_lsh",
+    oracle=_lsh_semdedup_oracle(),
+    description=(
+        "Semantic dedup, 100 TB path: banded hyperplane-LSH candidates "
+        "(equi-join on band buckets, NEVER cluster- or corpus-quadratic), "
+        "exact cosine verify, lowest-id-wins keep"
+    ),
+    bench=True,
+)
+def semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion to ``semdedup_embeddings`` for when clusters can't
+    be kept small: candidate pairs come from band-bucket collisions
+    (collision mass is bounded by bucket occupancy, tunable via
+    bands×bits), each candidate is verified with one exact cosine, and
+    b drops iff a verified near-dup with a lower id exists. Work is
+    O(corpus) for signatures + O(collisions) for verification — the
+    linear-ish envelope ``streaming/semantic_dedup.py`` runs online.
+    Same 24-plane/4-band md5-derived hyperplane family as
+    ``embedding_lsh_banded``, so all three surfaces agree on "close"."""
+    from kafka_stream_spark.operators.similarity import (
+        _BSIGNS,
+        _B_PLANES,
+        _B_BANDS,
+        _B_BITS,
+        _DOT,
+        _cosine_expr,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e")).cache()
+
+    def signs_spark(j: int) -> str:
+        return "array(" + ", ".join(f"cast({s} as double)" for s in _BSIGNS[j]) + ")"
+
+    bits = " + ".join(
+        f"(CASE WHEN round({_DOT.format(a='e', b=signs_spark(j))}, 9) > 0"
+        f" THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
+        for j in range(_B_PLANES)
+    )
+    sig = v.select("vec_id", "e", F.expr(bits).alias("s")).cache()
+    mask = (1 << _B_BITS) - 1
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(s, {b * _B_BITS}) & {mask}").alias("bval"),
+                    )
+                    for b in range(_B_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    y = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    dropped = (
+        cand.join(x, ["vec_a"]).join(y, ["vec_b"])
+        .filter(F.round(F.expr(_cosine_expr("ea", "eb")), 6) >= _TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        sig.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", F.col("s").cast("bigint").alias("lsh_sig"))
+        .orderBy("vec_id")
+    )
