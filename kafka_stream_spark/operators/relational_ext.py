@@ -451,3 +451,58 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(o_orderdate AS DATE) AS day,
+             min(CAST(o_orderdate AS DATE)) OVER (
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                        CAST(o_orderdate AS DATE),
+                        o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_day
+      FROM orders
+    )
+    SELECT o_orderkey, price_cents, day
+    FROM r WHERE best_day IS NULL OR day < best_day
+    ORDER BY price_cents DESC, o_orderkey
+    """,
+    description=(
+        "2-D skyline (Pareto front: maximal price, earliest date) via "
+        "the sort + running-extreme trick — O(n log n), one window pass, "
+        "no dominance self-join"
+    ),
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria dominance (Börzsönyi et al. 2001's SKYLINE OF,
+    public): an order is on the front iff no other order has BOTH a
+    higher price AND an earlier-or-equal date. The naive plan is an
+    O(n²) NOT EXISTS self-join; in 2-D it collapses to one sorted
+    window: scan by price descending and keep a row iff its date beats
+    the running minimum of everything pricier. Ties are resolved by the
+    (date, orderkey) sort so the front is deterministic. One exchange,
+    one sort — the same envelope as any ranking window; at 100 TB the
+    price-descending range partitioning shards the scan."""
+    from pyspark.sql import Window as W
+
+    (orders,) = load(spark, sf_dir, "orders")
+    r = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+        F.to_date("o_orderdate").alias("day"),
+    ).withColumn(
+        "best_day",
+        F.min("day").over(
+            W.orderBy(F.desc("price_cents"), F.asc("day"), F.asc("o_orderkey"))
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    return (
+        r.filter(F.col("best_day").isNull() | (F.col("day") < F.col("best_day")))
+        .select("o_orderkey", "price_cents", "day")
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+    )
