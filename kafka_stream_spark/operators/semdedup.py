@@ -86,19 +86,26 @@ cent AS (  -- per-label centroid: the broadcastable coarse quantizer
   FROM (SELECT label, i, avg(x) AS cx FROM expl GROUP BY label, i)
   GROUP BY label
 ),
-assigned AS (  -- nearest centroid by rounded cosine, tie-break cid
-  SELECT vec_id, e, cid, ccos FROM (
-    SELECT vec_id, e, cid,
-           round({_DUCK_COS.format(a='e', b='c')}, 6) AS ccos,
-           row_number() OVER (PARTITION BY vec_id ORDER BY
-             round({_DUCK_COS.format(a='e', b='c')}, 6) DESC, cid) AS rn
-    FROM v CROSS JOIN cent) WHERE rn = 1
-),
-normed AS (  -- unit-normalize ONCE so each pair costs a single dot
-  SELECT vec_id, cid,
+vu AS (  -- unit-normalize ONCE (the same normalize-then-dot path the
+         -- engine's Arrow assignment computes)
+  SELECT vec_id,
          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS u
-  FROM assigned
+  FROM v
 ),
+cu AS (
+  SELECT cid,
+         list_transform(c, x -> x / sqrt(list_inner_product(c, c))) AS cn
+  FROM cent
+),
+assigned AS (  -- nearest centroid by rounded unit cosine, tie-break cid
+  SELECT vec_id, u, cid, ccos FROM (
+    SELECT vec_id, u, cid,
+           round(list_inner_product(u, cn), 6) AS ccos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             round(list_inner_product(u, cn), 6) DESC, cid) AS rn
+    FROM vu CROSS JOIN cu) WHERE rn = 1
+),
+normed AS (SELECT vec_id, cid, u FROM assigned),
 dropped AS (  -- b loses to any lower-id near-duplicate in its cluster
   SELECT DISTINCT b.vec_id
   FROM normed a JOIN normed b
@@ -138,60 +145,41 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Assignment is MAP-ONLY: the k centroids (k x 64 doubles, bounded —
     # the same driver-side footprint kmeans_codebook already accepts)
-    # are embedded as literals and the argmax computed inline per row via
-    # array_max over (ccos, -cid) structs. No crossJoin row blowup, no
-    # exchange, no window sort — the corpus is never shuffled to be
-    # assigned, which is the property that matters at 100 TB.
-    #
-    # Centroid norms are pre-divided out in PYTHON with the same
-    # sequential double summation DuckDB's list_inner_product performs,
-    # so the rounded ccos stays bit-identical cross-engine.
-    import math
-
+    # are collected once; the corpus is never shuffled, cross-joined, or
+    # window-ranked to be assigned — the property that matters at 100 TB.
     cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    k = len(cent_rows)
-    norms = []
-    for r in cent_rows:
-        nc = 0.0
-        for x in r["c"]:  # sequential, mirroring list_inner_product's order
-            nc += float(x) * float(x)
-        norms.append(math.sqrt(nc))
-    # ONE k x 64 matrix literal + a single transform lambda keeps the
-    # expression tree (and its codegen) O(1) in k instead of O(k) copies
-    cmat = "array(" + ", ".join(
-        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in r["c"]) + ")"
-        for r in cent_rows
-    ) + ")"
-    cnorm = "array(" + ", ".join(f"cast({x!r} as double)" for x in norms) + ")"
-    cids = "array(" + ", ".join(str(-int(r["cid"])) + "L" for r in cent_rows) + ")"
-    best = f"""array_max(transform(sequence(1, {k}), i -> struct(
-        round(aggregate(zip_with(e, element_at({cmat}, i), (x, y) -> x * y),
-                        cast(0.0 as double), (acc, v) -> acc + v)
-              / (sqrt(aggregate(zip_with(e, e, (x, y) -> x * y),
-                                cast(0.0 as double), (acc, v) -> acc + v))
-                 * element_at({cnorm}, i)), 6) as ccos,
-        element_at({cids}, i) as negcid)))"""
-    assigned = v.select(
-        "vec_id",
-        "e",
-        F.expr(best).alias("best"),
-    ).select(
-        "vec_id",
-        "e",
-        (-F.col("best.negcid")).cast("int").alias("cid"),
-        F.col("best.ccos").alias("ccos"),
-    # both the pair stage and the kept-output anti-join consume this;
-    # cache() materializes the scan+assignment once (and is the barrier
-    # of sharp edges #5/#9). At scale this is the corpus x (id, vec,
-    # cid) — the same working set any IVF index stores.
-    ).cache()
+    cids_sorted = np.array([int(r["cid"]) for r in cent_rows], dtype=np.int64)
+    cmat = np.array([[float(x) for x in r["c"]] for r in cent_rows])  # (k, 64)
+    cunit = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
 
-    # unit-normalize ONCE so a pair costs a single 64-wide dot
-    norm = F.expr(
-        "transform(e, x -> x / sqrt(aggregate(zip_with(e, e, (p, q) -> p * q),"
-        " cast(0.0 as double), (acc, v) -> acc + v)))"
-    )
-    normed = assigned.select("vec_id", "cid", norm.alias("u"))
+    # Assignment + unit-normalize in ONE Arrow pass: an (n x 64)@(64 x k)
+    # matmul per batch; argmax over 6dp-rounded cosines with min-cid
+    # tie-break (np.argmax returns the FIRST max and cids are sorted
+    # ascending). Same round-before-compare determinism as the previous
+    # expression formulation, without its O(k x 64) codegen cost.
+    def _assign_gen(batches):
+        for pdf in batches:
+            x = np.stack(pdf["e"].to_numpy())  # (n, 64)
+            u = x / np.sqrt((x * x).sum(axis=1))[:, None]
+            ccos = np.round(u @ cunit.T, 6)  # (n, k)
+            best = ccos.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "u": list(u),
+                    "cid": cids_sorted[best],
+                    "ccos": ccos[np.arange(len(best)), best],
+                }
+            )
+
+    # both the pair stage and the kept-output anti-join consume this;
+    # cache() materializes the scan+assignment once. At scale this is
+    # the corpus x (id, unit vec, cid) — the working set any IVF index
+    # stores.
+    assigned = v.mapInPandas(
+        _assign_gen, "vec_id long, u array<double>, cid int, ccos double"
+    ).cache()
+    normed = assigned.select("vec_id", "cid", "u")
 
     # Pair stage: per-cluster BLOCKED Gram matmul via applyInPandas.
     # The within-cluster all-pairs dot is pure dense linear algebra; a
