@@ -53,7 +53,8 @@ def main() -> int:
             "pushed_filters": "PushedFilters: [" in plan
             and "PushedFilters: []" not in plan,
             "codegen_stages": plan.count("WholeStageCodegen"),
-            "python_stages": plan.count("Python"),
+            # Arrow-batched pandas operators + any row-wise Python eval
+            "python_stages": plan.count("InPandas") + plan.count("Python"),
         }
         rows.append(row)
         if row["cartesian"]:
