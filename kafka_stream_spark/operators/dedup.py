@@ -880,3 +880,79 @@ def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# containment dedup (asymmetric |A∩B|/|A| — catches subset duplication)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / sa.n, 6) AS containment_a,
+           round(n_common * 1.0 / sb.n, 6) AS containment_b,
+           CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc
+    FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+               JOIN sz sb ON doc_b = sb.doc_id
+    WHERE greatest(n_common * 1.0 / sa.n, n_common * 1.0 / sb.n) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+    description=(
+        "Asymmetric containment dedup: pairs where >= 90% of one side's "
+        "3-shingles appear in the other — catches a short document "
+        "embedded in a longer one, which symmetric Jaccard misses"
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment C(A->B) = |sh(A) ∩ sh(B)| / |sh(A)| (Broder 1997's
+    second resemblance measure — public): quote/subset duplication where
+    Jaccard stays low because the sizes differ. Same exact posting-list
+    join as `dedup_ngram_jaccard` (one shuffle on the shingle key, one
+    pair groupBy); at 100 TB the candidate generator swaps to
+    MinHash-LSH keyed on the SMALLER side's signature (containment LSH),
+    leaving this verify stage unchanged. Sizes broadcast (|docs| rows).
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = F.col("n_common") / F.col("na")
+    cb = F.col("n_common") / F.col("nb")
+    return (
+        pairs.join(
+            F.broadcast(sz.select(F.col("doc_id"), F.col("n").alias("na"))),
+            F.col("doc_a") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(sz.select(F.col("doc_id"), F.col("n").alias("nb"))),
+            F.col("doc_b") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .filter(F.greatest(ca, cb) >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -932,3 +932,208 @@ def forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "holt_trend_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             cents::DOUBLE AS x,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    rec AS (
+      SELECT s2.event_type, 2 AS t, s2.x AS level, s2.x - s1.x AS trend
+      FROM ser s2 JOIN ser s1
+        ON s1.event_type = s2.event_type AND s1.t = 1 AND s2.t = 2
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             0.5 * s.x + 0.5 * (r.level + r.trend),
+             0.5 * ((0.5 * s.x + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.5 * r.trend
+      FROM rec r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1
+    ),
+    fin AS (
+      SELECT event_type, level, trend,
+             row_number() OVER (PARTITION BY event_type ORDER BY t DESC) AS rn
+      FROM rec
+    )
+    SELECT f.event_type,
+           CAST(n.n_days AS INTEGER) AS n_days,
+           round(f.level / 100, 6) AS level_value,
+           round(f.trend / 100, 6) AS trend_value,
+           round((f.level + f.trend) / 100, 6) AS forecast_next
+    FROM fin f
+    JOIN (SELECT event_type, max(t) AS n_days FROM ser GROUP BY 1) n
+      USING (event_type)
+    WHERE f.rn = 1
+    ORDER BY f.event_type
+    """,
+    description=(
+        "Holt double exponential smoothing (level + trend) per event "
+        "type over exact daily cents, one-step-ahead forecast — the "
+        "sequential recursion folds over the CALENDAR (30 elements), "
+        "never the corpus; exact-binary 0.5 coefficients make it "
+        "cross-engine bit-stable"
+    ),
+)
+def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (Holt 1957 / Hyndman fpp3 §8.2 —
+    public): level_t = a*x_t + (1-a)*(level+trend), trend_t =
+    b*(level_t - level_{t-1}) + (1-b)*trend, a = b = 0.5, init
+    level_2 = x_2, trend_2 = x_2 - x_1.
+
+    Same scale shape as `ewma_event_value`: the corpus-sized work is
+    ONE map-side-combinable daily integer groupBy; the sequential fold
+    runs over the per-key ordered daily array (calendar-bounded, ~30
+    elements) with a struct accumulator — `aggregate` in Spark, a
+    recursive CTE in the DuckDB oracle, both evaluating the identical
+    IEEE expression shapes in the identical order.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    ser = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " s -> cast(s.cents as double))"
+        ).alias("vals")
+    )
+    lvl = "0.5 * x + 0.5 * (acc.level + acc.trend)"
+    fold = F.expr(
+        "aggregate(slice(vals, 3, size(vals) - 2),"
+        " named_struct('level', vals[1], 'trend', vals[1] - vals[0]),"
+        f" (acc, x) -> named_struct('level', {lvl},"
+        f" 'trend', 0.5 * (({lvl}) - acc.level) + 0.5 * acc.trend))"
+    )
+    return (
+        ser.filter(F.size("vals") >= 2)
+        .select("event_type", F.size("vals").alias("n_days"), fold.alias("st"))
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("st.level") / 100, 6).alias("level_value"),
+            F.round(F.col("st.trend") / 100, 6).alias("trend_value"),
+            F.round((F.col("st.level") + F.col("st.trend")) / 100, 6).alias(
+                "forecast_next"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "dow_seasonality_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT event_type, isodow(day) - 1 AS dow,
+             count(*) AS n_days,
+             sum(cents) AS s,
+             sum(cents * cents) AS ss
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(*) AS nt, sum(cents) AS st
+      FROM daily GROUP BY 1
+    ),
+    outl AS (
+      SELECT d.event_type, isodow(d.day) - 1 AS dow,
+             sum(CASE WHEN (d.cents * c.n_days - c.s)
+                          * (d.cents * c.n_days - c.s)
+                        > 4 * (c.ss * c.n_days - c.s * c.s)
+                      THEN 1 ELSE 0 END) AS n_outlier_days
+      FROM daily d
+      JOIN cells c ON c.event_type = d.event_type
+                  AND c.dow = isodow(d.day) - 1
+      GROUP BY 1, 2
+    )
+    SELECT c.event_type,
+           CAST(c.dow AS INTEGER) AS dow,
+           CAST(c.n_days AS BIGINT) AS n_days,
+           round(c.s / c.n_days / 100.0, 6) AS dow_avg,
+           round((c.s * t.nt) * 1.0 / (c.n_days * t.st), 6)
+             AS seasonal_index,
+           CAST(o.n_outlier_days AS BIGINT) AS n_outlier_days
+    FROM cells c
+    JOIN tot t ON t.event_type = c.event_type
+    JOIN outl o ON o.event_type = c.event_type AND o.dow = c.dow
+    ORDER BY c.event_type, c.dow
+    """,
+    description=(
+        "Day-of-week seasonal decomposition per event type: seasonal "
+        "index (dow mean over grand mean) plus 2-sigma residual-outlier "
+        "day counts — ALL comparisons in exact integer cents (variance "
+        "fence cross-multiplied to integers), so the decomposition is "
+        "cross-engine exact"
+    ),
+)
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonal-profile monitor behind 'is Tuesday always a spike':
+    per (event_type, ISO day-of-week) the mean daily revenue, its ratio
+    to the type's grand daily mean (the multiplicative seasonal index),
+    and how many individual days broke the 2-sigma fence for their own
+    weekday cell.
+
+    Scale shape: one daily integer groupBy over the corpus (map-side
+    partial), then everything downstream operates on <= |types|*7 cells
+    and |types|*|days| daily rows — the cell stats broadcast back onto
+    the daily rows for the fence count. The fence compares
+    (x*n - s)^2 > 4*(ss*n - s^2): both sides exact BIGINT at test SFs
+    (cents^2 * days fits 2^63 up to ~sf1; beyond that the fence flips to
+    double with the usual 6dp round — a projection swap, not a plan
+    change).
+    """
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    dow = F.expr("weekday(day)").cast("bigint")
+    cells = daily.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("cents").alias("st")
+    )
+    dev = F.col("cents") * F.col("n_days") - F.col("s")
+    is_out = F.when(
+        dev * dev > 4 * (F.col("ss") * F.col("n_days") - F.col("s") * F.col("s")),
+        1,
+    ).otherwise(0)
+    outl = (
+        daily.withColumn("dow", dow)
+        .join(F.broadcast(cells), ["event_type", "dow"])
+        .groupBy("event_type", "dow")
+        .agg(F.sum(is_out).alias("n_outlier_days"))
+    )
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(outl), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round(F.col("s") / F.col("n_days") / 100.0, 6).alias("dow_avg"),
+            F.round(
+                (F.col("s") * F.col("nt")) * 1.0 / (F.col("n_days") * F.col("st")),
+                6,
+            ).alias("seasonal_index"),
+            F.col("n_outlier_days").cast("bigint").alias("n_outlier_days"),
+        )
+        .orderBy("event_type", "dow")
+    )

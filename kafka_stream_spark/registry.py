@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         sql_surface,
         skew,
         analytics_ext,
+        bitext,
         bpe,
         curation_ext,
         components,

@@ -297,3 +297,42 @@ def test_forecast_eval_single_window_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, "forecast_eval_mase")
     hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hash_ex) <= 2  # daily groupBy + the shared window
+
+
+def test_holt_fold_is_calendar_bounded(spark, sf_dir):
+    """The sequential Holt fold runs over per-key arrays AFTER the daily
+    groupBy — the corpus-sized scan feeds exactly the daily partial agg
+    (map-side combine) plus the per-type collect; no joins, no cartesian."""
+    p = plan_of(spark, sf_dir, "holt_trend_forecast")
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # pure two-level aggregation pipeline
+    hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) <= 2  # daily groupBy + per-type series groupBy
+
+
+def test_dow_seasonality_stats_broadcast(spark, sf_dir):
+    """The |types|x7 cell stats and |types| totals broadcast back onto
+    the daily rows — the daily table never sort-merges."""
+    p = plan_of(spark, sf_dir, "dow_seasonality_events")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bitext_pool_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """The target pool broadcasts onto the source pool for the pair
+    stage (same contract as ann_cosine_topk); the windowed kNN sums
+    partition the PAIR matrix, never re-shuffle the corpus."""
+    p = plan_of(spark, sf_dir, "bitext_margin_mining")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_containment_verify_shares_jaccard_plan(spark, sf_dir):
+    """Containment rides the same posting-list equi-join as
+    dedup_ngram_jaccard: shingle-keyed join plus broadcast size dims —
+    no nested loop anywhere."""
+    p = plan_of(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p  # the two size-dim joins
