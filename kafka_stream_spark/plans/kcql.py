@@ -5,7 +5,7 @@ Language) inside Stream Reactor connectors (``web/env.js:12-14`` — "Source
 & Sink connectors collection (20+) supporting KCQL"; SURVEY.md §2.3 P1).
 Grammar subset implemented (KCQL 0.3.0 public syntax):
 
-    INSERT INTO <target>
+    INSERT INTO <target> | UPSERT INTO <target>
     SELECT <field | field AS alias | *> [, ...]
     FROM <source>
     [IGNORE <field> [, ...]]
@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 
 _KCQL_RE = re.compile(
     r"""
-    ^\s*INSERT\s+INTO\s+(?P<target>\S+)
+    ^\s*(?P<mode>INSERT|UPSERT)\s+INTO\s+(?P<target>\S+)
     \s+SELECT\s+(?P<select>.+?)
     \s+FROM\s+(?P<source>\S+)
     (?:\s+IGNORE\s+(?P<ignore>[\w\s,]+?))?
@@ -57,6 +57,9 @@ class KcqlStatement:
     limit: int | None = None
     storeas: str | None = None
     withformat: str | None = None
+    #: "insert" | "upsert" — Stream Reactor KCQL write mode (UPSERT INTO
+    #: replaces the document/row matching PK instead of appending)
+    write_mode: str = "insert"
 
     @property
     def is_star(self) -> bool:
@@ -88,6 +91,7 @@ def parse(statement: str) -> KcqlStatement:
         limit=int(m.group("limit")) if m.group("limit") else None,
         storeas=m.group("storeas"),
         withformat=m.group("withformat"),
+        write_mode=m.group("mode").lower(),
     )
 
 

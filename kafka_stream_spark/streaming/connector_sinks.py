@@ -16,6 +16,9 @@ the family's renderer:
   tags, remaining non-timestamp columns become fields (`influx.py`).
 - ``hbase``   — the KCQL PK composes the rowkey; non-key columns become
   ``family:qualifier`` cells with row-atomic put batching (`hbase.py`).
+- ``mongo``   — the KCQL target is ``database.collection``; documents
+  render as Extended JSON with the PK as ``_id``; ``UPSERT INTO``
+  switches insertMany to idempotent replaceOne bulkWrites (`mongo.py`).
 - ``elastic`` — the KCQL target is the index; the first PK column is
   the document id (`elastic.py`).
 
@@ -34,6 +37,7 @@ from kafka_stream_spark.streaming.cassandra import cassandra_sink
 from kafka_stream_spark.streaming.elastic import elastic_sink
 from kafka_stream_spark.streaming.hbase import hbase_sink
 from kafka_stream_spark.streaming.influx import influx_sink
+from kafka_stream_spark.streaming.mongo import mongo_sink
 
 
 def redis_sink(
@@ -120,6 +124,16 @@ def kcql_connector_sink(
         if not pk:
             raise ValueError("hbase sink needs PK (the composite rowkey)")
         return hbase_sink(df, family, pk, transport, checkpoint)
+    if system == "mongo":
+        db, _, coll = stmt.target.partition(".")
+        if not coll:
+            raise ValueError(f"mongo target must be database.collection: {stmt.target}")
+        upsert = stmt.write_mode == "upsert"
+        if upsert and not pk:
+            raise ValueError("mongo UPSERT needs PK (the _id filter)")
+        return mongo_sink(
+            df, db, coll, pk or None, transport, checkpoint, upsert=upsert
+        )
     if system == "elastic":
         return (
             elastic_sink(df, stmt.target, transport, id_col=pk[0] if pk else None)
