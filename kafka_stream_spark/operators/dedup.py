@@ -956,3 +956,203 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus — the ingestion gate)
+# ---------------------------------------------------------------------------
+
+_INC_SRC = "src5"  # the arriving batch; every other source is the corpus
+_INC_T = 0.7  # same verify threshold as dedup_minhash_lsh
+
+
+@query(
+    "incremental_dedup_documents",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source = '{_INC_SRC}'),
+    base AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source <> '{_INC_SRC}'),
+    exact AS (
+      SELECT i.doc_id, min(b.doc_id) AS matched_doc_id
+      FROM inc i JOIN base b ON b.h = i.h GROUP BY i.doc_id
+    ),
+    hx AS (SELECT doc_id, sh, {_DUCK_H60} AS x FROM sh),
+    hp(i, a, b) AS (VALUES {_mh_duck_params_values()}),
+    sig AS (
+      SELECT doc_id, i, min((a * x + b) % {_MH_P}) AS minv
+      FROM hx CROSS JOIN hp GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {len(_MH_PARAMS) // _MH_BANDS} AS band,
+             string_agg(minv::VARCHAR, ',' ORDER BY i) AS band_sig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS inc_doc, b.doc_id AS base_doc
+      FROM bands a
+      JOIN inc i ON i.doc_id = a.doc_id
+      JOIN bands b ON b.band = a.band AND b.band_sig = a.band_sig
+      JOIN base bb ON bb.doc_id = b.doc_id
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM exact)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.inc_doc, c.base_doc, count(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.inc_doc
+                  JOIN sh y ON y.doc_id = c.base_doc AND y.sh = x.sh
+      GROUP BY c.inc_doc, c.base_doc
+    ),
+    near_all AS (
+      SELECT inc_doc, base_doc,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jac
+      FROM common JOIN sz sa ON inc_doc = sa.doc_id
+                  JOIN sz sb ON base_doc = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {_INC_T}
+    ),
+    near AS (
+      SELECT inc_doc AS doc_id, base_doc AS matched_doc_id, jac
+      FROM (SELECT *, row_number() OVER (PARTITION BY inc_doc
+                                         ORDER BY jac DESC, base_doc) AS rn
+            FROM near_all)
+      WHERE rn = 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
+           coalesce(e.matched_doc_id, n.matched_doc_id) AS matched_doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1.0 ELSE n.jac END AS best_jaccard
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    ORDER BY i.doc_id
+    """,
+    description=(
+        "Incremental ingestion dedup: the arriving batch (one source) "
+        "gated against the existing corpus — exact md5 layer, then "
+        "cross-corpus MinHash-LSH candidates verified at Jaccard >= "
+        "0.7; per-doc verdict exact/near/new with best corpus match"
+    ),
+)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'don't re-ingest what you already have' gate every growing
+    training corpus runs per crawl drop. Precedence: exact md5 match
+    wins, else the best LSH-verified near match, else 'new'.
+
+    Scale shape: the exact layer is a hash equi-join on a 16-byte key;
+    the near layer reuses `_mh_band_candidates`' machinery with the
+    band join RESTRICTED to incoming x corpus (never corpus x corpus —
+    the candidate mass scales with the BATCH, not the corpus, which is
+    what makes nightly increments affordable); the verify join is
+    candidate-bounded exactly like dedup_minhash_lsh. At 100 TB the
+    corpus-side band table and md5 set are precomputed artifacts
+    (written once, bucketed by band_sig / hash), so an increment
+    touches only matching buckets.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    is_inc = F.col("source") == _INC_SRC
+    hashes = documents.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    inc = hashes.filter(is_inc).select("doc_id", "h")
+    base = hashes.filter(~is_inc).select(
+        F.col("doc_id").alias("bdoc"), F.col("h")
+    )
+    exact = (
+        inc.join(base, "h")
+        .groupBy("doc_id")
+        .agg(F.min("bdoc").alias("matched_doc_id"))
+    )
+
+    sh = _doc_shingles(spark, sf_dir).cache()
+    rows_per_band = len(_MH_PARAMS) // _MH_BANDS
+    hx = sh.withColumn("x", F.expr(_SPARK_H60))
+    sig = hx.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a}L * x + {b}L) % {_MH_P}L")).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+                ],
+            ).alias("band_sig"),
+        )
+        for band in range(_MH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+    )
+    side = documents.select("doc_id", is_inc.alias("is_inc"))
+    bands = bands.join(F.broadcast(side), "doc_id")
+    binc = bands.filter(F.col("is_inc")).join(
+        exact.select("doc_id"), "doc_id", "left_anti"
+    )
+    bbase = bands.filter(~F.col("is_inc"))
+    cand = (
+        binc.alias("a")
+        .join(
+            bbase.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.doc_id").alias("inc_doc"), F.col("b.doc_id").alias("base_doc"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("inc_doc"), "sh")
+    shb = sh.select(F.col("doc_id").alias("base_doc"), "sh")
+    common = (
+        cand.join(sha, ["inc_doc"])
+        .join(shb, ["base_doc", "sh"])
+        .groupBy("inc_doc", "base_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    near_all = (
+        common.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("inc_doc"), F.col("n").alias("na"))),
+            ["inc_doc"],
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("base_doc"), F.col("n").alias("nb"))),
+            ["base_doc"],
+        )
+        .filter(jac >= _INC_T)
+        .select("inc_doc", "base_doc", F.round(jac, 6).alias("jac"))
+    )
+    wbest = Window.partitionBy("inc_doc").orderBy(F.desc("jac"), F.asc("base_doc"))
+    near = (
+        near_all.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("inc_doc").alias("doc_id"),
+            F.col("base_doc").alias("near_match"),
+            "jac",
+        )
+    )
+    return (
+        inc.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("matched_doc_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce(F.col("matched_doc_id"), F.col("near_match")).alias(
+                "matched_doc_id"
+            ),
+            F.when(F.col("matched_doc_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("jac"))
+            .alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )

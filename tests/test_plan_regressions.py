@@ -336,3 +336,12 @@ def test_containment_verify_shares_jaccard_plan(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
     assert "BroadcastHashJoin" in p  # the two size-dim joins
+
+
+def test_incremental_dedup_batch_scales_with_increment(spark, sf_dir):
+    """Cross-corpus LSH: band candidates come from an equi-join on
+    (band, band_sig) restricted to incoming x corpus — no cartesian, no
+    corpus self-join; the exact layer is a hash equi-join."""
+    p = plan_of(spark, sf_dir, "incremental_dedup_documents")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
