@@ -98,6 +98,7 @@ _THRESHOLD = 1.05
         "top-4 neighbour means (integer micro-unit kNN sums), "
         "best-match-per-source above a 1.05 margin"
     ),
+    bench=True,
 )
 def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three shuffles of the PAIR matrix, never more: one per windowed

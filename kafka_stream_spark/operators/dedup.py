@@ -1033,6 +1033,7 @@ _INC_T = 0.7  # same verify threshold as dedup_minhash_lsh
         "cross-corpus MinHash-LSH candidates verified at Jaccard >= "
         "0.7; per-doc verdict exact/near/new with best corpus match"
     ),
+    bench=True,
 )
 def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'don't re-ingest what you already have' gate every growing
