@@ -76,6 +76,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_partsupp,
         semdedup,
         sequence_stats,
+        sketches_bloom,
         sketches_histogram,
         sketches_kmv,
     )

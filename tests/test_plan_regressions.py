@@ -345,3 +345,13 @@ def test_incremental_dedup_batch_scales_with_increment(spark, sf_dir):
     p = plan_of(spark, sf_dir, "incremental_dedup_documents")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_bloom_filter_broadcasts_words(spark, sf_dir):
+    """The 64-word bloom broadcasts onto the probe scan; the order table
+    never sort-merges, and the bit_or build partial-aggregates map-side
+    (HashAggregate below the exchange)."""
+    p = plan_of(spark, sf_dir, "bloom_membership_orders")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
