@@ -36,13 +36,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from kafka_stream_spark.operators.sketches_bloom import (
-    _BLOOM_BITS,
-    _BLOOM_HASHES,
-    _BLOOM_P,
-)
+from kafka_stream_spark.operators.sketches_bloom import _BLOOM_HASHES, _BLOOM_P
 
-_WORDS = _BLOOM_BITS // 63 + (1 if _BLOOM_BITS % 63 else 0)
+#: default filter size: 1024 words x 63 bits ≈ 64k bits per shard —
+#: ~2% false-positive rate at ~6k keys/shard; size n_words to ~10 bits
+#: per expected key (the standard m/n=10, k=3 operating point)
+DEFAULT_WORDS = 1024
 
 GATE_SCHEMA = StructType(
     [
@@ -55,26 +54,26 @@ GATE_SCHEMA = StructType(
 _GATE_STATE = StructType([StructField("words", ArrayType(LongType()))])
 
 
-def bloom_positions(key: int) -> list[tuple[int, int]]:
+def bloom_positions(key: int, n_words: int) -> list[tuple[int, int]]:
     """(word, bit) positions for a key — same arithmetic as the batch
     sketch's `_positions` SQL, evaluated in Python for the state fold."""
     out = []
     for a, b in _BLOOM_HASHES:
-        p = ((a * key + b) % _BLOOM_P) % _BLOOM_BITS
+        p = ((a * key + b) % _BLOOM_P) % (n_words * 63)
         out.append((p // 63, p % 63))
     return out
 
 
-def bloom_gate(grouped, id_col: str) -> DataFrame:
+def bloom_gate(grouped, id_col: str, n_words: int = DEFAULT_WORDS) -> DataFrame:
     """Per-shard stateful processor: admit a record iff its id's bloom
-    bits are not all set, then set them. State is `_WORDS` longs per
+    bits are not all set, then set them. State is `n_words` longs per
     shard FOREVER — the whole point; compare `dropDuplicates` whose
     state grows with distinct keys."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (words,) = state.get if state.exists else ([0] * _WORDS,)
+        (words,) = state.get if state.exists else ([0] * n_words,)
         words = list(words)
         ids: list[int] = []
         for pdf in pdfs:
@@ -82,7 +81,7 @@ def bloom_gate(grouped, id_col: str) -> DataFrame:
         ids.sort()  # deterministic under any micro-batch slicing
         out = {"shard": [], "rec_id": [], "admitted": []}
         for rid in ids:
-            pos = bloom_positions(rid)
+            pos = bloom_positions(rid, n_words)
             seen = all(words[w] & (1 << b) for w, b in pos)
             if not seen:
                 for w, b in pos:
@@ -99,11 +98,13 @@ def bloom_gate(grouped, id_col: str) -> DataFrame:
     )
 
 
-def streaming_bloom_dedup(stream: DataFrame, id_col: str, n_shards: int = 8) -> DataFrame:
+def streaming_bloom_dedup(
+    stream: DataFrame, id_col: str, n_shards: int = 8, n_words: int = DEFAULT_WORDS
+) -> DataFrame:
     """Shard by key hash, gate each shard through its bloom. The shard
     column is the state-store partitioning key: state size is
-    n_shards x _WORDS longs, independent of how many keys flow through."""
+    n_shards x n_words longs, independent of how many keys flow through."""
     sharded = stream.withColumn(
         "shard", (F.abs(F.hash(F.col(id_col))) % n_shards).cast("string")
     )
-    return bloom_gate(sharded.groupBy("shard"), id_col)
+    return bloom_gate(sharded.groupBy("shard"), id_col, n_words)

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from kafka_stream_spark.streaming.bloom_gate import (
-    _WORDS,
+    DEFAULT_WORDS,
     bloom_positions,
     streaming_bloom_dedup,
 )
@@ -25,9 +25,9 @@ def _python_reference(ids, n_shards=8, shard_of=None):
     for i in ids:
         by_shard.setdefault(shard_of[i], []).append(i)
     for shard, sids in by_shard.items():
-        words = [0] * _WORDS
+        words = [0] * DEFAULT_WORDS
         for i in sorted(set(sids)):  # first arrival decides; later repeats dup
-            pos = bloom_positions(i)
+            pos = bloom_positions(i, DEFAULT_WORDS)
             seen = all(words[w] & (1 << b) for w, b in pos)
             if not seen:
                 for w, b in pos:

@@ -68,3 +68,36 @@ def test_application_reset_replays(spark, tmp_path):
     out2 = str(tmp_path / "out2")
     drain(out2)
     assert spark.read.parquet(out2).count() == 1  # replayed from offset 0
+
+
+def test_bloom_gate_throughput_floor(spark, tmp_path):
+    """The streaming Bloom admission gate must sustain the reference's
+    replay floor (≥ 5,000 rec/s, kafka-tests.yml replay shape) — the
+    dedup gate cannot be the ingest bottleneck. 50k records through the
+    full sharded stateful pipeline, wall-clocked end to end."""
+    from kafka_stream_spark.streaming.bloom_gate import streaming_bloom_dedup
+
+    n = 50_000
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("body", StringType())]
+    )
+    src = str(tmp_path / "src")
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.rpad(F.col("id").cast("string"), 200, "y").alias("body"),
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    t0 = time.time()
+    q = (
+        streaming_bloom_dedup(spark.readStream.schema(schema).parquet(src), "doc_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    elapsed = time.time() - t0
+    rate = n / elapsed
+    assert rate >= 5000, f"{rate:.0f} rec/s below reference replay floor"
+    assert spark.read.parquet(out).count() == n
