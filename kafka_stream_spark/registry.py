@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         entity_resolution,
         event_analytics,
         graph_rank,
+        layout_audit,
         timeseries,
         olap_ext,
         search,

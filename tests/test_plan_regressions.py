@@ -355,3 +355,17 @@ def test_bloom_filter_broadcasts_words(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_zorder_audit_demonstrates_secondary_pruning(spark, sf_dir):
+    """The audit's whole point: the linear layout cannot skip a single
+    bucket for the secondary-dimension predicate, the Z-order layout
+    skips most — assert the asymmetry itself, not just the plan."""
+    df = SPECS["zorder_pruning_audit"].build(spark, sf_dir)
+    rows = {(r.layout, r.predicate): r for r in df.collect()}
+    lin_date = rows[("linear", "date_range")]
+    z_date = rows[("zorder", "date_range")]
+    assert lin_date.n_touched == lin_date.n_buckets  # no pruning at all
+    assert z_date.n_touched < z_date.n_buckets * 0.6  # >40% skipped
+    p = plan_of(spark, sf_dir, "zorder_pruning_audit")
+    assert "CartesianProduct" not in p
