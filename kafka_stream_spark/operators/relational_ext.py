@@ -506,3 +506,116 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "price_cents", "day")
         .orderBy(F.desc("price_cents"), "o_orderkey")
     )
+
+
+@query(
+    "reconcile_order_totals",
+    oracle="""
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100, 0) AS BIGINT)) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS fact_cents,
+             r.line_cents
+      FROM orders o LEFT JOIN recomputed r ON r.l_orderkey = o.o_orderkey
+    ),
+    classified AS (
+      SELECT CASE WHEN line_cents IS NULL THEN 'orphan_order'
+                  WHEN abs(fact_cents - line_cents) <= 1 THEN 'match'
+                  WHEN fact_cents > line_cents THEN 'fact_high'
+                  ELSE 'fact_low' END AS status,
+             coalesce(abs(fact_cents - line_cents), 0) AS abs_diff
+      FROM joined
+    ),
+    order_side AS (
+      SELECT status, count(*) AS n_keys,
+             CAST(sum(abs_diff) AS BIGINT) AS sum_abs_diff_cents,
+             CAST(max(abs_diff) AS BIGINT) AS max_abs_diff_cents
+      FROM classified GROUP BY status
+    ),
+    line_side AS (
+      SELECT 'orphan_lineitem' AS status,
+             count(DISTINCT l.l_orderkey) AS n_keys,
+             CAST(0 AS BIGINT) AS sum_abs_diff_cents,
+             CAST(0 AS BIGINT) AS max_abs_diff_cents
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      HAVING count(*) > 0
+    )
+    SELECT status, CAST(n_keys AS BIGINT) AS n_keys,
+           sum_abs_diff_cents, max_abs_diff_cents
+    FROM (SELECT * FROM order_side UNION ALL SELECT * FROM line_side)
+    ORDER BY status
+    """,
+    description=(
+        "Fact-vs-detail reconciliation: every order's header total "
+        "recomputed from its line items in exact integer cents, "
+        "classified match / fact_high / fact_low / orphan_order (plus "
+        "orphan line items) with absolute-deviation totals — the "
+        "cross-table DQ check dq_audit's single-table constraints miss"
+    ),
+)
+def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconciliation every warehouse runs between a fact header
+    and its detail rows (and the referential-integrity orphan scan in
+    the same pass). Scale shape: ONE groupBy on the detail table
+    (map-side partial; the per-row cent rounding happens before the
+    sum, so the aggregate is an order-independent integer), one join on
+    the shared key, one |statuses|-row aggregate; the orphan-lineitem
+    leg is a left-anti join on the same key — both joins shuffle on
+    l_orderkey/o_orderkey only. All deviations exact BIGINT cents.
+    """
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    recomputed = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100,
+                0,
+            ).cast("bigint")
+        ).alias("line_cents")
+    )
+    joined = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("fact_cents"),
+    ).join(recomputed, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    status = (
+        F.when(F.col("line_cents").isNull(), "orphan_order")
+        .when(F.abs(F.col("fact_cents") - F.col("line_cents")) <= 1, "match")
+        .when(F.col("fact_cents") > F.col("line_cents"), "fact_high")
+        .otherwise("fact_low")
+    )
+    abs_diff = F.coalesce(
+        F.abs(F.col("fact_cents") - F.col("line_cents")), F.lit(0)
+    )
+    order_side = (
+        joined.select(status.alias("status"), abs_diff.alias("abs_diff"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("abs_diff").cast("bigint").alias("sum_abs_diff_cents"),
+            F.max("abs_diff").cast("bigint").alias("max_abs_diff_cents"),
+        )
+    )
+    line_side = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.countDistinct("l_orderkey").alias("n_keys"))
+        .filter(F.col("n_keys") > 0)
+        .select(
+            F.lit("orphan_lineitem").alias("status"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.lit(0).cast("bigint").alias("sum_abs_diff_cents"),
+            F.lit(0).cast("bigint").alias("max_abs_diff_cents"),
+        )
+    )
+    return order_side.unionByName(line_side).orderBy("status")
