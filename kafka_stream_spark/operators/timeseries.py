@@ -1137,3 +1137,95 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "capped_running_balance",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      WHEN event_type = 'error'
+                      THEN -CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS delta
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+      GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t,
+             delta,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM daily
+    ),
+    rec AS (
+      SELECT user_id, t, n,
+             greatest(delta, 0) AS bal,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END AS nc
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.t, s.n,
+             greatest(r.bal + s.delta, 0),
+             r.nc + CASE WHEN r.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM rec r JOIN ser s ON s.user_id = r.user_id AND s.t = r.t + 1
+    )
+    SELECT user_id,
+           CAST(n AS INTEGER) AS n_days,
+           CAST(bal AS BIGINT) AS balance_cents,
+           CAST(nc AS BIGINT) AS n_clamped_days
+    FROM rec WHERE t = n
+    ORDER BY user_id
+    """,
+    description=(
+        "Saturating running balance per user: purchases credit, errors "
+        "debit, balance clamps at zero — the stateful fold plain window "
+        "sums cannot express (a clamp makes the recurrence non-linear); "
+        "exact integer cents, clamped-day counts included"
+    ),
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The credit-ledger / inventory-position recurrence
+    bal_t = max(bal_{t-1} + delta_t, 0): non-linear in the deltas, so
+    no prefix-sum window rewrite exists — it needs a per-key ordered
+    fold. Same scale shape as `ewma_event_value`/`holt_trend_forecast`:
+    the corpus-sized work is one map-side-combinable daily integer
+    groupBy; the sequential fold runs over calendar-bounded per-key
+    arrays with a struct accumulator (balance + clamp count), mirrored
+    by a recursive CTE in the oracle. Everything integer — bit-exact.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = (
+        events.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+            ).alias("delta")
+        )
+    )
+    ser = daily.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, delta))),"
+            " s -> s.delta)"
+        ).alias("deltas")
+    )
+    fold = F.expr(
+        "aggregate(slice(deltas, 2, size(deltas) - 1),"
+        " named_struct('bal', greatest(deltas[0], 0L),"
+        "              'nc', if(deltas[0] < 0, 1L, 0L)),"
+        " (acc, x) -> named_struct('bal', greatest(acc.bal + x, 0L),"
+        "                          'nc', acc.nc + if(acc.bal + x < 0, 1L, 0L)))"
+    )
+    return ser.select(
+        "user_id",
+        F.size("deltas").alias("n_days"),
+        fold.alias("st"),
+    ).select(
+        "user_id",
+        "n_days",
+        F.col("st.bal").cast("bigint").alias("balance_cents"),
+        F.col("st.nc").cast("bigint").alias("n_clamped_days"),
+    ).orderBy("user_id")
