@@ -619,3 +619,107 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return order_side.unionByName(line_side).orderBy("status")
+
+
+@query(
+    "prorate_penny_allocation",
+    oracle="""
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    tot AS (
+      SELECT *, sum(cents) OVER (PARTITION BY l_orderkey) AS W
+      FROM w
+    ),
+    base AS (
+      SELECT *,
+             (W // 10) AS target,
+             ((W // 10) * cents) // W AS base_alloc,
+             ((W // 10) * cents) % W AS rem
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk,
+             (W // 10) - sum(base_alloc) OVER (PARTITION BY l_orderkey)
+               AS leftover
+      FROM base
+    ),
+    alloc AS (
+      SELECT l_orderkey, target,
+             base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+      FROM ranked
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(any_value(target) AS BIGINT) AS target_cents,
+           CAST(sum(alloc) AS BIGINT) AS alloc_sum_cents,
+           CAST(max(alloc) AS BIGINT) AS max_alloc_cents,
+           CAST(min(alloc) AS BIGINT) AS min_alloc_cents
+    FROM alloc
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    description=(
+        "Penny-exact proration: a 10% order-level discount allocated "
+        "across line items by the largest-remainder method — floor "
+        "shares plus rank-ordered remainder pennies, so every order's "
+        "allocations sum EXACTLY to its target (alloc_sum == target "
+        "row by row); pure integer arithmetic"
+    ),
+)
+def prorate_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The allocation problem behind every invoice/discount/tax split:
+    proportional shares truncate, and the lost pennies must land
+    deterministically (largest remainder, Hamilton's method — public).
+    Scale shape: every step partitions by l_orderkey — the window sum,
+    the remainder rank, the leftover sum, and the final groupBy all
+    reuse ONE hash partitioning of the detail table (AQE coalesces the
+    plan to a single data exchange). Integer products bound: target *
+    cents < 2^63 through ~per-order totals of 10^9 cents.
+    """
+    from pyspark.sql import Window as W
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    byo = W.partitionBy("l_orderkey")
+    w = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    tot = w.withColumn("W", F.sum("cents").over(byo))
+    base = tot.select(
+        "*",
+        F.expr("W div 10").alias("target"),
+        F.expr("((W div 10) * cents) div W").alias("base_alloc"),
+        F.expr("((W div 10) * cents) % W").alias("rem"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(byo.orderBy(F.desc("rem"), F.asc("l_linenumber")))
+        .alias("rk"),
+        (F.col("target") - F.sum("base_alloc").over(byo)).alias("leftover"),
+    )
+    alloc = ranked.select(
+        "l_orderkey",
+        "target",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+    return (
+        alloc.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.first("target").cast("bigint").alias("target_cents"),
+            F.sum("alloc").cast("bigint").alias("alloc_sum_cents"),
+            F.max("alloc").cast("bigint").alias("max_alloc_cents"),
+            F.min("alloc").cast("bigint").alias("min_alloc_cents"),
+        )
+        .orderBy("l_orderkey")
+    )

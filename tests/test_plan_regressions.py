@@ -369,3 +369,13 @@ def test_zorder_audit_demonstrates_secondary_pruning(spark, sf_dir):
     assert z_date.n_touched < z_date.n_buckets * 0.6  # >40% skipped
     p = plan_of(spark, sf_dir, "zorder_pruning_audit")
     assert "CartesianProduct" not in p
+
+
+def test_prorate_single_order_partitioning(spark, sf_dir):
+    """Window sum, remainder rank, leftover sum, and final groupBy all
+    share the l_orderkey hash partitioning — one data exchange, no
+    joins at all."""
+    p = plan_of(spark, sf_dir, "prorate_penny_allocation")
+    assert "Join" not in p
+    hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) <= 1
