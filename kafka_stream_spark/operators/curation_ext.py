@@ -854,3 +854,112 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("chi_u") / 1e6, 4).alias("cell_chi2"),
         )
     )
+
+
+@query(
+    "neyman_allocation_sample",
+    oracle="""
+    WITH strata AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(n_chars) AS s,
+             sum(n_chars * n_chars) AS ss
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_docs,
+             round(sqrt(CAST(ss * n_docs - s * s AS DOUBLE)) / n_docs, 6)
+               AS sigma_chars,
+             CAST(round(n_docs * (round(sqrt(CAST(ss * n_docs - s * s AS DOUBLE))
+                                        / n_docs, 6)) * 1000000, 0) AS BIGINT)
+               AS wu
+      FROM strata
+    ),
+    shares AS (
+      SELECT *,
+             sum(wu) OVER () AS wtot,
+             (100 * wu) // sum(wu) OVER () AS base_n,
+             (100 * wu) % sum(wu) OVER () AS rem
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             100 - sum(base_n) OVER () AS leftover
+      FROM shares
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           sigma_chars,
+           CAST(base_n + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS allocated_n
+    FROM ranked
+    ORDER BY source
+    """,
+    description=(
+        "Neyman-optimal sampling allocation: a 100-doc budget split "
+        "across sources proportional to N_h * sigma_h (stratum size x "
+        "length spread), integer micro-unit weights + largest-remainder "
+        "rounding so allocations sum exactly to the budget"
+    ),
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman 1934 optimal stratified allocation (public): minimum-
+    variance estimates for a fixed sample budget put sampling effort
+    where strata are big AND internally varied — the principled answer
+    to 'how many docs should each source contribute to the eval set'.
+
+    Scale shape: one map-side-combinable groupBy computes every
+    stratum's exact integer (n, s, ss); everything after runs on
+    |sources| rows. sqrt on exact integer arguments is IEEE correctly
+    rounded (identical both engines); weights then become integer
+    micro-units and the pennies land by the same largest-remainder rank
+    as prorate_penny_allocation, so the allocations sum EXACTLY to the
+    budget. (Strata smaller than their allocation would need a cap +
+    re-allocate loop; these sources are all far above their shares.)
+    """
+    from pyspark.sql import Window as W
+
+    (documents,) = load(spark, sf_dir, "documents")
+    strata = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    sigma = F.round(
+        F.sqrt((F.col("ss") * F.col("n_docs") - F.col("s") * F.col("s")).cast("double"))
+        / F.col("n_docs"),
+        6,
+    )
+    weighted = strata.select(
+        "source",
+        "n_docs",
+        sigma.alias("sigma_chars"),
+        F.round(F.col("n_docs") * sigma * 1_000_000, 0).cast("bigint").alias("wu"),
+    )
+    wall = W.partitionBy()
+    # integer div/mod against the window total
+    shares = weighted.select(
+        "*",
+        F.sum("wu").over(wall).alias("wtot"),
+    ).select(
+        "*",
+        F.expr("(100 * wu) div wtot").alias("base_n"),
+        F.expr("(100 * wu) % wtot").alias("rem"),
+    )
+    ranked = shares.select(
+        "*",
+        F.row_number().over(wall.orderBy(F.desc("rem"), F.asc("source"))).alias("rk"),
+        (F.lit(100) - F.sum("base_n").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "sigma_chars",
+        (
+            F.col("base_n")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated_n"),
+    ).orderBy("source")
