@@ -1229,3 +1229,107 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.bal").cast("bigint").alias("balance_cents"),
         F.col("st.nc").cast("bigint").alias("n_clamped_days"),
     ).orderBy("user_id")
+
+
+@query(
+    "gapfill_daily_purchases",
+    oracle="""
+    WITH ext AS (
+      SELECT min(CAST(ts AS DATE)) AS mind, max(CAST(ts AS DATE)) AS maxd
+      FROM events
+    ),
+    cal AS (
+      SELECT unnest(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day
+      FROM ext
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' AND user_id < 30
+      GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM daily),
+    dense AS (
+      SELECT u.user_id, c.day, coalesce(d.cents, 0) AS cents,
+             CASE WHEN d.day IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM users u CROSS JOIN cal c
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
+    )
+    SELECT user_id, day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(observed AS BIGINT) AS observed,
+           last_value(CASE WHEN observed = 1 THEN day END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_day,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents
+    FROM dense
+    ORDER BY user_id, day
+    """,
+    description=(
+        "Calendar densification (gap-fill) of sparse per-user purchase "
+        "days onto the full date range: zero-filled gaps, an observed "
+        "flag, forward-filled last-purchase day, and an exact running "
+        "total — the time_bucket_gapfill/LOCF shape time-series stores "
+        "ship natively"
+    ),
+)
+def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LOCF (last observation carried forward): downstream
+    window/forecast math needs a DENSE calendar, and the fill must be
+    declarative, not imperative. Scale shape: the calendar is a tiny
+    generated dimension (|days| rows) broadcast-crossed with the
+    (bounded, filtered) user dim — never with the corpus; the corpus-
+    sized work is one daily integer groupBy; the fill itself is a left
+    join plus one per-user window partitioning that serves BOTH the
+    forward-fill and the running total.
+    """
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    purch = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+    )
+    # full-range calendar from ALL events, as the oracle does
+    ext = events.select(F.to_date("ts").alias("d")).agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd")
+    )
+    cal = ext.select(
+        F.explode(F.expr("sequence(mind, maxd, interval 1 day)")).alias("day")
+    )
+    daily = purch.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    users = daily.select("user_id").distinct()
+    obs = daily.select(
+        F.col("user_id").alias("duser"), F.col("day").alias("dday"), "cents"
+    )
+    dense = (
+        users.crossJoin(F.broadcast(cal))
+        .join(
+            obs,
+            (F.col("user_id") == F.col("duser")) & (F.col("day") == F.col("dday")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+            F.when(F.col("dday").isNotNull(), 1).otherwise(0).alias("observed"),
+        )
+    )
+    wu = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return dense.select(
+        "user_id",
+        "day",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("observed").cast("bigint").alias("observed"),
+        F.last(
+            F.when(F.col("observed") == 1, F.col("day")), ignorenulls=True
+        ).over(wu).alias("last_purchase_day"),
+        F.sum("cents").over(wu).cast("bigint").alias("running_cents"),
+    ).orderBy("user_id", "day")
