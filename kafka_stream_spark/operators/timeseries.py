@@ -1333,3 +1333,103 @@ def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(wu).alias("last_purchase_day"),
         F.sum("cents").over(wu).cast("bigint").alias("running_cents"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "trimmed_mean_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT *,
+             (n * 5) // 100 AS k
+      FROM ranked
+    ),
+    stats AS (
+      SELECT event_type,
+             any_value(n) AS n,
+             any_value(k) AS k,
+             sum(CASE WHEN r > k AND r <= n - k THEN cents ELSE 0 END)
+               AS trimmed_sum,
+             min(CASE WHEN r = k + 1 THEN cents END) AS lo_fence,
+             min(CASE WHEN r = n - k THEN cents END) AS hi_fence,
+             sum(CASE WHEN r <= k THEN 1 WHEN r > n - k THEN 1 ELSE 0 END)
+               AS n_clipped,
+             sum(cents) AS full_sum
+      FROM bounds GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_clipped AS BIGINT) AS n_clipped,
+           round(full_sum * 1.0 / n / 100, 6) AS mean_value,
+           round(trimmed_sum * 1.0 / (n - 2 * k) / 100, 6) AS trimmed_mean,
+           round((trimmed_sum + k * lo_fence + k * hi_fence) * 1.0 / n / 100, 6)
+             AS winsorized_mean
+    FROM stats
+    ORDER BY event_type
+    """,
+    description=(
+        "5% trimmed and winsorized means per event type next to the "
+        "raw mean: rank-fenced in one window pass, tails either dropped "
+        "(trim) or clamped to the fence values (winsorize) — robust "
+        "aggregation in exact integer cents"
+    ),
+)
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates the plain mean can't give when tails
+    are junk (sensor spikes, bot traffic): drop the extreme 5% per side
+    (trimmed) or clamp them to the 5th/95th rank values (winsorized).
+    Scale shape: ONE rank window partitioning by event_type feeds every
+    statistic — the fences are rank lookups inside the same pass, not
+    extra percentile scans; all sums exact integer cents with one 6dp
+    round at the ratio boundary. Deterministic (value, event_id) rank
+    tie-break, the same discipline as heatmap_hour_value.
+    """
+    from pyspark.sql import Window as W
+
+    (events,) = load(spark, sf_dir, "events")
+    byt = W.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.row_number().over(byt.orderBy("value", "event_id")).alias("r"),
+        F.count(F.lit(1)).over(byt).alias("n"),
+    ).withColumn("k", F.expr("(n * 5) div 100"))
+    in_core = (F.col("r") > F.col("k")) & (F.col("r") <= F.col("n") - F.col("k"))
+    stats = ranked.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.sum(F.when(in_core, F.col("cents")).otherwise(0)).alias("trimmed_sum"),
+        F.min(F.when(F.col("r") == F.col("k") + 1, F.col("cents"))).alias("lo_fence"),
+        F.min(F.when(F.col("r") == F.col("n") - F.col("k"), F.col("cents"))).alias(
+            "hi_fence"
+        ),
+        F.sum(F.when(~in_core, 1).otherwise(0)).alias("n_clipped"),
+        F.sum("cents").alias("full_sum"),
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_clipped").cast("bigint").alias("n_clipped"),
+        F.round(F.col("full_sum") * 1.0 / F.col("n") / 100, 6).alias("mean_value"),
+        F.round(
+            F.col("trimmed_sum") * 1.0 / (F.col("n") - 2 * F.col("k")) / 100, 6
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("trimmed_sum")
+                + F.col("k") * F.col("lo_fence")
+                + F.col("k") * F.col("hi_fence")
+            )
+            * 1.0
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("winsorized_mean"),
+    ).orderBy("event_type")
