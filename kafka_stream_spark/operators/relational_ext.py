@@ -558,6 +558,7 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orphan line items) with absolute-deviation totals — the "
         "cross-table DQ check dq_audit's single-table constraints miss"
     ),
+    bench=True,
 )
 def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reconciliation every warehouse runs between a fact header
@@ -670,6 +671,7 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "allocations sum EXACTLY to its target (alloc_sum == target "
         "row by row); pure integer arithmetic"
     ),
+    bench=True,
 )
 def prorate_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The allocation problem behind every invoice/discount/tax split:

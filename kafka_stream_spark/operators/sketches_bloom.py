@@ -99,6 +99,7 @@ def _duck_oracle() -> str:
         "false-positive rate audited against exact membership — the "
         "mergeable semi-join pruning sketch"
     ),
+    bench=True,
 )
 def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build: one groupBy over 3x|keys| position rows whose bit_or
