@@ -306,3 +306,93 @@ def test_decimal_encode_rejects_precision_loss():
     assert avro_codec.decode_record(avro_codec.encode_record(ok, sch), sch) == ok
     with pytest.raises(ValueError, match="scale"):
         avro_codec.encode_record({"x": _decimal.Decimal("1.23456")}, sch)
+
+
+def test_avro_decode_throughput_floor(spark):
+    """The reference's Avro produce floor is ~5.6 MB/s sustained
+    (BASELINE.md, kafka-tests.yml:8-18). The pure-Python Arrow-batched
+    codec is this repo's working Avro path (no spark-avro jar in the
+    sandbox), so hold IT to the same floor: decode >= 5.6 MB/s of
+    framed AIS records end to end. Encode happens once outside the
+    timed window."""
+    import time
+
+    sch = avro_of(fixtures.AIS_VALUE, "ClassAPositionReport")
+    n = 400_000
+    src = fixtures.generate_ais(spark, n).limit(n)
+    # a real topic scan arrives in many partitions; spread the decode
+    framed = (
+        avro_codec.encode_df(src, sch, schema_id=3)
+        .select("value")
+        .repartition(16)
+        .cache()
+    )
+    nbytes = framed.selectExpr("sum(length(value)) b").first().b
+    framed.count()  # materialize the cache before timing
+    decoded = avro_codec.decode_df(framed, sch, fixtures.AIS_VALUE)
+    decoded.count()  # warm pass: Python workers spawn outside the window
+
+    t0 = time.time()
+    assert avro_codec.decode_df(framed, sch, fixtures.AIS_VALUE).count() == n
+    elapsed = time.time() - t0
+    mb_s = nbytes / elapsed / 1e6
+    framed.unpersist()
+    assert mb_s >= 5.6, f"{mb_s:.1f} MB/s below the reference Avro floor"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    unscaled=st.integers(-(2**63), 2**63 - 1),
+    days=st.integers(-100_000, 100_000),
+    t=st.integers(0, 86_399_999),
+    ts=st.integers(-(2**40), 2**40),
+    u=st.integers(0, 86_399_999_999),
+)
+def test_compiled_decoder_matches_interpreter(unscaled, days, t, ts, u):
+    """The compiled closure decoder must agree with the interpreting
+    decoder on every logical-type combination (and the framed suite
+    below covers records/arrays/unions)."""
+    from kafka_stream_spark.functions.avro_codec import (
+        _EPOCH_DATE,
+        compiled_record_decoder,
+        decode_record,
+        encode_record,
+    )
+
+    sch = {
+        "type": "record",
+        "name": "L",
+        "fields": [
+            {"name": "d", "type": {"type": "bytes", "logicalType": "decimal", "precision": 20, "scale": 4}},
+            {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "tsm", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+        ],
+    }
+    rec = {
+        "d": _decimal.Decimal(unscaled).scaleb(-4),
+        "dt": _EPOCH_DATE + _dt.timedelta(days=days),
+        "tm": t, "tsm": _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=ts),
+        "tu": u,
+    }
+    payload = encode_record(rec, sch, raw_time=True)
+    assert compiled_record_decoder(sch, raw_time=True)(payload) == decode_record(
+        payload, sch, raw_time=True
+    )
+
+
+def test_compiled_decoder_matches_on_reference_records(spark):
+    """Full AIS records (17 fields, ns timestamps, unions) decode
+    identically via the compiled and interpreting paths."""
+    from kafka_stream_spark.functions.avro_codec import (
+        compiled_record_decoder,
+        decode_record,
+        encode_record,
+    )
+
+    sch = avro_of(fixtures.AIS_VALUE, "ClassAPositionReport")
+    decode = compiled_record_decoder(sch, raw_time=True)
+    for row in fixtures.generate_ais(spark, 25).collect():
+        payload = encode_record(row.asDict(), sch, raw_time=True)
+        assert decode(payload) == decode_record(payload, sch, raw_time=True)
