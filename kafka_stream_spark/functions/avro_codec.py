@@ -426,6 +426,142 @@ def compiled_record_decoder(avro_schema: dict, raw_time: bool = False):
     return decode
 
 
+def compile_encoder(schema: Any, raw_time: bool = False):
+    """Compile an Avro schema node to a writer closure (v, out) -> None.
+    Semantics identical to `_encode_value`."""
+    if isinstance(schema, list):
+        null_idx = schema.index("null")
+        val_idx = 1 if schema[0] == "null" else 0
+        val_writer = compile_encoder(schema[val_idx], raw_time)
+        null_tok = _zigzag_encode(null_idx)
+        val_tok = _zigzag_encode(val_idx)
+
+        def write_union(v, out, _n=null_tok, _t=val_tok, _w=val_writer):
+            if v is None:
+                out += _n
+            else:
+                out += _t
+                _w(v, out)
+
+        return write_union
+
+    logical = isinstance(schema, dict) and "logicalType" in schema
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        writers = [
+            (f["name"], compile_encoder(f["type"], raw_time))
+            for f in schema["fields"]
+        ]
+
+        def base(v, out, _writers=writers):
+            get = v.get if isinstance(v, dict) else None
+            if get is not None:
+                for name, w in _writers:
+                    w(get(name), out)
+            else:
+                for name, w in _writers:
+                    w(getattr(v, name), out)
+
+    elif t in ("int", "long"):
+
+        def base(v, out):
+            out += _zigzag_encode(int(v))
+
+    elif t == "float":
+
+        def base(v, out):
+            out += struct.pack("<f", float(v))
+
+    elif t == "double":
+
+        def base(v, out):
+            out += struct.pack("<d", float(v))
+
+    elif t == "boolean":
+
+        def base(v, out):
+            out.append(1 if v else 0)
+
+    elif t == "string":
+
+        def base(v, out):
+            b = str(v).encode("utf-8")
+            out += _zigzag_encode(len(b))
+            out += b
+
+    elif t == "bytes":
+
+        def base(v, out):
+            out += _zigzag_encode(len(v))
+            out += bytes(v)
+
+    elif t == "array":
+        item = compile_encoder(schema["items"], raw_time)
+
+        def base(v, out, _item=item):
+            items = list(v)
+            if items:
+                out += _zigzag_encode(len(items))
+                for it in items:
+                    _item(it, out)
+            out += b"\x00"  # zigzag(0)
+
+    elif t == "map":
+        val = compile_encoder(schema["values"], raw_time)
+
+        def base(v, out, _val=val):
+            entries = dict(v)
+            if entries:
+                out += _zigzag_encode(len(entries))
+                for k, mv in entries.items():
+                    kb = str(k).encode("utf-8")
+                    out += _zigzag_encode(len(kb))
+                    out += kb
+                    _val(mv, out)
+            out += b"\x00"
+
+    elif t == "enum":
+        symbols = schema["symbols"]
+
+        def base(v, out, _symbols=symbols):
+            out += _zigzag_encode(_symbols.index(v))
+
+    elif t == "fixed":
+        size = schema["size"]
+
+        def base(v, out, _n=size):
+            b = bytes(v)
+            if len(b) != _n:
+                raise ValueError(
+                    f"fixed size mismatch: got {len(b)}, schema says {_n}"
+                )
+            out += b
+
+    else:
+        raise ValueError(f"unsupported Avro type for encode: {t!r}")
+
+    if logical:
+        inner = base
+
+        def write_logical(v, out, _inner=inner, _schema=schema):
+            _inner(_logical_to_base(v, _schema, raw_time), out)
+
+        return write_logical
+    return base
+
+
+def compiled_record_encoder(avro_schema: dict, raw_time: bool = False):
+    """encode_record's compiled equivalent: record dict -> payload."""
+    enc = compile_encoder(avro_schema, raw_time)
+
+    def encode(record) -> bytes:
+        out = bytearray()
+        enc(record, out)
+        return bytes(out)
+
+    return encode
+
+
 # ---------------------------------------------------------------------------
 # Spark integration: framed encode/decode over DataFrames
 # ---------------------------------------------------------------------------
@@ -448,10 +584,11 @@ def encode_df(df: DataFrame, avro_schema: dict, schema_id: int, out_col: str = "
         import json
 
         sch = json.loads(schema_json)
+        encode = compiled_record_encoder(sch, raw_time=True)
         out = []
         for vals in zip(*series):
             rec = dict(zip(cols, (None if pd.isna(v) and not isinstance(v, (list, tuple, dict, bytes)) else v for v in vals)))
-            out.append(encode_record(rec, sch, raw_time=True))
+            out.append(encode(rec))
         return pd.Series(out)
 
     body = enc(*[F.col(c) for c in cols])

@@ -396,3 +396,47 @@ def test_compiled_decoder_matches_on_reference_records(spark):
     for row in fixtures.generate_ais(spark, 25).collect():
         payload = encode_record(row.asDict(), sch, raw_time=True)
         assert decode(payload) == decode_record(payload, sch, raw_time=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    unscaled=st.integers(min_value=-(10**18), max_value=10**18),
+    days=st.integers(min_value=-100_000, max_value=100_000),
+    t=st.times(),
+    ts=st.datetimes(
+        min_value=_dt.datetime(1901, 1, 1), max_value=_dt.datetime(2200, 1, 1)
+    ),
+    u=st.uuids(),
+)
+def test_compiled_encoder_matches_interpreter(unscaled, days, t, ts, u):
+    """Compiled writer closures must emit byte-identical payloads to the
+    interpreting encoder across every logical type."""
+    from kafka_stream_spark.functions.avro_codec import (
+        compiled_record_encoder,
+        encode_record,
+    )
+
+    rec = {
+        "dec": _decimal.Decimal(unscaled).scaleb(-4),
+        "day": _dt.date(1970, 1, 1) + _dt.timedelta(days=days),
+        "tm": t.replace(microsecond=(t.microsecond // 1000) * 1000),
+        "tu": t,
+        "tsm": ts.replace(microsecond=(ts.microsecond // 1000) * 1000),
+        "tsu": ts,
+        "u": str(u),
+    }
+    assert compiled_record_encoder(_LOGICAL_SCHEMA)(rec) == encode_record(
+        rec, _LOGICAL_SCHEMA
+    )
+
+
+def test_compiled_encoder_matches_on_reference_records(spark):
+    from kafka_stream_spark.functions.avro_codec import (
+        compiled_record_encoder,
+        encode_record,
+    )
+
+    sch = avro_of(fixtures.AIS_VALUE, "ClassAPositionReport")
+    encode = compiled_record_encoder(sch, raw_time=True)
+    for row in fixtures.generate_ais(spark, 25).collect():
+        assert encode(row.asDict()) == encode_record(row.asDict(), sch, raw_time=True)
