@@ -1433,3 +1433,173 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     ).orderBy("event_type")
+
+
+@query(
+    "ols_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                       CAST(ts AS DATE)) AS x,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) / 100, 6)
+             AS slope_per_day,
+           round(((sy * sxx - sx * sxy) * 1.0 / (n * sxx - sx * sx)) / 100, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1.0
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    ORDER BY event_type
+    """,
+    description=(
+        "Per-type OLS daily revenue trend: slope, intercept, and R^2 "
+        "from the five exact integer moment sums — one map-side-"
+        "combinable groupBy over the corpus, closed-form normal "
+        "equations on |types| rows, cross-engine exact"
+    ),
+)
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares companion to `theilsen_revenue_trend` (robust
+    median-of-slopes): the classical fit plus R^2 goodness. All five
+    moments (Σx, Σy, Σxx, Σxy, Σyy) are exact BIGINT accumulated in one
+    daily groupBy + one per-type groupBy; the normal equations evaluate
+    on |types| rows with identical expression shapes in both engines —
+    float enters only at the final three 6dp divisions. Magnitudes:
+    y ~ 1e7 cents, yy*n ~ 1e17 < 2^63 through ~sf1; beyond that the
+    moments switch to DOUBLE (projection swap).
+    """
+    (events,) = load(spark, sf_dir, "events")
+    mind = events.select(F.min(F.to_date("ts")).alias("mind"))
+    daily = (
+        events.crossJoin(F.broadcast(mind))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("mind")).alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(cov * 1.0 / det / 100, 6).alias("slope_per_day"),
+        F.round(
+            ((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) * 1.0 / det)
+            / 100,
+            6,
+        ).alias("intercept"),
+        F.round(
+            (cov * cov) * 1.0
+            / (det * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+@query(
+    "leadlag_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CASE WHEN event_type = 'click'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS a,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS b
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    paired AS (
+      SELECT l.lag, x.a, y.b
+      FROM lags l
+      JOIN daily x ON TRUE
+      JOIN daily y ON y.day = x.day + CAST(l.lag AS INTEGER)
+    ),
+    sums AS (
+      SELECT lag, count(*) AS n,
+             sum(a) AS sa, sum(b) AS sb,
+             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+      FROM paired GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sab - sa * sb) * 1.0
+                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS pearson_r
+    FROM sums
+    ORDER BY lag_days
+    """,
+    description=(
+        "Lead-lag cross-correlation between daily click and purchase "
+        "revenue at lags -3..+3 days — 'does one series lead the "
+        "other'; exact integer moments per lag, sqrt only at the final "
+        "Pearson ratio"
+    ),
+)
+def leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function over a pair of aligned daily series.
+    Scale shape: ONE conditional-sum groupBy collapses the corpus to
+    |days| rows carrying both series; the 7-lag pairing is a broadcast
+    self-join of that tiny table (days x 7 rows), and each lag's
+    Pearson r comes from exact integer moments — the corpus is scanned
+    once, everything downstream is calendar-sized.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0)).alias(
+            "b"
+        ),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    x = daily.select("day", "a")
+    y = daily.select(F.col("day").alias("yday"), "b")
+    paired = (
+        lags.crossJoin(F.broadcast(x))
+        .join(
+            F.broadcast(y),
+            F.col("yday") == F.expr("date_add(day, lag)"),
+        )
+    )
+    sums = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    return sums.select(
+        F.col("lag").cast("int").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            * 1.0
+            / (
+                F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("lag_days")
