@@ -719,3 +719,91 @@ def bom_explosion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+               AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cents) OVER () AS total,
+             count(*) OVER () AS n_total
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, n_total, total
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(count(*) * 1.0 / any_value(n_total), 6) AS share_of_parts,
+           round(sum(cents) * 1.0 / any_value(total), 6) AS share_of_revenue
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    description=(
+        "ABC/Pareto inventory classification of parts by revenue: class "
+        "A carries the first 80% of cumulative revenue, B the next 15%, "
+        "C the tail — exact integer cumulative comparisons (cum*100 vs "
+        "total*80), one rank pass"
+    ),
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto cut behind every inventory policy (count the few
+    parts that earn most of the revenue). One shuffle to the per-part
+    aggregate; one global sort of |parts| rows for the cumulative
+    window (at 100 TB: range-partitioned sort, the same shape as
+    revenue_concentration's rank pass); class boundaries compare exact
+    integers so no float cumulative drift can flip a class.
+    """
+    from pyspark.sql import Window as W
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("bigint")
+        ).alias("cents")
+    )
+    wcum = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_total"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(abc.alias("abc_class"), "cents", "n_total", "total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.first("n_total"), 6).alias(
+                "share_of_parts"
+            ),
+            F.round(F.sum("cents") * 1.0 / F.first("total"), 6).alias(
+                "share_of_revenue"
+            ),
+        )
+        .orderBy("abc_class")
+    )
