@@ -828,3 +828,159 @@ def markov_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type")
     )
+
+
+@query(
+    "cuped_ab_adjustment",
+    oracle="""
+    WITH ext AS (
+      SELECT CAST(min(ts) AS DATE) + CAST(floor(date_diff('day',
+               CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) / 2) AS INTEGER)
+             AS split_day
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' AND CAST(ts AS DATE) < split_day
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' AND CAST(ts AS DATE) >= split_day
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS y
+      FROM events CROSS JOIN ext
+      GROUP BY user_id
+    ),
+    assigned AS (
+      SELECT CASE WHEN (('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))
+                        ::BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             x, y
+      FROM per_user
+    ),
+    pooled AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM assigned
+    ),
+    theta AS (
+      SELECT n, sx,
+             round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS th
+      FROM pooled
+    ),
+    per_variant AS (
+      SELECT variant, count(*) AS nv, sum(x) AS vx, sum(y) AS vy,
+             sum(x * x) AS vxx, sum(x * y) AS vxy, sum(y * y) AS vyy
+      FROM assigned GROUP BY variant
+    )
+    SELECT variant,
+           CAST(nv AS BIGINT) AS n_users,
+           round(vy * 1.0 / nv / 100, 6) AS mean_metric,
+           round((vy * 1.0 / nv
+                  - th * (vx * 1.0 / nv - t.sx * 1.0 / t.n)) / 100, 6)
+             AS mean_adjusted,
+           th AS theta,
+           round(1.0 - (
+               (vyy * 1.0 / nv - (vy * 1.0 / nv) * (vy * 1.0 / nv))
+               - 2 * th * (vxy * 1.0 / nv - (vx * 1.0 / nv) * (vy * 1.0 / nv))
+               + th * th * (vxx * 1.0 / nv - (vx * 1.0 / nv) * (vx * 1.0 / nv))
+             ) / (vyy * 1.0 / nv - (vy * 1.0 / nv) * (vy * 1.0 / nv)), 6)
+             AS var_reduction
+    FROM per_variant CROSS JOIN theta t
+    ORDER BY variant
+    """,
+    description=(
+        "CUPED variance-reduced A/B readout: pre-period revenue as the "
+        "covariate, pooled theta = cov/var from exact integer moments, "
+        "adjusted means and per-variant variance reduction evaluated "
+        "algebraically from the same moments (no per-user float sums)"
+    ),
+)
+def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM 2013 — public): shrink experiment
+    variance by regressing out each user's PRE-period behavior;
+    mean_adjusted keeps the same expected lift with tighter error bars,
+    var_reduction reports how much tighter.
+
+    Determinism discipline: theta and every adjusted statistic are
+    derived ALGEBRAICALLY from exact BIGINT moments (n, Σx, Σy, Σxx,
+    Σxy, Σyy per variant and pooled) — the float enters in fixed-shape
+    scalar expressions only, never in a data-order-dependent sum. One
+    conditional-sum groupBy per user, one per-variant rollup; the same
+    md5 assignment as ab_test_analysis keeps variants stable across
+    engines and scales.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    mid = events.agg(
+        F.expr(
+            "cast(min(ts) as date) + cast(floor("
+            "datediff(cast(max(ts) as date), cast(min(ts) as date)) / 2) as int)"
+        ).alias("split_day")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        events.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_p & (F.to_date("ts") < F.col("split_day")), cents).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(is_p & (F.to_date("ts") >= F.col("split_day")), cents).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    hv = (
+        "cast(conv(substr(md5(cast(concat('ab:', cast(user_id as string)) "
+        "as binary)), 1, 8), 16, 10) as bigint)"
+    )
+    assigned = per_user.select(
+        F.expr(f"case when {hv} % 2 = 0 then 'A' else 'B' end").alias("variant"),
+        "x",
+        "y",
+    )
+    pooled = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("th"),
+    )
+    pv = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("x").alias("vx"),
+        F.sum("y").alias("vy"),
+        F.sum(F.col("x") * F.col("x")).alias("vxx"),
+        F.sum(F.col("x") * F.col("y")).alias("vxy"),
+        F.sum(F.col("y") * F.col("y")).alias("vyy"),
+    )
+    mx = F.col("vx") * 1.0 / F.col("nv")
+    my = F.col("vy") * 1.0 / F.col("nv")
+    var_y = F.col("vyy") * 1.0 / F.col("nv") - my * my
+    cov_xy = F.col("vxy") * 1.0 / F.col("nv") - mx * my
+    var_x = F.col("vxx") * 1.0 / F.col("nv") - mx * mx
+    th = F.col("th")
+    return (
+        pv.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            F.col("nv").cast("bigint").alias("n_users"),
+            F.round(my / 100, 6).alias("mean_metric"),
+            F.round(
+                (my - th * (mx - F.col("sx") * 1.0 / F.col("n"))) / 100, 6
+            ).alias("mean_adjusted"),
+            th.alias("theta"),
+            F.round(
+                1.0 - (var_y - 2 * th * cov_xy + th * th * var_x) / var_y, 6
+            ).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )
