@@ -963,3 +963,107 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("allocated_n"),
     ).orderBy("source")
+
+
+@query(
+    "quantile_normalize_chars",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    gdist AS (
+      SELECT n_chars AS gval,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS g,
+             count(*) OVER () AS n_total
+      FROM documents
+    ),
+    mapped AS (
+      SELECT rk.source, rk.n_chars,
+             gl.gval AS mapped_chars
+      FROM ranked rk
+      JOIN gdist gl
+        ON gl.g = ((rk.r * gl.n_total + rk.ns - 1) // rk.ns)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(n_chars) * 1.0 / count(*), 6) AS mean_before,
+           round(sum(mapped_chars) * 1.0 / count(*), 6) AS mean_after,
+           round(sum(n_chars * n_chars) * 1.0 / count(*)
+                 - (sum(n_chars) * 1.0 / count(*))
+                   * (sum(n_chars) * 1.0 / count(*)), 6) AS var_before,
+           round(sum(mapped_chars * mapped_chars) * 1.0 / count(*)
+                 - (sum(mapped_chars) * 1.0 / count(*))
+                   * (sum(mapped_chars) * 1.0 / count(*)), 6) AS var_after
+    FROM mapped
+    GROUP BY source
+    ORDER BY source
+    """,
+    description=(
+        "Quantile normalization of document lengths across sources: "
+        "each doc's within-source rank maps onto the global "
+        "distribution's value at the same percentile (exact integer "
+        "rank arithmetic, ceil(r*N/ns)), reported as per-source "
+        "before/after means and variances"
+    ),
+)
+def quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain-balancing transform (quantile normalization —
+    standard in statistics; for corpora it answers 'make every source's
+    length profile comparable before mixing'). A doc at the p-th
+    percentile of ITS source takes the value at the p-th percentile of
+    the GLOBAL distribution — rank-to-rank, no float interpolation, so
+    the mapping join key is an exact integer.
+
+    Scale shape: one rank window per side (within-source partitioned;
+    global — a range-partitioned sort at scale, same contract as
+    revenue_concentration), one equi-join on the computed global rank,
+    one per-source rollup. At 100 TB the global side drops to the
+    equidepth-histogram sketch (the documented approx_percentile trade)
+    with the mapping join unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    (documents,) = load(spark, sf_dir, "documents")
+    ranked = documents.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("ns"),
+    )
+    glob = documents.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("g"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_total"),
+    )
+    mapped = ranked.join(
+        F.broadcast(glob),
+        F.col("g") == F.expr("(r * n_total + ns - 1) div ns"),
+    ).select("source", "n_chars", F.col("gval").alias("mapped_chars"))
+    mean_b = F.sum("n_chars") * 1.0 / F.count(F.lit(1))
+    mean_a = F.sum("mapped_chars") * 1.0 / F.count(F.lit(1))
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(mean_b, 6).alias("mean_before"),
+            F.round(mean_a, 6).alias("mean_after"),
+            F.round(
+                F.sum(F.col("n_chars") * F.col("n_chars")) * 1.0 / F.count(F.lit(1))
+                - mean_b * mean_b,
+                6,
+            ).alias("var_before"),
+            F.round(
+                F.sum(F.col("mapped_chars") * F.col("mapped_chars"))
+                * 1.0
+                / F.count(F.lit(1))
+                - mean_a * mean_a,
+                6,
+            ).alias("var_after"),
+        )
+        .orderBy("source")
+    )
