@@ -725,3 +725,111 @@ def prorate_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH current AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    prior AS (  -- deterministic simulated previous snapshot
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               + CASE WHEN o_orderkey % 83 = 0 THEN 10000 ELSE 0 END
+               AS price_cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    joined AS (
+      SELECT coalesce(c.o_orderkey, p.o_orderkey) AS k,
+             c.o_orderkey IS NULL AS only_prior,
+             p.o_orderkey IS NULL AS only_current,
+             CASE WHEN c.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL
+                   AND c.o_orderstatus <> p.o_orderstatus THEN 1 ELSE 0 END
+               AS status_diff,
+             CASE WHEN c.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL
+                   AND c.price_cents <> p.price_cents THEN 1 ELSE 0 END
+               AS price_diff
+      FROM current c FULL OUTER JOIN prior p ON p.o_orderkey = c.o_orderkey
+    ),
+    classed AS (
+      SELECT CASE WHEN only_prior THEN 'removed'
+                  WHEN only_current THEN 'added'
+                  WHEN status_diff = 1 OR price_diff = 1 THEN 'changed'
+                  ELSE 'unchanged' END AS diff_class,
+             status_diff, price_diff
+      FROM joined
+    )
+    SELECT diff_class,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(status_diff) AS BIGINT) AS n_status_diff,
+           CAST(sum(price_diff) AS BIGINT) AS n_price_diff
+    FROM classed
+    GROUP BY diff_class
+    ORDER BY diff_class
+    """,
+    description=(
+        "Snapshot diff (the data-diff/CDC reconciliation shape): full "
+        "outer join of two table versions on the key, rows classified "
+        "added/removed/changed/unchanged with per-column change counts "
+        "— prior snapshot simulated deterministically from the same "
+        "parquet so the whole diff is oracle-exact"
+    ),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'what changed between yesterday's table and today's' audit:
+    one key-partitioned FULL OUTER JOIN (both sides shuffle once on the
+    shared key — at scale both snapshots are bucketed on it and the
+    join is exchange-free), null-side membership classifies add/remove,
+    column inequality classifies change, and per-column counters say
+    WHERE the churn is. All comparisons integer/string exact.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    price = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    current = orders.filter(F.expr("o_orderkey % 101 <> 0")).select(
+        F.col("o_orderkey").alias("ck"),
+        F.col("o_orderstatus").alias("cs"),
+        price.alias("cp"),
+    )
+    prior = orders.filter(F.expr("o_orderkey % 97 <> 0")).select(
+        F.col("o_orderkey").alias("pk"),
+        F.expr("case when o_orderkey % 89 = 0 then 'X' else o_orderstatus end").alias(
+            "ps"
+        ),
+        (price + F.expr("case when o_orderkey % 83 = 0 then 10000 else 0 end")).alias(
+            "pp"
+        ),
+    )
+    joined = current.join(prior, F.col("pk") == F.col("ck"), "full_outer")
+    status_diff = F.when(
+        F.col("ck").isNotNull() & F.col("pk").isNotNull() & (F.col("cs") != F.col("ps")),
+        1,
+    ).otherwise(0)
+    price_diff = F.when(
+        F.col("ck").isNotNull() & F.col("pk").isNotNull() & (F.col("cp") != F.col("pp")),
+        1,
+    ).otherwise(0)
+    diff_class = (
+        F.when(F.col("ck").isNull(), "removed")
+        .when(F.col("pk").isNull(), "added")
+        .when((status_diff == 1) | (price_diff == 1), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            diff_class.alias("diff_class"),
+            status_diff.alias("status_diff"),
+            price_diff.alias("price_diff"),
+        )
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("status_diff").cast("bigint").alias("n_status_diff"),
+            F.sum("price_diff").cast("bigint").alias("n_price_diff"),
+        )
+        .orderBy("diff_class")
+    )
