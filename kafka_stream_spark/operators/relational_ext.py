@@ -833,3 +833,60 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_class")
     )
+
+
+@query(
+    "diversified_topk_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS per_cust
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price_cents,
+           CAST(per_cust AS BIGINT) AS per_cust_rank
+    FROM ranked
+    WHERE per_cust <= 2
+    ORDER BY price_cents DESC, o_orderkey
+    LIMIT 25
+    """,
+    description=(
+        "Diversity-constrained top-k: the 25 highest-value orders with "
+        "AT MOST 2 per customer — the result-diversification shape "
+        "(search results, recommendations, account review queues) a "
+        "plain ORDER BY LIMIT cannot express"
+    ),
+)
+def diversified_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap then global top-k: one window partitioned by the
+    diversity key ranks within customers, the cap filter drops
+    over-represented rows BEFORE the global selection, and the final
+    LIMIT plans as TakeOrderedAndProject (per-partition top-25 heaps,
+    no global sort — the same plan contract as topk_orders, asserted in
+    the plan tests). Deterministic (price, orderkey) tie-breaks at both
+    levels.
+    """
+    from pyspark.sql import Window as W
+
+    (orders,) = load(spark, sf_dir, "orders")
+    ranked = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .alias("per_cust"),
+    )
+    return (
+        ranked.filter(F.col("per_cust") <= 2)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "price_cents",
+            F.col("per_cust").cast("bigint").alias("per_cust_rank"),
+        )
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .limit(25)
+    )

@@ -379,3 +379,10 @@ def test_prorate_single_order_partitioning(spark, sf_dir):
     assert "Join" not in p
     hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hash_ex) <= 1
+
+
+def test_diversified_topk_avoids_global_sort(spark, sf_dir):
+    """Per-customer cap runs in the customer window partitioning; the
+    global 25 selects via TakeOrderedAndProject, never a full sort."""
+    p = plan_of(spark, sf_dir, "diversified_topk_orders")
+    assert "TakeOrderedAndProject" in p
