@@ -136,3 +136,12 @@ class SchemaRegistry:
             self.default_compatibility = level
         else:
             self._subjects.setdefault(subject, _Subject()).compatibility = level
+
+    def get_compatibility(self, subject: str | None = None) -> Compatibility:
+        """GET /config (kafka-tests.yml:157-159): the effective level —
+        the subject override if set, else the registry default."""
+        if subject is not None:
+            sub = self._subjects.get(subject)
+            if sub is not None and sub.compatibility is not None:
+                return sub.compatibility
+        return self.default_compatibility

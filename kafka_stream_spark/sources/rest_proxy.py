@@ -97,6 +97,9 @@ class RestProxy:
             .agg(F.count(F.lit(1)).alias("n"), F.max("offset").alias("max_offset"))
             .collect()
         }
+        # the topic's ACTUAL layout, not the proxy's create-default: a
+        # topic created elsewhere with 1 partition must report 1
+        n_parts = max(counts) + 1 if counts else self.partitions
         return [
             {
                 "partition": p,
@@ -105,7 +108,7 @@ class RestProxy:
                 "records": counts.get(p, (0, -1))[0],
                 "end_offset": counts.get(p, (0, -1))[1] + 1,
             }
-            for p in range(self.partitions)
+            for p in range(n_parts)
         ]
 
     # -- produce -----------------------------------------------------------
