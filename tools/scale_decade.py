@@ -81,9 +81,38 @@ def synthesize(spark) -> None:
         s = s.unionByName(extra)
     s.write.mode("overwrite").parquet(f"{SYN}/lineitem.parquet")
 
+    # orders: more orders over the SAME customer base (the realistic
+    # fact-growth model — dimension keys stay put, fact keys offset)
+    od = spark.read.parquet(f"{SRC}/orders.parquet")
+    max_ok2 = od.agg(F.max("o_orderkey")).first()[0] + 1
+    oc = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * max_ok2))
+        for k in range(COPIES)
+    ]
+    o = oc[0]
+    for extra in oc[1:]:
+        o = o.unionByName(extra)
+    o.write.mode("overwrite").parquet(f"{SYN}/orders.parquet")
+
+    # events: more events over the same users/types (offset event ids)
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    max_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    ec = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * max_ev))
+        for k in range(COPIES)
+    ]
+    e = ec[0]
+    for extra in ec[1:]:
+        e = e.unionByName(extra)
+    e.write.mode("overwrite").parquet(f"{SYN}/events.parquet")
+
     for t in _NEEDED:
-        if t in ("documents", "lineitem"):
+        if t in ("documents", "lineitem", "orders", "events"):
             continue
+        # embeddings/dims copy verbatim: duplicating vectors would
+        # manufacture exact near-dup pairs (the WRONG null model for
+        # similarity queries) — embedding-family growth is audited by
+        # scale_check's real sf decades instead
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{SYN}/{t}.parquet"
         )
