@@ -16,6 +16,7 @@ import:
     eng.schemas.register("events", SCHEMA)   # SR analog
     eng.pipelines.start(PIPELINE_SPEC)       # Connect analog
     eng.topic("clicks")                      # keyed/partitioned topic
+    srv = eng.proxy()                        # REST proxy over HTTP
 
 Everything here delegates; no logic lives in the facade.
 """
@@ -80,3 +81,18 @@ class Engine:
         if self._topic_root is None:
             raise ValueError("Engine(topic_root=...) required for topics")
         return FileTopic(self.spark, self._topic_root, name, partitions=partitions)
+
+    def proxy(self, port: int = 0, partitions: int = 4):
+        """Started REST-proxy server over this engine's topic root and
+        schema registry (Confluent-proxy-v1 shim; the fourth reference
+        surface). Caller stops it: ``srv = eng.proxy(); ...; srv.stop()``.
+        """
+        from kafka_stream_spark.sources.rest_proxy import RestProxy, RestProxyServer
+
+        if self._topic_root is None:
+            raise ValueError("Engine(topic_root=...) required for the proxy")
+        p = RestProxy(
+            self.spark, self._topic_root, partitions=partitions,
+            registry=self.schemas,
+        )
+        return RestProxyServer(p, port=port).start()

@@ -55,3 +55,24 @@ def test_topics_roundtrip(eng, spark):
 def test_topics_require_root(spark, sf_dir):
     with pytest.raises(ValueError, match="topic_root"):
         Engine(spark, sf_dir).topic("x")
+
+
+def test_proxy_surface(eng):
+    """The fourth reference surface: a started REST proxy sharing the
+    engine's topic root and schema registry."""
+    import json
+    import urllib.request
+
+    srv = eng.proxy()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/topics/facade_demo",
+            data=json.dumps({"records": [{"value": {"k": 1}}]}).encode(),
+            method="POST",
+        )
+        req.add_header("Content-Type", "application/vnd.kafka.json.v1+json")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        assert eng.topic("facade_demo").read().count() == 1
+    finally:
+        srv.stop()
