@@ -19,6 +19,9 @@ the family's renderer:
 - ``mongo``   — the KCQL target is ``database.collection``; documents
   render as Extended JSON with the PK as ``_id``; ``UPSERT INTO``
   switches insertMany to idempotent replaceOne bulkWrites (`mongo.py`).
+- ``jms``     — the KCQL target is the destination (queue/topic path);
+  records become STOMP 1.2 SEND frames with the PK as
+  JMSCorrelationID (`sources/stomp_codec.py`).
 - ``elastic`` — the KCQL target is the index; the first PK column is
   the document id (`elastic.py`).
 
@@ -37,6 +40,7 @@ from kafka_stream_spark.streaming.cassandra import cassandra_sink
 from kafka_stream_spark.streaming.elastic import elastic_sink
 from kafka_stream_spark.streaming.hbase import hbase_sink
 from kafka_stream_spark.streaming.influx import influx_sink
+from kafka_stream_spark.sources.stomp_codec import jms_sink
 from kafka_stream_spark.streaming.mongo import mongo_sink
 
 
@@ -134,6 +138,10 @@ def kcql_connector_sink(
         return mongo_sink(
             df, db, coll, pk or None, transport, checkpoint, upsert=upsert
         )
+    if system == "jms":
+        if not pk:
+            raise ValueError("jms sink needs PK (the JMSCorrelationID)")
+        return jms_sink(df, stmt.target, pk[0], transport, checkpoint)
     if system == "elastic":
         return (
             elastic_sink(df, stmt.target, transport, id_col=pk[0] if pk else None)

@@ -190,3 +190,35 @@ def test_sink_checkpoint_no_replay(spark, tmp_path):
     lines = run()
     assert len(lines) == 15
     assert sum("value=10" in l for l in lines) >= 5  # the new values arrived
+
+
+def test_kcql_jms_routing(spark, tmp_path):
+    from kafka_stream_spark.sources import stomp_codec
+
+    out = str(tmp_path / "stomp")
+
+    def transport(payload: bytes) -> None:
+        import os
+        import uuid
+
+        os.makedirs(out, exist_ok=True)
+        with open(f"{out}/w-{uuid.uuid4().hex}.stomp", "wb") as f:
+            f.write(payload)
+
+    q = kcql_connector_sink(
+        _src(spark, tmp_path, n=5),
+        "INSERT INTO /queue/events SELECT user_id, value FROM events PK user_id",
+        system="jms",
+        transport=transport,
+        checkpoint=str(tmp_path / "ck"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    corr = set()
+    for p in glob.glob(f"{out}/w-*.stomp"):
+        frames, rest = stomp_codec.decode_stream(open(p, "rb").read())
+        assert rest == b""
+        for cmd, headers, body in frames:
+            assert cmd == "SEND" and headers["destination"] == "/queue/events"
+            corr.add(headers["JMSCorrelationID"])
+            assert set(json.loads(body)) == {"user_id", "value"}
+    assert corr == {str(i) for i in range(5)}
