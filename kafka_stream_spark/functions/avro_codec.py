@@ -430,14 +430,19 @@ def compile_encoder(schema: Any, raw_time: bool = False):
     """Compile an Avro schema node to a writer closure (v, out) -> None.
     Semantics identical to `_encode_value`."""
     if isinstance(schema, list):
-        null_idx = schema.index("null")
+        # Mirror _encode_value: a union without a null branch is legal for
+        # non-None values; only raise when a None actually arrives.
+        null_tok = (
+            _zigzag_encode(schema.index("null")) if "null" in schema else None
+        )
         val_idx = 1 if schema[0] == "null" else 0
         val_writer = compile_encoder(schema[val_idx], raw_time)
-        null_tok = _zigzag_encode(null_idx)
         val_tok = _zigzag_encode(val_idx)
 
         def write_union(v, out, _n=null_tok, _t=val_tok, _w=val_writer):
             if v is None:
+                if _n is None:
+                    raise ValueError("None for a union with no null branch")
                 out += _n
             else:
                 out += _t

@@ -83,12 +83,22 @@ def decode_stream(buf: bytes) -> tuple[list[tuple[str, dict, bytes]], bytes]:
             pos += 1  # heart-beat EOLs between frames
         if pos >= n:
             return frames, b""
-        head_end = buf.find(b"\n\n", pos)
+        # Spec (§Augmented BNF): EOL is LF or CRLF and parsers MUST accept
+        # both, so the blank-line terminator may be "\n\n" or "\r\n\r\n"
+        # (or a mix). Take whichever terminator starts earliest.
+        lf_end = buf.find(b"\n\n", pos)
+        crlf_end = buf.find(b"\r\n\r\n", pos)
+        if crlf_end != -1 and (lf_end == -1 or crlf_end < lf_end):
+            head_end, blank_len = crlf_end, 4
+        else:
+            head_end, blank_len = lf_end, 2
         if head_end == -1:
             return frames, buf[pos:]
         head = buf[pos:head_end].decode("utf-8")
         lines = head.split("\n")
         command = lines[0]
+        if command.endswith("\r"):
+            command = command[:-1]
         headers: dict[str, str] = {}
         for line in lines[1:]:
             if line.endswith("\r"):
@@ -99,7 +109,7 @@ def decode_stream(buf: bytes) -> tuple[list[tuple[str, dict, bytes]], bytes]:
             k = _unescape_header(k)
             # spec: repeated headers keep the FIRST occurrence
             headers.setdefault(k, _unescape_header(v))
-        body_start = head_end + 2
+        body_start = head_end + blank_len
         if "content-length" in headers:
             clen = int(headers["content-length"])
             if body_start + clen + 1 > n:

@@ -104,7 +104,9 @@ def streaming_bloom_dedup(
     """Shard by key hash, gate each shard through its bloom. The shard
     column is the state-store partitioning key: state size is
     n_shards x n_words longs, independent of how many keys flow through."""
+    # pmod, not abs+%: abs(hash)==Integer.MIN_VALUE stays negative and
+    # would mint a stray shard outside 0..n_shards-1.
     sharded = stream.withColumn(
-        "shard", (F.abs(F.hash(F.col(id_col))) % n_shards).cast("string")
+        "shard", F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).cast("string")
     )
     return bloom_gate(sharded.groupBy("shard"), id_col, n_words)

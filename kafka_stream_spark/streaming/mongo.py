@@ -67,9 +67,18 @@ def render_documents(df: DataFrame, pk_cols: list[str] | None = None) -> DataFra
                 F.struct(F.col(c).cast("string").alias("$numberLong")).alias(c)
             )
         elif isinstance(t, (TimestampType, TimestampNTZType)):
+            # TimestampType is an instant: render it in UTC before appending
+            # the literal 'Z' designator (date_format alone uses the session
+            # timezone — wrong $date values in any non-UTC session). NTZ has
+            # no zone; its wall-clock fields are formatted as-is.
+            ts = (
+                F.to_utc_timestamp(F.col(c), F.expr("current_timezone()"))
+                if isinstance(t, TimestampType)
+                else F.col(c)
+            )
             fields.append(
                 F.struct(
-                    F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("$date")
+                    F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("$date")
                 ).alias(c)
             )
         else:

@@ -56,6 +56,24 @@ def test_multilingual_string_roundtrip():
     assert avro_codec.decode_record(avro_codec.encode_record(rec, sch), sch) == rec
 
 
+def test_union_without_null_branch_compiles_and_encodes():
+    # ["int","string"]-style unions (no null member) are legal Avro; the
+    # compiled encoder must plan them and only raise when a None arrives
+    # (mirroring the interpreter, which never requires a null branch).
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "v", "type": ["int", "string"]}],
+    }
+    enc = avro_codec.compile_encoder(sch)
+    out = bytearray()
+    enc({"v": 7}, out)
+    assert avro_codec.decode_record(bytes(out), sch) == {"v": 7}
+    assert bytes(out) == avro_codec.encode_record({"v": 7}, sch)
+    with pytest.raises(ValueError, match="null branch"):
+        enc({"v": None}, bytearray())
+
+
 def test_trailing_bytes_rejected():
     sch = avro_of(fixtures.AIS_KEY, "AisKey")
     payload = avro_codec.encode_record({"MMSI": 1}, sch) + b"\x00"

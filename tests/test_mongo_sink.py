@@ -32,6 +32,24 @@ def test_render_documents_extended_json_types(spark):
     assert doc["ts"] == {"$date": "2026-03-01T12:00:00.000Z"}
 
 
+def test_render_documents_date_is_utc_in_non_utc_session(spark):
+    # $date carries a literal 'Z': the instant must be rendered in UTC
+    # even when the session timezone is not UTC (2026-03-01 is EST=UTC-5).
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # build the timestamp SQL-side so the wall clock is parsed in the
+        # session timezone (Python-datetime conversion follows the OS tz)
+        df = spark.sql(
+            "SELECT 7L AS user_id, 'x' AS note, 1.0D AS score, "
+            "to_timestamp('2026-03-01 12:00:00') AS ts"
+        )
+        doc = json.loads(render_documents(df, ["user_id"]).collect()[0].doc)
+        assert doc["ts"] == {"$date": "2026-03-01T17:00:00.000Z"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_render_documents_composite_and_absent_pk(spark):
     df = spark.createDataFrame([(1, "a", 2.0, TS)], SCHEMA)
     assert render_documents(df, ["user_id", "note"]).collect()[0].doc_id == "1|a"

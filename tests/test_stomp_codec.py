@@ -69,6 +69,30 @@ def test_repeated_header_keeps_first():
     assert frames[0][1]["dest"] == "a"
 
 
+def test_crlf_line_endings_accepted():
+    # STOMP 1.2 EOL may be CRLF; parsers MUST accept both (spec §ABNF).
+    raw = b"MESSAGE\r\ndest:a\r\ncontent-length:5\r\n\r\nhi\x00yo\x00"
+    frames, rest = decode_stream(raw)
+    assert rest == b""
+    cmd, headers, body = frames[0]
+    assert cmd == "MESSAGE"  # no trailing \r on the command line
+    assert headers["dest"] == "a"
+    assert body == b"hi\x00yo"
+
+
+def test_crlf_incremental_and_mixed_endings():
+    crlf = b"SEND\r\nd:x\r\n\r\nbody\x00"
+    lf = encode_frame("ACK", {"id": "7"}, b"")
+    whole = crlf + b"\r\n" + lf  # heart-beat CRLF between frames
+    for cut in range(len(whole)):
+        a, rest = decode_stream(whole[:cut])
+        b, tail = decode_stream(rest + whole[cut:])
+        assert tail == b""
+        got = a + b
+        assert [f[0] for f in got] == ["SEND", "ACK"]
+        assert got[0][1]["d"] == "x" and got[0][2] == b"body"
+
+
 def test_jms_sink_streams_send_frames(spark, tmp_path):
     schema = "order_id long, status string"
     src = str(tmp_path / "src")

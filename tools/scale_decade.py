@@ -70,8 +70,18 @@ def synthesize(spark) -> None:
         d = d.unionByName(extra)
     d.write.mode("overwrite").parquet(f"{SYN}/documents.parquet")
 
+    # One shared orderkey offset for BOTH lineitem and orders copies:
+    # separate per-table maxima only align while every order has >=1
+    # lineitem; a shared offset keeps copy-k rows joined regardless.
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    od = spark.read.parquet(f"{SRC}/orders.parquet")
+    max_ok = (
+        max(
+            li.agg(F.max("l_orderkey")).first()[0],
+            od.agg(F.max("o_orderkey")).first()[0],
+        )
+        + 1
+    )
     li_copies = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * max_ok))
         for k in range(COPIES)
@@ -83,10 +93,8 @@ def synthesize(spark) -> None:
 
     # orders: more orders over the SAME customer base (the realistic
     # fact-growth model — dimension keys stay put, fact keys offset)
-    od = spark.read.parquet(f"{SRC}/orders.parquet")
-    max_ok2 = od.agg(F.max("o_orderkey")).first()[0] + 1
     oc = [
-        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * max_ok2))
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * max_ok))
         for k in range(COPIES)
     ]
     o = oc[0]
