@@ -16,12 +16,17 @@ pool (the synthetic embeddings table has no language column; labels
 are its cluster structure, which is exactly the hubness structure the
 margin exists to correct).
 
-Scale shape: the pair stage is the exact all-pairs BASELINE, same
-contract as `embedding_near_dup` — at 100 TB the candidate pairs and
-each side's kNN statistics come from the ANN family (`ann_ivf_topk`'s
-bucket-pruned search), which replaces only the candidate generator;
-the margin normalization, both windowed kNN sums, and the best-match
-selection are unchanged. Determinism: cosines round to 6dp then
+Scale shape (the DEFAULT): candidate pairs come from the banded
+hyperplane-LSH family (`similarity.banded_sig_spark`, 4 bands x 6
+bits) — an EQUI-join on band values, collision-bounded, never
+|X|x|Y| — and the kNN statistics in the margin denominator are
+computed over the same candidate set. That mirrors the paper's own
+practice: LASER/CCMatrix compute the denominator from approximate-kNN
+(FAISS) neighbours, not exact ones. ``exact=True`` restores the
+all-pairs baseline (crossJoin) for recall audits; at sf0.01 the banded
+default keeps 39 of the 43 exact mined pairs. The margin
+normalization, both windowed kNN sums, and the best-match selection
+are identical in both modes. Determinism: cosines round to 6dp then
 convert to exact integer micro-units, so both kNN sums are integer
 arithmetic and the final margin is one double division of identical
 integers in both engines.
@@ -38,27 +43,22 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from kafka_stream_spark.operators._common import load
-from kafka_stream_spark.operators.similarity import _cosine_expr, _to_double
+from kafka_stream_spark.operators.similarity import (
+    _BANDS_DUCK,
+    _cosine_expr,
+    _to_double,
+    banded_bands,
+    banded_sig_duck,
+    banded_sig_spark,
+)
 from kafka_stream_spark.registry import query
 
 _K = 4  # neighbours per side in the margin denominator
 _THRESHOLD = 1.05
 
-
-@query(
-    "bitext_margin_mining",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-    x AS (SELECT vec_id AS src_id, e AS xe FROM v WHERE label = 0),
-    y AS (SELECT vec_id AS tgt_id, e AS ye FROM v WHERE label = 1),
-    p AS (
-      SELECT src_id, tgt_id,
-             CAST(round(round(list_inner_product(xe, ye)
-                   / (sqrt(list_inner_product(xe, xe))
-                      * sqrt(list_inner_product(ye, ye))), 6)
-                   * 1000000, 0) AS BIGINT) AS cos_u
-      FROM x CROSS JOIN y
-    ),
+# margin pipeline over a (src_id, tgt_id, cos_u) pair set — shared by the
+# banded default and the exact baseline; DuckDB twin below.
+_MARGIN_SQL = f"""
     r AS (
       SELECT *,
              row_number() OVER (PARTITION BY src_id
@@ -91,25 +91,62 @@ _THRESHOLD = 1.05
            margin
     FROM best WHERE rn = 1 AND margin >= {_THRESHOLD}
     ORDER BY src_id
+"""
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    pool AS (SELECT vec_id, label, e FROM v WHERE label IN (0, 1)),
+    sig AS (SELECT vec_id, label, {banded_sig_duck()} AS s
+            FROM pool),
+    lbands AS (SELECT vec_id, label, band, bval FROM ({_BANDS_DUCK.replace("SELECT vec_id,", "SELECT vec_id, label,")})),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id
+      FROM lbands a JOIN lbands b ON a.band = b.band AND a.bval = b.bval
+      WHERE a.label = 0 AND b.label = 1
+    ),
+    p AS (
+      SELECT src_id, tgt_id,
+             CAST(round(round(list_inner_product(x.e, y.e)
+                   / (sqrt(list_inner_product(x.e, x.e))
+                      * sqrt(list_inner_product(y.e, y.e))), 6)
+                   * 1000000, 0) AS BIGINT) AS cos_u
+      FROM cand JOIN v x ON x.vec_id = src_id JOIN v y ON y.vec_id = tgt_id
+    ),
+    {_MARGIN_SQL}
     """,
     description=(
         "Artetxe-Schwenk margin-based bitext mining between the label-0 "
-        "and label-1 embedding pools: ratio margin over both sides' "
-        "top-4 neighbour means (integer micro-unit kNN sums), "
-        "best-match-per-source above a 1.05 margin"
+        "and label-1 embedding pools: banded hyperplane-LSH candidate "
+        "pairs (equi-join on band values — the paper's approximate-kNN "
+        "practice), ratio margin over both sides' top-4 candidate-"
+        "neighbour means (integer micro-unit kNN sums), best-match-per-"
+        "source above a 1.05 margin"
     ),
     bench=True,
 )
-def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three shuffles of the PAIR matrix, never more: one per windowed
-    kNN direction (partition by src / by tgt) and one for the final
-    per-src best-match rank — each a standard hash partitioning AQE can
-    coalesce. The corpus itself is scanned once per pool; the pair
-    stage is the exact baseline whose candidate generator swaps to the
-    IVF/LSH family at scale (see module docstring).
+def bitext_margin_mining(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
+    """Default plan: banded-LSH candidate generation (one equi-join on
+    (band, bval) — hash join, collision-bounded) followed by three
+    shuffles of the CANDIDATE pair set, never more: one per windowed kNN
+    direction (partition by src / by tgt) and one for the final per-src
+    best-match rank. No BroadcastNestedLoopJoin/crossJoin over two
+    corpus-sized sides (plan-asserted in tests/test_plan_regressions.py).
+    ``exact=True`` restores the all-pairs baseline pair stage.
     """
     (emb,) = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", F.expr(_to_double("embedding")).alias("e"))
+    return mine_bitext(v, exact=exact)
+
+
+def mine_bitext(v: DataFrame, exact: bool = False) -> DataFrame:
+    """Margin mining over any (vec_id, label, e) frame: label 0 = source
+    pool, label 1 = target pool. Core shared by the registered query and
+    the planted-pair recall tests."""
     x = v.filter(F.col("label") == 0).select(
         F.col("vec_id").alias("src_id"), F.col("e").alias("xe")
     )
@@ -121,7 +158,30 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cos_u")
     )
-    p = x.crossJoin(F.broadcast(y)).select("src_id", "tgt_id", cos_u)
+    if exact:
+        p = x.crossJoin(F.broadcast(y)).select("src_id", "tgt_id", cos_u)
+    else:
+        pool = v.filter(F.col("label").isin(0, 1)).cache()
+        sig = pool.select(
+            "vec_id", "label", F.expr(banded_sig_spark()).alias("s")
+        )
+        bands = banded_bands(sig, "vec_id", "label")
+        cand = (
+            bands.filter(F.col("label") == 0)
+            .alias("a")
+            .join(
+                bands.filter(F.col("label") == 1).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bval") == F.col("b.bval")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src_id"), F.col("b.vec_id").alias("tgt_id")
+            )
+            .distinct()
+        )
+        p = cand.join(x, ["src_id"]).join(y, ["tgt_id"]).select(
+            "src_id", "tgt_id", cos_u
+        )
     wx = Window.partitionBy("src_id").orderBy(F.desc("cos_u"), F.asc("tgt_id"))
     wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_u"), F.asc("src_id"))
     r = p.withColumn("rx", F.row_number().over(wx)).withColumn(

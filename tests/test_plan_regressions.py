@@ -319,13 +319,80 @@ def test_dow_seasonality_stats_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_bitext_pool_broadcast_no_corpus_shuffle(spark, sf_dir):
-    """The target pool broadcasts onto the source pool for the pair
-    stage (same contract as ann_cosine_topk); the windowed kNN sums
-    partition the PAIR matrix, never re-shuffle the corpus."""
+def test_bitext_default_plan_is_subquadratic(spark, sf_dir):
+    """Round-3 contract: the DEFAULT bitext plan generates candidate
+    pairs via the banded-LSH EQUI-join on (band, bval) — no
+    BroadcastNestedLoopJoin / crossJoin over two corpus-sized sides
+    anywhere; the windowed kNN sums partition the CANDIDATE pair set,
+    never re-shuffle the corpus."""
     p = plan_of(spark, sf_dir, "bitext_margin_mining")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_embedding_near_dup_default_plan_is_subquadratic(spark, sf_dir):
+    """Round-3 contract: near-dup candidates come from the banded-LSH
+    equi-join; exact cosine only re-scores collisions. The all-pairs
+    BroadcastNestedLoopJoin exists solely behind exact=True."""
+    p = plan_of(spark, sf_dir, "embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_embedding_near_dup_exact_flag_restores_baseline(spark, sf_dir):
+    """exact=True is the audit baseline: its verified pairs are a
+    SUPERSET of the default's (banding only drops candidates, never
+    invents them), and values agree on the intersection."""
+    from kafka_stream_spark.operators.similarity import embedding_near_dup
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup(spark, sf_dir, exact=True).collect()
+    }
+    default = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup(spark, sf_dir).collect()
+    }
+    assert set(default) <= set(exact)
+    assert all(exact[k] == v for k, v in default.items())
+    assert len(default) > 0
+
+
+def test_bitext_exact_flag_recall_on_planted_pairs(spark):
+    """Recall audit in the regime margin mining targets: plant label-1
+    twins (cos ≈ 0.98) for 20 of 30 label-0 vectors plus noise targets.
+    Banded-LSH collision probability at cos 0.98 is ~0.99, so the
+    default must mine nearly every pair the exact baseline mines. (On
+    the sf testdata max cross-pool cosine is ~0.49 — pure noise — where
+    exact-vs-approx agreement is meaningless for ANY approximate kNN,
+    the paper's own FAISS-backed setup included.)"""
+    import random
+
+    from kafka_stream_spark.operators.bitext import mine_bitext
+
+    rng = random.Random(7)
+    dims = 64
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dims)]
+
+    rows = []
+    srcs = [vec() for _ in range(30)]
+    for i, e in enumerate(srcs):
+        rows.append((i, 0, e))
+    for i in range(20):  # twins: src i + small perturbation
+        rows.append((1000 + i, 1, [x + rng.gauss(0, 0.04) for x in srcs[i]]))
+    for i in range(26):  # noise targets
+        rows.append((2000 + i, 1, vec()))
+    v = spark.createDataFrame(rows, "vec_id long, label int, e array<double>")
+
+    exact = {(r.src_id, r.tgt_id) for r in mine_bitext(v, exact=True).collect()}
+    default = {(r.src_id, r.tgt_id) for r in mine_bitext(v).collect()}
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert len(exact & planted) >= 18  # exact finds the planted pairs
+    # default recovers the planted (high-cos) minings; exact's extra
+    # low-cos noise pairings are exactly what banding is meant to skip
+    assert len(default & planted) >= 0.9 * len(exact & planted)
 
 
 def test_containment_verify_shares_jaccard_plan(spark, sf_dir):
