@@ -42,74 +42,28 @@ def _to_double(col: str) -> str:
     return f"transform({col}, x -> cast(x as double))"
 
 
-# --- golden oracles for the iteratively-trained ANN/MMR queries ----------
-#
-# k-means / PQ / OPQ training loops and greedy MMR are not expressible as
-# one SQL statement, so their oracles pin the SELECTION — which (query,
-# vec) pairs the md5-free deterministic training picks at sf0.01, the
-# driver correctness-gate SF fixed by the driver contract — as a VALUES
-# list generated by tools/make_ann_goldens.py, while every VALUE column
-# (cosine, relevance, mmr_score) is recomputed by DuckDB from the parquet.
-# The numeric outputs are therefore cross-engine verified; only the index
-# decision itself is a regression pin (its semantics are recall- and
-# reference-tested in tests/test_components.py, tests/test_mmr_cut.py).
-
-try:
-    from kafka_stream_spark.operators._ann_goldens import GOLDEN as _GOLDEN
-except ImportError:  # pragma: no cover — before first generation
-    _GOLDEN = {}
-
-_DUCK_COS = (
-    "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
-    " * sqrt(list_inner_product({b}, {b})))"
-)
-
-
-def _golden_ann_oracle(name: str) -> str | None:
-    pairs = _GOLDEN.get(name)
-    if not pairs:
-        return None
-    vals = ", ".join(f"({q}, {v})" for q, v in pairs)
-    cos = _DUCK_COS.format(a="qe", b="e")
-    return f"""
-    WITH g(query_id, vec_id) AS (VALUES {vals}),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5)
-    SELECT CAST(g.query_id AS BIGINT) AS query_id,
-           CAST(g.vec_id AS BIGINT) AS vec_id,
-           round({cos}, 6) AS cosine
-    FROM g JOIN v ON v.vec_id = g.vec_id
-           JOIN q ON q.query_id = g.query_id
-    ORDER BY query_id, cosine DESC, vec_id
-    """
-
-
-def _golden_mmr_oracle() -> str | None:
-    pairs = _GOLDEN.get("mmr_diverse_topk")
-    if not pairs:
-        return None
-    vals = ", ".join(f"({r}, {v})" for r, v in pairs)
-    cos_rel = _DUCK_COS.format(a="qe", b="e")
-    cos_ab = _DUCK_COS.format(a="a.e", b="b.e")
-    # (1 - 0.7) spelled as the same double expression Python evaluates so
-    # the weighted score is bit-identical before the 6dp round
-    return f"""
-    WITH g(rank, vec_id) AS (VALUES {vals}),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-    rel AS (
-      SELECT g.rank, g.vec_id, round({cos_rel}, 6) AS relevance, v.e
-      FROM g JOIN v USING (vec_id) CROSS JOIN q
+def _unit_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, e): embeddings unit-normalized in double — the PQ coding
+    space (on the unit sphere L2² = 2 − 2·cos, so L2 ranking ≡ cosine)."""
+    norm = f"sqrt({_DOT.format(a='e0', b='e0')})"
+    return emb.select("vec_id", F.expr(_to_double("embedding")).alias("e0")).select(
+        "vec_id", F.expr(f"transform(e0, x -> x / ({norm}))").alias("e")
     )
-    SELECT CAST(a.rank AS INTEGER) AS rank,
-           CAST(a.vec_id AS BIGINT) AS vec_id,
-           a.relevance,
-           round(0.7 * a.relevance - (1 - 0.7) * coalesce(
-             (SELECT max({cos_ab}) FROM rel b WHERE b.rank < a.rank), 0.0), 6)
-             AS mmr_score
-    FROM rel a
-    ORDER BY rank
-    """
+
+
+# --- cross-engine oracles for the iteratively-TRAINED ANN/MMR queries ----
+#
+# k-means / PQ / OPQ training loops are not expressible as one SQL
+# statement, so the trained ARTIFACTS (centroids / codebooks / rotation)
+# are frozen into per-SF parquet by tools/make_ann_goldens.py and the
+# oracles in _ann_oracles.py recompute the FULL search (assignment,
+# probing, PQ encoding, ADC, shortlist, exact re-rank) in DuckDB from
+# them — the selection is decided cross-engine, nothing pins the engine's
+# own row choices. Greedy MMR is fixed-length, so its oracle unrolls the
+# whole loop in SQL with no artifacts. tests/test_ann_artifacts.py
+# asserts inline retraining reproduces the frozen artifacts.
+
+from kafka_stream_spark.operators import _ann_oracles
 
 
 @query(
@@ -644,8 +598,7 @@ def kmeans_codebook(v: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> Dat
 
 @query(
     "ann_ivf_kmeans_topk",
-    oracle=_golden_ann_oracle("ann_ivf_kmeans_topk"),  # golden selection + DuckDB-recomputed cosines
-    oracle_sf="sf0.01",
+    oracle=_ann_oracles.ivf_kmeans_oracle(),  # full search recomputed from frozen artifacts
     description=(
         "IVF ANN with a k-means-TRAINED coarse quantizer (deterministic "
         "init, 3 Lloyd rounds): buckets align with cosine geometry, "
@@ -784,8 +737,7 @@ def pq_codebooks(v: DataFrame, iters: int = _PQ_ITERS) -> DataFrame:
 
 @query(
     "ann_pq_topk",
-    oracle=_golden_ann_oracle("ann_pq_topk"),  # golden selection + DuckDB-recomputed cosines
-    oracle_sf="sf0.01",
+    oracle=_ann_oracles.pq_oracle(),  # full ADC search recomputed from frozen codebooks
     description=(
         "Product-quantization ANN: 8x8-dim codebooks (16 centroids each = "
         "8 bytes/vector, 32x memory cut) + asymmetric-distance scoring "
@@ -808,13 +760,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall 0.32 unnormalized → 0.82 normalized).
     """
     (emb,) = load(spark, sf_dir, "embeddings")
-    norm = f"sqrt({_DOT.format(a='e0', b='e0')})"
     raw = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
-    v = (
-        emb.select("vec_id", F.expr(_to_double("embedding")).alias("e0"))
-        .select("vec_id", F.expr(f"transform(e0, x -> x / ({norm}))").alias("e"))
-        .cache()
-    )
+    v = _unit_vectors(emb).cache()
     return _pq_adc_search(v, raw)
 
 
@@ -896,10 +843,32 @@ def _pq_adc_search(v: DataFrame, raw: DataFrame) -> DataFrame:
 _IVFPQ_NPROBE = 3
 
 
+def _ivfpq_residuals(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, e): assign each vector to its nearest coarse
+    centroid (6dp-rounded L2², cid tie-break) and emit the RESIDUAL
+    vector — the space the fine PQ codebooks are trained/encoded in.
+    Shared by the query and tools/make_ann_goldens.py so the frozen
+    artifacts can never drift from the query's own glue."""
+    d2 = _SQDIST.format(a="e", b="c")
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", F.round(F.expr(d2), 6).alias("d2"), "c")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "cid",
+            F.expr("zip_with(e, c, (x, y) -> x - y)").alias("e"),  # residual
+        )
+        .localCheckpoint()
+    )
+
+
 @query(
     "ann_ivfpq_topk",
-    oracle=_golden_ann_oracle("ann_ivfpq_topk"),  # golden selection + DuckDB-recomputed cosines
-    oracle_sf="sf0.01",
+    oracle=_ann_oracles.ivfpq_oracle(),  # full probe+ADC search recomputed from frozen artifacts
     description=(
         "IVF-PQ ANN: k-means coarse quantizer partitions the corpus into "
         "inverted lists; RESIDUALS (vector minus list centroid) are "
@@ -924,28 +893,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     No corpus shuffle at any step.
     """
     (emb,) = load(spark, sf_dir, "embeddings")
-    norm = f"sqrt({_DOT.format(a='e0', b='e0')})"
-    v = (
-        emb.select("vec_id", F.expr(_to_double("embedding")).alias("e0"))
-        .select("vec_id", F.expr(f"transform(e0, x -> x / ({norm}))").alias("e"))
-        .cache()
-    )
+    v = _unit_vectors(emb).cache()
     cent = kmeans_codebook(v)
-    d2 = _SQDIST.format(a="e", b="c")
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", F.round(F.expr(d2), 6).alias("d2"), "c")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", "cid",
-            F.expr("zip_with(e, c, (x, y) -> x - y)").alias("e"),  # residual
-        )
-        .localCheckpoint()
-    )
+    assigned = _ivfpq_residuals(v, cent)
     pqc = pq_codebooks(assigned.select("vec_id", "e")).select(
         "m", F.col("cid").alias("pcid"), "c"
     )
@@ -1140,8 +1090,7 @@ def _opq_rotation(x):
 
 @query(
     "ann_opq_topk",
-    oracle=_golden_ann_oracle("ann_opq_topk"),  # golden selection + DuckDB-recomputed cosines
-    oracle_sf="sf0.01",
+    oracle=_ann_oracles.opq_oracle(),  # rotation applied + full ADC search from frozen artifacts
     description=(
         "OPQ ANN: PQ behind a learned orthogonal rotation (alternating "
         "Lloyd/Procrustes on a bounded sample) — rotation balances "
@@ -1160,19 +1109,23 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map — no shuffle added to the PQ pipeline. Rotation preserves inner
     products, so the exact shortlist re-rank still emits TRUE cosines
     (invariance test-asserted)."""
-    import numpy as np
-    import pandas as pd
-
     (emb,) = load(spark, sf_dir, "embeddings")
-    norm = f"sqrt({_DOT.format(a='e0', b='e0')})"
-    v = (
-        emb.select("vec_id", F.expr(_to_double("embedding")).alias("e0"))
-        .select("vec_id", F.expr(f"transform(e0, x -> x / ({norm}))").alias("e"))
-        .cache()
-    )
+    v = _unit_vectors(emb).cache()
+    r = _opq_train_rotation(v)
+    raw = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
+    vr = _opq_apply(v, r)
+    return _pq_adc_search(vr, raw)
+
+
+def _opq_train_rotation(v: DataFrame):
+    """Driver-side OPQ rotation training on the bounded id-ordered sample."""
     sample = v.orderBy("vec_id").limit(_OPQ_SAMPLE).collect()
-    r = _opq_rotation(np.array([row.e for row in sample]))
-    rb = spark.sparkContext.broadcast(r)
+    return _opq_rotation(np.array([row.e for row in sample]))
+
+
+def _opq_apply(v: DataFrame, r) -> DataFrame:
+    """Apply the 64×64 rotation as one Arrow-batched matmul — a pure map."""
+    rb = v.sparkSession.sparkContext.broadcast(r)
 
     @F.pandas_udf("array<double>")
     def rotate(col: pd.Series) -> pd.Series:
@@ -1180,9 +1133,7 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = mat @ rb.value.T
         return pd.Series(list(out))
 
-    raw = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
-    vr = v.select("vec_id", rotate("e").alias("e"))
-    return _pq_adc_search(vr, raw)
+    return v.select("vec_id", rotate("e").alias("e"))
 
 
 # ---------------------------------------------------------------------------
@@ -1231,8 +1182,7 @@ def _mmr_greedy(cands: list, lam: float, n_select: int) -> list:
 
 @query(
     "mmr_diverse_topk",
-    oracle=_golden_mmr_oracle(),  # golden selection + DuckDB-recomputed scores
-    oracle_sf="sf0.01",
+    oracle=_ann_oracles.mmr_oracle(),  # fully-unrolled greedy in SQL, no artifacts
     description=(
         "Maximal-marginal-relevance selection: top-50 cosine candidates "
         "reduced to 10 results balancing query relevance against "
@@ -1665,3 +1615,41 @@ def ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine")
         .orderBy("query_id", F.desc("cosine"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# trained-artifact export — the train-once/search-many production split
+# ---------------------------------------------------------------------------
+
+
+def train_ann_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Run every deterministic ANN training the queries perform inline and
+    return the artifacts: the exact DataFrames whose frozen parquet copies
+    (tools/make_ann_goldens.py → operators/ann_artifacts/<sf-tag>/) the
+    DuckDB oracles in _ann_oracles.py recompute the full search from.
+    Reuses the queries' own trainers and glue (kmeans_codebook,
+    pq_codebooks, _ivfpq_residuals, _opq_train_rotation/_opq_apply) so the
+    artifacts can never drift from what a query would train inline —
+    tests/test_ann_artifacts.py enforces that equivalence."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    raw = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e")).cache()
+    nv = _unit_vectors(emb).cache()
+    ivf_cent = kmeans_codebook(raw)
+    pq = pq_codebooks(nv)
+    coarse = kmeans_codebook(nv)
+    resid = _ivfpq_residuals(nv, coarse)
+    ivfpq_pq = pq_codebooks(resid.select("vec_id", "e"))
+    r = _opq_train_rotation(nv)
+    opq_pq = pq_codebooks(_opq_apply(nv, r))
+    rot = spark.createDataFrame(
+        [(i, [float(x) for x in r[i]]) for i in range(r.shape[0])],
+        "i int, r array<double>",
+    )
+    return {
+        "ivf_centroids": ivf_cent,   # (cid, c) — ann_ivf_kmeans_topk
+        "pq_codebooks": pq,          # (m, cid, c) — ann_pq_topk
+        "ivfpq_coarse": coarse,      # (cid, c) — ann_ivfpq_topk coarse lists
+        "ivfpq_pq": ivfpq_pq,        # (m, cid, c) — residual codebooks
+        "opq_rotation": rot,         # (i, r) — row i of the 64×64 R
+        "opq_pq": opq_pq,            # (m, cid, c) — rotated-space codebooks
+    }

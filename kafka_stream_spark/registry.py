@@ -22,9 +22,6 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     description: str = ""
     bench: bool = False  # include in bench.py headline suite
-    #: golden-backed oracles embed frozen selections for ONE sf dir (the
-    #: driver gate's sf0.01); other SFs fall back to rows-only checks
-    oracle_sf: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -35,14 +32,13 @@ def query(
     oracle: str | None,
     description: str = "",
     bench: bool = False,
-    oracle_sf: str | None = None,
 ):
     """Decorator registering a (builder, oracle) pair under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, description, bench, oracle_sf)
+        QUERIES[name] = QuerySpec(name, fn, oracle, description, bench)
         return fn
 
     return deco

@@ -31,11 +31,7 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     spec = SPECS[name]
     sdf = spec.build(spark, sf_dir)
     srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
-    if spec.oracle is None or (
-        spec.oracle_sf is not None and not sf_dir.rstrip("/").endswith(spec.oracle_sf)
-    ):
-        # no oracle, or a golden-backed oracle pinned to another SF
-        # (tools/verify_local.py covers those at the driver-gate SF)
+    if spec.oracle is None:
         assert len(srows) >= 0  # rows-only check
         return
     rel = duck.sql(spec.oracle)
