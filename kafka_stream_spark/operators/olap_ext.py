@@ -192,41 +192,149 @@ def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ED_BINS = 128  # fixed-width pre-bins feeding the decile-boundary sketch
+
+
 @query(
     "equidepth_histogram_value",
-    oracle="""
-    WITH t AS (
-      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
-      FROM events
+    oracle=f"""
+    WITH ext AS (
+      SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events
+    ),
+    binned AS (
+      SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_ED_BINS})) AS BIGINT),
+                   {_ED_BINS - 1}) AS bin
+      FROM events CROSS JOIN ext
+    ),
+    hist AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin) AS cum_c,
+             sum(c) OVER (ORDER BY bin) - c AS cum_before
+      FROM hist
+    ),
+    ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+    targets AS (SELECT k, CAST(ceil(k * n / 10.0) AS BIGINT) AS target, lo, hi
+                FROM ks CROSS JOIN ext),
+    covering AS (
+      SELECT t.k, t.target, t.lo, t.hi, min(c.bin) AS bin
+      FROM targets t JOIN cum c ON c.cum_c >= t.target
+      GROUP BY t.k, t.target, t.lo, t.hi
+    ),
+    bnd AS (
+      SELECT v.k,
+             round(v.lo + (v.bin + (v.target - c.cum_before) * 1.0 / c.c)
+                   * ((v.hi - v.lo) / {_ED_BINS}), 6) AS b
+      FROM covering v JOIN cum c ON c.bin = v.bin
+    ),
+    barr AS (SELECT list(b ORDER BY b) AS bs FROM bnd),
+    assigned AS (
+      SELECT CAST(1 + len(list_filter(bs, x -> value > x)) AS INTEGER) AS bucket,
+             value
+      FROM events CROSS JOIN barr
     )
     SELECT bucket, count(*) AS n,
            round(min(value), 4) AS lo, round(max(value), 4) AS hi,
            round(avg(value), 6) AS mean
-    FROM t GROUP BY bucket ORDER BY bucket
+    FROM assigned GROUP BY bucket ORDER BY bucket
     """,
     description=(
-        "Equi-depth (decile) histogram over events.value via ntile: "
-        "per-bucket count, bounds, and mean — the ANALYZE-style column "
-        "statistic"
+        "Equi-depth (decile) histogram over events.value — boundaries "
+        "from the mergeable fixed-bin histogram sketch (no global sort; "
+        "the ANALYZE-at-scale plan), rows assigned map-side against the "
+        "9 broadcast boundaries; exact=True keeps the ntile baseline"
     ),
 )
-def equidepth_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth buckets are rank statistics, so unlike the fixed-width
-    histogram (value_histogram_events) they need a total order: one
-    global sort exchange, which is exactly what ANALYZE pays. The
-    (value, event_id) tie-break keeps ntile deterministic across
-    engines. At 100 TB you'd swap ntile for approx_percentile bounds
-    (sketch-merged, no global sort) and accept approximate edges.
-    """
+def equidepth_histogram_value(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
+    """Round-3 default: the only rank machinery runs over the ≤128-row
+    histogram (partial aggregation collapses each partition to ≤128
+    rows before any exchange; the cumulative window sorts 128 rows, not
+    the corpus). Decile boundary VALUES come from in-bin linear
+    interpolation — the same arithmetic as histogram_quantile_sketch,
+    6dp-rounded so both engines assign identically — then one map-only
+    pass buckets every row against the broadcast boundaries. No global
+    sort of events anywhere (plan-asserted: no ntile, no Sort [value).
+
+    ``exact=True`` restores the ntile global-sort baseline ("what
+    ANALYZE pays" when exact deciles are demanded); a pytest
+    cross-checks sketch bucket populations against it (±2% of n/10 at
+    sf0.001)."""
     from pyspark.sql import Window as W
 
     (events,) = load(spark, sf_dir, "events")
-    t = events.select(
+    if exact:
+        t = events.select(
+            "value",
+            F.ntile(10).over(W.orderBy("value", "event_id")).alias("bucket"),
+        )
+        return (
+            t.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("value"), 4).alias("lo"),
+                F.round(F.max("value"), 4).alias("hi"),
+                F.round(F.avg("value"), 6).alias("mean"),
+            )
+            .orderBy("bucket")
+        )
+    ext = events.agg(
+        F.min("value").alias("blo"), F.max("value").alias("bhi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("bhi") - F.col("blo")) / _ED_BINS
+    hist = (
+        events.crossJoin(F.broadcast(ext))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("blo")) / width).cast("bigint"),
+                F.lit(_ED_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", "c",
+        F.sum("c").over(wb).alias("cum_c"),
+        (F.sum("c").over(wb) - F.col("c")).alias("cum_before"),
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 10)], "k int")
+    targets = ks.crossJoin(F.broadcast(ext)).select(
+        "k",
+        F.ceil(F.col("k") * F.col("n") / 10.0).cast("bigint").alias("target"),
+        "blo", "bhi",
+    )
+    covering = (
+        targets.join(cum, F.col("cum_c") >= F.col("target"))
+        .groupBy("k", "target", "blo", "bhi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    bnd = covering.join(
+        cum.select(F.col("bin").alias("cbin"), "c", "cum_before"),
+        F.col("cbin") == F.col("bin"),
+    ).select(
+        F.round(
+            F.col("blo")
+            + (
+                F.col("bin")
+                + (F.col("target") - F.col("cum_before")) * 1.0 / F.col("c")
+            )
+            * ((F.col("bhi") - F.col("blo")) / _ED_BINS),
+            6,
+        ).alias("b")
+    )
+    barr = bnd.agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    assigned = events.crossJoin(F.broadcast(barr)).select(
+        (
+            F.lit(1) + F.size(F.expr("filter(bs, x -> value > x)"))
+        ).cast("int").alias("bucket"),
         "value",
-        F.ntile(10).over(W.orderBy("value", "event_id")).alias("bucket"),
     )
     return (
-        t.groupBy("bucket")
+        assigned.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("value"), 4).alias("lo"),

@@ -358,6 +358,42 @@ def test_embedding_near_dup_exact_flag_restores_baseline(spark, sf_dir):
     assert len(default) > 0
 
 
+def test_equidepth_default_has_no_global_value_sort(spark, sf_dir):
+    """Round-3 contract: the default equi-depth plan derives decile
+    boundaries from the <=128-row mergeable histogram — no ntile, no
+    sort of the events relation by value (the only Sort operates on the
+    histogram's bin column). exact=True restores the ntile baseline."""
+    from kafka_stream_spark.operators.olap_ext import equidepth_histogram_value
+
+    p = plan_of(spark, sf_dir, "equidepth_histogram_value")
+    assert "ntile" not in p
+    assert "Sort [value" not in p
+    pe = (
+        equidepth_histogram_value(spark, sf_dir, exact=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" in pe
+
+
+def test_equidepth_sketch_tracks_exact_deciles(spark, sf_dir):
+    """The sketch buckets must stay equi-depth in practice: every
+    bucket population within ±2% of n/10 of the exact ntile split."""
+    from kafka_stream_spark.operators.olap_ext import equidepth_histogram_value
+
+    default = {r.bucket: r.n for r in
+               equidepth_histogram_value(spark, sf_dir).collect()}
+    exact = {r.bucket: r.n for r in
+             equidepth_histogram_value(spark, sf_dir, exact=True).collect()}
+    total = sum(exact.values())
+    assert sum(default.values()) == total  # every row lands in a bucket
+    for b in exact:
+        assert abs(default.get(b, 0) - exact[b]) <= 0.02 * total / 10 + 2, (
+            b, default.get(b), exact[b]
+        )
+
+
 def test_bitext_exact_flag_recall_on_planted_pairs(spark):
     """Recall audit in the regime margin mining targets: plant label-1
     twins (cos ≈ 0.98) for 20 of 30 label-0 vectors plus noise targets.
