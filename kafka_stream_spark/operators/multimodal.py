@@ -1,13 +1,16 @@
 """Multimodal column plumbing (north-star M6).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
-structs. The decode step is STUBBED (no image/audio libs in this
-container: ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``), but everything Spark-side is real and tested:
+structs. ``decode_image`` ships REAL dependency-free decoders for PPM
+(P6/P3) and uncompressed 24/32-bit BMP — true pixel decoding runs
+end-to-end through ``extract_features(fake_decode=False)`` (pytest:
+tests/test_sources.py). Formats needing a codec library (PNG/JPEG/…)
+raise ``NotImplementedError`` until one is installed; ``fake=True``
+keeps the deterministic pseudo-decode the synthetic-corpus oracle uses.
+Everything Spark-side is real and tested:
 
 - the schema convention (``content BINARY, media STRUCT<kind, ...>``),
-- Arrow-batched ``mapInPandas`` feature extraction (the shape a real
-  decoder plugs into),
+- Arrow-batched ``mapInPandas`` feature extraction (real and fake paths),
 - partition-count preservation (no shuffle through the UDF).
 
 For the oracle-checked query, binary payloads are synthesized
@@ -25,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -53,30 +57,128 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(content: bytes, fake: bool = False) -> dict:
-    """Decode an image payload → {width, height}.
+def _decode_ppm(content: bytes) -> dict:
+    """Netpbm PPM decoder (P6 binary / P3 ASCII, maxval ≤ 255) — the
+    format spec is public (netpbm.sourceforge.net/doc/ppm.html)."""
+    magic = content[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            nl = content.find(b"\n", pos)
+            pos = nl + 1 if nl != -1 else len(content)
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("PPM maxval > 255 (2-byte samples)")
+    n = width * height * 3
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval
+        pix = content[pos : pos + n]
+        if len(pix) != n:
+            raise ValueError("truncated PPM pixel data")
+        total = sum(pix)
+    else:  # P3: ASCII sample values
+        vals = content[pos:].split()
+        if len(vals) < n:
+            raise ValueError("truncated PPM pixel data")
+        total = sum(int(v) for v in vals[:n])
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "mean_lum": round(total / n, 6),
+    }
 
-    STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` derives deterministic pseudo-dimensions from
-    the byte length so the distributed plumbing is testable end-to-end.
+
+def _decode_bmp(content: bytes) -> dict:
+    """Windows BMP decoder (BITMAPINFOHEADER, uncompressed 24/32-bit) —
+    wire layout is the public Windows BMP file-format spec."""
+    import struct as _struct
+
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = _struct.unpack_from("<I", content, 10)[0]
+    width, height = _struct.unpack_from("<ii", content, 18)
+    bpp = _struct.unpack_from("<H", content, 28)[0]
+    compression = _struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    height = abs(height)  # negative height = top-down rows; stats invariant
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    total = 0
+    for row in range(height):
+        base = data_off + row * stride
+        line = content[base : base + width * bytes_pp]
+        if len(line) != width * bytes_pp:
+            raise ValueError("truncated BMP pixel data")
+        if bytes_pp == 3:
+            total += sum(line)
+        else:  # BGRA: drop the alpha byte from the luminance sum
+            total += sum(line) - sum(line[3::4])
+    n = width * height * 3
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "mean_lum": round(total / n, 6),
+    }
+
+
+def decode_image(content: bytes, fake: bool = False) -> dict:
+    """Decode an image payload → {width, height, channels, mean_lum}.
+
+    Real, dependency-free decoders ship for PPM (P6/P3) and uncompressed
+    24/32-bit BMP — enough to exercise true pixel decoding end-to-end
+    through ``extract_features``. Other formats (PNG/JPEG/…) need a
+    codec library this container lacks and raise ``NotImplementedError``
+    (a real library drops into this dispatch without touching the plan).
+    ``fake=True`` derives deterministic pseudo-dimensions from the byte
+    length — the mode the synthetic-corpus oracle uses.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library; install one and "
-            "replace this stub (plumbing: extract_features/mapInPandas)"
-        )
-    n = len(content)
-    return {"width": n % 640 + 1, "height": (n * 7) % 480 + 1}
+    if fake:
+        n = len(content)
+        return {"width": n % 640 + 1, "height": (n * 7) % 480 + 1}
+    if content[:2] in (b"P6", b"P3"):
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    raise NotImplementedError(
+        "unsupported image format (PPM/BMP decode natively; others need "
+        "an imaging library — plumbing: extract_features/mapInPandas)"
+    )
+
+
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_lum", DoubleType()),
+    ]
+)
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
-    ``mapInPandas`` keeps the input partitioning — no shuffle; a real
-    decoder swaps into ``decode_image`` without touching the plan.
+    ``mapInPandas`` keeps the input partitioning — no shuffle.
+    ``fake_decode=False`` runs the REAL decoders (PPM/BMP natively; a
+    codec library extends ``decode_image`` for other formats) and emits
+    true width/height/channels/mean-luminance per payload.
     """
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lens = pdf["content"].map(len)
             yield pd.DataFrame(
@@ -89,7 +191,24 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+    def gen_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": pdf["content"].map(len),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "mean_lum": [f["mean_lum"] for f in feats],
+                }
+            )
+
+    if fake_decode:
+        return media.mapInPandas(gen_fake, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(gen_real, schema=REAL_FEATURE_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:

@@ -48,9 +48,65 @@ def test_rate_replay_loops_dataset(spark):
     assert {r.v for r in rows} <= {"a", "b", "c"}
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_unsupported_format_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def _ppm_p6(width, height, rgb_rows):
+    body = b"".join(bytes(px) for row in rgb_rows for px in row)
+    return b"P6\n# comment\n%d %d\n255\n" % (width, height) + body
+
+
+def _bmp24(width, height, rgb_rows):
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pixels = b""
+    for row in reversed(rgb_rows):  # BMP stores rows bottom-up
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)  # BGR order
+        pixels += line + b"\x00" * (stride - len(line))
+    data_off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    )
+    return header + pixels
+
+
+def test_real_ppm_and_bmp_decode():
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    # mean over all RGB samples: (255*3 + 255*3) / 12 = 127.5
+    for blob in (_ppm_p6(2, 2, rows), _bmp24(2, 2, rows)):
+        f = decode_image(blob)
+        assert (f["width"], f["height"], f["channels"]) == (2, 2, 3)
+        assert f["mean_lum"] == 127.5
+    # P3 ASCII variant of the same image
+    p3 = b"P3\n2 2\n255\n" + " ".join(
+        str(v) for row in rows for px in row for v in px
+    ).encode()
+    assert decode_image(p3) == decode_image(_ppm_p6(2, 2, rows))
+
+
+def test_real_decode_through_extract_features(spark):
+    rows_a = [[(10, 20, 30), (40, 50, 60)]]          # 1x2
+    rows_b = [[(0, 0, 0)], [(90, 90, 90)], [(255, 255, 255)]]  # 3x1
+    media = spark.createDataFrame(
+        [
+            (1, "image/x-portable-pixmap", bytearray(_ppm_p6(2, 1, rows_a))),
+            (2, "image/bmp", bytearray(_bmp24(1, 3, rows_b))),
+        ],
+        "doc_id long, kind string, content binary",
+    )
+    feats = {r.doc_id: r for r in
+             extract_features(media, fake_decode=False).collect()}
+    assert (feats[1].width, feats[1].height) == (2, 1)
+    assert feats[1].mean_lum == 35.0  # (10+20+30+40+50+60)/6
+    assert (feats[2].width, feats[2].height) == (1, 3)
+    assert feats[2].mean_lum == 115.0  # (0+90+255)*3/9
+    assert feats[2].byte_len == len(_bmp24(1, 3, rows_b))
 
 
 def test_multimodal_fake_decode_deterministic():
