@@ -81,6 +81,16 @@ class KafkaTopic:
             .option("topic", self.topic)
         )
 
+    def write(self, df: DataFrame) -> None:
+        """Batch produce (put.sh's bulk-load analog): df must carry binary
+        ``key``/``value`` columns; the broker hash-partitions by key."""
+        (
+            df.write.format("kafka")
+            .option("kafka.bootstrap.servers", self.servers)
+            .option("topic", self.topic)
+            .save()
+        )
+
 
 class FileTopic:
     """Parquet-dir topic with Kafka record semantics, for broker-less runs.
