@@ -35,6 +35,8 @@ _KCQL_RE = re.compile(
     \s+FROM\s+(?P<source>\S+)
     (?:\s+IGNORE\s+(?P<ignore>[\w\s,]+?))?
     (?:\s+PK\s+(?P<pk>[\w\s,]+?))?
+    (?:\s+DISTRIBUTEBY\s+(?P<distributeby>[\w\s,]+?)
+        \s+INTO\s+(?P<buckets>\d+)\s+BUCKETS)?
     (?:\s+WITHWHERE\s+(?P<where>.+?))?
     (?:\s+LIMIT\s+(?P<limit>\d+))?
     (?:\s+AUTOCREATE)?
@@ -60,6 +62,9 @@ class KcqlStatement:
     #: "insert" | "upsert" — Stream Reactor KCQL write mode (UPSERT INTO
     #: replaces the document/row matching PK instead of appending)
     write_mode: str = "insert"
+    #: Kudu-family hash partitioning: DISTRIBUTEBY cols INTO n BUCKETS
+    distributeby: tuple[str, ...] = ()
+    buckets: int | None = None
 
     @property
     def is_star(self) -> bool:
@@ -92,6 +97,8 @@ def parse(statement: str) -> KcqlStatement:
         storeas=m.group("storeas"),
         withformat=m.group("withformat"),
         write_mode=m.group("mode").lower(),
+        distributeby=split_list(m.group("distributeby")),
+        buckets=int(m.group("buckets")) if m.group("buckets") else None,
     )
 
 

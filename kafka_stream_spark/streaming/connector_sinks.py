@@ -24,6 +24,12 @@ the family's renderer:
   JMSCorrelationID (`sources/stomp_codec.py`).
 - ``elastic`` — the KCQL target is the index; the first PK column is
   the document id (`elastic.py`).
+- ``kudu``    — Impala-dialect ``UPSERT/INSERT INTO`` row ops routed by
+  the KCQL ``DISTRIBUTEBY a,b INTO n BUCKETS`` hash partitioning
+  (`kudu.py`).
+- ``voltdb``  — auto-CRUD stored-procedure invocations
+  (``exec TABLE.upsert p1, ...;``) grouped by the partitioning column
+  (`voltdb.py`).
 
 Each family keeps its own transport seam, so every sink is testable
 without its server and swaps to a real client without touching the
@@ -41,7 +47,9 @@ from kafka_stream_spark.streaming.elastic import elastic_sink
 from kafka_stream_spark.streaming.hbase import hbase_sink
 from kafka_stream_spark.streaming.influx import influx_sink
 from kafka_stream_spark.sources.stomp_codec import jms_sink
+from kafka_stream_spark.streaming.kudu import kudu_sink
 from kafka_stream_spark.streaming.mongo import mongo_sink
+from kafka_stream_spark.streaming.voltdb import voltdb_sink
 
 
 def redis_sink(
@@ -142,6 +150,22 @@ def kcql_connector_sink(
         if not pk:
             raise ValueError("jms sink needs PK (the JMSCorrelationID)")
         return jms_sink(df, stmt.target, pk[0], transport, checkpoint)
+    if system == "kudu":
+        if not pk:
+            raise ValueError("kudu sink needs PK (the Kudu primary key)")
+        return kudu_sink(
+            df, stmt.target, pk, transport, checkpoint,
+            upsert=stmt.write_mode == "upsert",
+            distribute_cols=list(stmt.distributeby) or None,
+            buckets=stmt.buckets,
+        )
+    if system == "voltdb":
+        if not pk:
+            raise ValueError("voltdb sink needs PK (the partitioning column)")
+        return voltdb_sink(
+            df, stmt.target, pk, transport, checkpoint,
+            upsert=stmt.write_mode == "upsert",
+        )
     if system == "elastic":
         return (
             elastic_sink(df, stmt.target, transport, id_col=pk[0] if pk else None)
