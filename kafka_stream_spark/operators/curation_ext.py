@@ -1067,3 +1067,96 @@ def quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination — embedding-cosine eval-set screening
+# ---------------------------------------------------------------------------
+
+_SEM_BENCH_N = 5      # vec_id < 5 plays the benchmark/eval embedding set
+_SEM_THRESHOLD = 0.35
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id AS bid, e AS be FROM v WHERE vec_id < {_SEM_BENCH_N}),
+    c AS (SELECT vec_id, e FROM v WHERE vec_id >= {_SEM_BENCH_N}),
+    scored AS (
+      SELECT vec_id, bid,
+             round(list_inner_product(be, e)
+                   / (sqrt(list_inner_product(be, be)) * sqrt(list_inner_product(e, e))),
+                   6) AS cosine
+      FROM c CROSS JOIN b
+    ),
+    best AS (
+      SELECT vec_id, bid AS bench_id, cosine AS bench_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, bid) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.source,
+           CAST(bench_id AS BIGINT) AS bench_id, bench_cosine,
+           CASE WHEN bench_cosine >= {_SEM_THRESHOLD} THEN 1 ELSE 0 END
+             AS contaminated
+    FROM best JOIN documents d ON d.doc_id = best.vec_id
+    ORDER BY doc_id
+    """,
+    description=(
+        "Semantic decontamination: every corpus document scored by max "
+        "cosine to the benchmark/eval embedding set (vec_id < 5) — the "
+        "embedding-space complement of the 5-gram decontaminate_documents "
+        "(catches paraphrased eval leakage n-grams miss); flagged at 0.35"
+    ),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage via embeddings (the screening used alongside
+    n-gram decontamination in open-LLM data pipelines: paraphrased or
+    re-formatted benchmark items share no 5-grams but sit close in
+    embedding space).
+
+    Scale shape: the benchmark set is SMALL by definition, so it
+    broadcasts and the corpus is scanned once, map-only, with a
+    map-side-combinable per-doc max (argmax via struct max — no window
+    over the corpus). No corpus shuffle except the final doc_id join to
+    documents, an equi hash join. With a large eval battery, swap the
+    broadcast for the banded-LSH candidate path (`similarity.py`) like
+    `embedding_near_dup`.
+    """
+    from kafka_stream_spark.operators.similarity import _cosine_expr, _to_double
+
+    emb, documents = load(spark, sf_dir, "embeddings", "documents")
+    v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e"))
+    bench = v.filter(F.col("vec_id") < _SEM_BENCH_N).select(
+        F.col("vec_id").alias("bid"), F.col("e").alias("be")
+    )
+    corpus = v.filter(F.col("vec_id") >= _SEM_BENCH_N)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bid",
+        F.round(F.expr(_cosine_expr("be", "e")), 6).alias("cosine"),
+    )
+    # argmax with (cosine DESC, bid ASC) tie-break as one struct max —
+    # map-side combinable, unlike a corpus-partitioned ranking window
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("bid")).alias("nb"))).alias("m")
+    ).select(
+        "vec_id",
+        F.col("m.cosine").alias("bench_cosine"),
+        (-F.col("m.nb")).cast("bigint").alias("bench_id"),
+    )
+    return (
+        best.join(documents.select("doc_id", "source"),
+                  best.vec_id == F.col("doc_id"))
+        .select(
+            "doc_id",
+            "source",
+            "bench_id",
+            "bench_cosine",
+            F.when(F.col("bench_cosine") >= _SEM_THRESHOLD, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -641,6 +641,116 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate-chunk stripping (RefinedWeb/CCNet line-frequency filter)
+# ---------------------------------------------------------------------------
+
+_BP_CHUNK = 4   # tokens per chunk (short enough to recur in the corpus)
+_BP_MIN_DOCS = 3  # a chunk in >= this many docs is template boilerplate
+
+
+@query(
+    "strip_boilerplate_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS idx,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, idx // {_BP_CHUNK} AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY idx) AS chunk_text
+      FROM toks GROUP BY doc_id, idx // {_BP_CHUNK}
+    ),
+    boiler AS (
+      SELECT chunk_text FROM (
+        SELECT chunk_text, count(DISTINCT doc_id) AS ndc
+        FROM chunks GROUP BY chunk_text)
+      WHERE ndc >= {_BP_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT c.* FROM chunks c
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.chunk_text = c.chunk_text)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id, t.n_total,
+           CAST(t.n_total - count(k.chunk_idx) AS BIGINT) AS n_removed,
+           string_agg(k.chunk_text, ' ' ORDER BY k.chunk_idx) AS new_text
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.n_total
+    ORDER BY t.doc_id
+    """,
+    description=(
+        "Boilerplate stripping (RefinedWeb/CCNet line-frequency filter): "
+        "4-token chunks occurring in >=3 distinct documents are template "
+        "boilerplate, removed from EVERY document (unlike paragraph "
+        "dedup's first-keep); documents reassembled from what survives"
+    ),
+)
+def strip_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of sub-document curation: `paragraph_dedup_documents`
+    keeps one copy of repeated content, this REMOVES recurring template
+    chunks (nav bars, cookie banners, footers) from all carriers — the
+    CCNet/RefinedWeb "line appears in many documents → drop it" rule.
+
+    Scale shape: chunking is the same local projection as paragraph
+    dedup (no explode+regroup); the frequency pass is one chunk-keyed
+    groupBy with map-side combine; the boilerplate set is heavy-hitter
+    sized by construction (chunks in >= k docs), so the removal join
+    BROADCASTS it as a left-anti hash join — the corpus is never
+    re-shuffled for the filter. At 100 TB the frequency pass's output
+    can be further gated by a count-min sketch before the exact count
+    (only sketch-heavy chunks enter the groupBy).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {_BP_CHUNK}.0) as int) - 1),"
+                f" i -> array_join(slice(toks, i * {_BP_CHUNK} + 1, {_BP_CHUNK}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    boiler = (
+        chunks.groupBy("chunk_text")
+        .agg(F.countDistinct("doc_id").alias("ndc"))
+        .filter(F.col("ndc") >= _BP_MIN_DOCS)
+        .select("chunk_text")
+    )
+    kept = chunks.join(F.broadcast(boiler), "chunk_text", "left_anti")
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        tot.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_total",
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            "new_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtered exact Jaccard join (PPJoin-style candidate pruning)
 # ---------------------------------------------------------------------------
 
