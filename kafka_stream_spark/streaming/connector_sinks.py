@@ -30,6 +30,13 @@ the family's renderer:
 - ``voltdb``  — auto-CRUD stored-procedure invocations
   (``exec TABLE.upsert p1, ...;``) grouped by the partitioning column
   (`voltdb.py`).
+- ``rethink`` — ReQL insert ops with the KCQL write mode as the
+  conflict policy (INSERT→error, UPSERT→replace) (`rethink.py`).
+- ``hazelcast`` — distributed-structure ops selected by ``STOREAS``
+  (RELIABLE_TOPIC/MAP/QUEUE/RING_BUFFER/…), JSON payloads
+  (`hazelcast.py`).
+- ``documentdb`` — Cosmos-style JSON document create ops with the PK as
+  ``id`` and UPSERT→is_upsert (`documentdb.py`).
 
 Each family keeps its own transport seam, so every sink is testable
 without its server and swaps to a real client without touching the
@@ -47,8 +54,11 @@ from kafka_stream_spark.streaming.elastic import elastic_sink
 from kafka_stream_spark.streaming.hbase import hbase_sink
 from kafka_stream_spark.streaming.influx import influx_sink
 from kafka_stream_spark.sources.stomp_codec import jms_sink
+from kafka_stream_spark.streaming.documentdb import documentdb_sink
+from kafka_stream_spark.streaming.hazelcast import hazelcast_sink
 from kafka_stream_spark.streaming.kudu import kudu_sink
 from kafka_stream_spark.streaming.mongo import mongo_sink
+from kafka_stream_spark.streaming.rethink import rethink_sink
 from kafka_stream_spark.streaming.voltdb import voltdb_sink
 
 
@@ -164,6 +174,33 @@ def kcql_connector_sink(
             raise ValueError("voltdb sink needs PK (the partitioning column)")
         return voltdb_sink(
             df, stmt.target, pk, transport, checkpoint,
+            upsert=stmt.write_mode == "upsert",
+        )
+    if system == "rethink":
+        if not pk:
+            raise ValueError("rethink sink needs PK (the document id)")
+        db, _, table = stmt.target.partition(".")
+        if not table:
+            raise ValueError(f"rethink target must be db.table: {stmt.target}")
+        return rethink_sink(
+            df, db, table, pk, transport, checkpoint,
+            upsert=stmt.write_mode == "upsert",
+        )
+    if system == "hazelcast":
+        return hazelcast_sink(
+            df, stmt.target, pk, transport, checkpoint,
+            storeas=stmt.storeas or "reliable_topic",
+        )
+    if system == "documentdb":
+        if not pk:
+            raise ValueError("documentdb sink needs PK (the document id)")
+        db, _, coll = stmt.target.partition(".")
+        if not coll:
+            raise ValueError(
+                f"documentdb target must be database.collection: {stmt.target}"
+            )
+        return documentdb_sink(
+            df, db, coll, pk, transport, checkpoint,
             upsert=stmt.write_mode == "upsert",
         )
     if system == "elastic":
