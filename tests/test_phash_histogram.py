@@ -59,13 +59,19 @@ def test_phash_pairs_match_reference(spark, sf_dir):
 def test_equidepth_histogram_is_balanced(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     total = events.count()
+    # round-3 default: sketch-derived boundaries — every row lands in a
+    # bucket and populations stay near-equal (the 2% plan-test bound)
     rows = equidepth_histogram_value(spark, sf_dir).collect()
     assert [r.bucket for r in rows] == list(range(1, 11))
     assert sum(r.n for r in rows) == total
-    # ntile balance: bucket sizes differ by at most 1
     sizes = [r.n for r in rows]
-    assert max(sizes) - min(sizes) <= 1
+    assert max(sizes) - min(sizes) <= 0.04 * total / 10 + 4
     # buckets are ordered, non-overlapping ranges (ties may touch)
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo + 1e-9
         assert a.lo <= a.hi
+    # exact=True restores strict ntile balance: sizes differ by <= 1
+    exact = equidepth_histogram_value(spark, sf_dir, exact=True).collect()
+    esizes = [r.n for r in exact]
+    assert sum(esizes) == total
+    assert max(esizes) - min(esizes) <= 1
