@@ -1160,3 +1160,94 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty curve — corpus saturation measurement
+# ---------------------------------------------------------------------------
+
+_NOV_BUCKET = 50  # docs per ingestion-order bucket in the curve
+
+
+@query(
+    "ngram_novelty_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - 4
+    ),
+    first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(*) FILTER (f.first_doc = g.doc_id) AS n_novel
+      FROM grams g JOIN first_seen f USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT CAST(doc_id // {_NOV_BUCKET} AS BIGINT) AS bucket,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(sum(n_novel) * 1.0 / sum(n_grams), 6) AS novelty_rate
+    FROM per_doc
+    GROUP BY doc_id // {_NOV_BUCKET}
+    ORDER BY bucket
+    """,
+    description=(
+        "Corpus-saturation curve: per ingestion-order bucket of 50 docs, "
+        "the fraction of each doc's distinct 5-grams never seen in any "
+        "earlier doc — the marginal-novelty measurement behind "
+        "'is more crawl still adding new text?' decisions"
+    ),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal data value as ingestion proceeds (the saturation curve
+    data teams read before paying for more crawl: novelty_rate falling
+    toward the duplication floor means new data is mostly old text).
+
+    Scale shape: one gram-keyed groupBy for global first-occurrence
+    (min(doc_id), map-side combinable) + one gram-keyed equi-join back
+    to per-doc gram sets + one doc-bucket rollup — the same two-shuffle
+    envelope as decontaminate_documents; nothing pairwise, nothing
+    ordered (ingestion order is data, not a sort: doc_id IS the order).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    grams = (
+        toks.select("doc_id", F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
+        .distinct()
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            (F.col("doc_id") / _NOV_BUCKET).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.sum("n_novel") * 1.0 / F.sum("n_grams"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -648,6 +648,40 @@ _BP_CHUNK = 4   # tokens per chunk (short enough to recur in the corpus)
 _BP_MIN_DOCS = 3  # a chunk in >= this many docs is template boilerplate
 
 
+def _bp_chunk_docs(documents: DataFrame, ncpu: int) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text): the shared 4-token chunker —
+    used by the batch operator and by the boilerplate-set trainer the
+    streaming gate consumes (streaming/boilerplate_gate.py)."""
+    toks = (
+        documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(ncpu, "doc_id")
+        .cache()
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {_BP_CHUNK}.0) as int) - 1),"
+                f" i -> array_join(slice(toks, i * {_BP_CHUNK} + 1, {_BP_CHUNK}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+
+
+def boilerplate_chunk_set(documents: DataFrame) -> DataFrame:
+    """The trained template set: (chunk_text) rows for chunks occurring
+    in >= _BP_MIN_DOCS distinct documents. Heavy-hitter sized; collect
+    it for the streaming gate's broadcast literal."""
+    ncpu = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        _bp_chunk_docs(documents, ncpu)
+        .groupBy("chunk_text")
+        .agg(F.countDistinct("doc_id").alias("ndc"))
+        .filter(F.col("ndc") >= _BP_MIN_DOCS)
+        .select("chunk_text")
+    )
+
+
 @query(
     "strip_boilerplate_chunks",
     oracle=f"""
@@ -704,20 +738,7 @@ def strip_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = load(spark, sf_dir, "documents")
     ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = (
-        documents.select("doc_id", F.split("text", " ").alias("toks"))
-        .repartition(ncpu, "doc_id")
-        .cache()
-    )
-    chunks = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(toks) / {_BP_CHUNK}.0) as int) - 1),"
-                f" i -> array_join(slice(toks, i * {_BP_CHUNK} + 1, {_BP_CHUNK}), ' '))"
-            )
-        ).alias("chunk_idx", "chunk_text"),
-    )
+    chunks = _bp_chunk_docs(documents, ncpu)
     boiler = (
         chunks.groupBy("chunk_text")
         .agg(F.countDistinct("doc_id").alias("ndc"))
