@@ -169,6 +169,87 @@ REAL_FEATURE_SCHEMA = StructType(
 )
 
 
+def decode_audio(content: bytes) -> dict:
+    """Decode a RIFF/WAVE PCM payload → sample_rate, channels, bits,
+    n_frames, duration_s, rms. Dependency-free: the RIFF container and
+    PCM sample layout are the public WAVE format spec. Non-PCM codecs
+    (MP3/AAC/…) need a codec library and raise ``NotImplementedError``.
+    """
+    import struct as _struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = _struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate = _struct.unpack_from("<HHI", fmt, 0)
+    bits = _struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}")
+    bytes_per_frame = channels * bits // 8
+    n_frames = len(data) // bytes_per_frame
+    if bits == 16:
+        n = n_frames * channels
+        samples = _struct.unpack_from(f"<{n}h", data, 0)
+        sq = sum(s * s for s in samples)
+        denom = 32768.0
+    else:  # 8-bit PCM is unsigned, centered at 128
+        samples = [b - 128 for b in data[: n_frames * bytes_per_frame]]
+        sq = sum(s * s for s in samples)
+        denom = 128.0
+    rms = (sq / max(1, len(samples))) ** 0.5 / denom
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_s": round(n_frames / rate, 6),
+        "rms": round(rms, 6),
+    }
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Real WAV decoding through the same partition-preserving
+    mapInPandas plumbing as image features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_audio(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "duration_s": [f["duration_s"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 

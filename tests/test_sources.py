@@ -90,6 +90,55 @@ def test_real_ppm_and_bmp_decode():
     assert decode_image(p3) == decode_image(_ppm_p6(2, 2, rows))
 
 
+def _wav(rate, channels, bits, frames):
+    import struct
+
+    if bits == 16:
+        data = b"".join(
+            struct.pack("<h", s) for fr in frames for s in fr
+        )
+    else:
+        data = bytes((s + 128) & 0xFF for fr in frames for s in fr)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_wav_decode():
+    from kafka_stream_spark.operators.multimodal import decode_audio
+
+    # 16-bit mono: constant amplitude 16384 -> rms = 0.5 exactly
+    f = decode_audio(_wav(8000, 1, 16, [(16384,)] * 4000))
+    assert (f["sample_rate"], f["channels"], f["bits"]) == (8000, 1, 16)
+    assert f["n_frames"] == 4000 and f["duration_s"] == 0.5
+    assert f["rms"] == 0.5
+    # 8-bit stereo: silence (128 center) -> rms 0
+    f8 = decode_audio(_wav(16000, 2, 8, [(0, 0)] * 160))
+    assert f8["channels"] == 2 and f8["n_frames"] == 160 and f8["rms"] == 0.0
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03...")  # mp3 needs a codec library
+
+
+def test_real_wav_through_extract_audio_features(spark):
+    from kafka_stream_spark.operators.multimodal import extract_audio_features
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(_wav(8000, 1, 16, [(16384,)] * 800))),
+            (2, "audio/wav", bytearray(_wav(44100, 2, 16, [(0, 0)] * 441))),
+        ],
+        "doc_id long, kind string, content binary",
+    )
+    feats = {r.doc_id: r for r in extract_audio_features(media).collect()}
+    assert feats[1].rms == 0.5 and feats[1].duration_s == 0.1
+    assert feats[2].sample_rate == 44100 and feats[2].duration_s == 0.01
+    assert feats[2].rms == 0.0
+
+
 def test_real_decode_through_extract_features(spark):
     rows_a = [[(10, 20, 30), (40, 50, 60)]]          # 1x2
     rows_b = [[(0, 0, 0)], [(90, 90, 90)], [(255, 255, 255)]]  # 3x1
