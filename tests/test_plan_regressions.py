@@ -358,6 +358,24 @@ def test_embedding_near_dup_exact_flag_restores_baseline(spark, sf_dir):
     assert len(default) > 0
 
 
+def test_boilerplate_removal_is_broadcast_anti_join(spark, sf_dir):
+    """The template set is heavy-hitter sized by construction, so the
+    removal join must broadcast it (left-anti hash join) — the corpus is
+    never re-shuffled for the filter."""
+    p = plan_of(spark, sf_dir, "strip_boilerplate_chunks")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_novelty_curve_is_two_gram_shuffles(spark, sf_dir):
+    """first-occurrence via min(doc_id) must partial-aggregate before
+    its exchange; nothing pairwise, no corpus sort."""
+    p = plan_of(spark, sf_dir, "ngram_novelty_curve")
+    assert "partial_min" in p  # map-side combine on the gram groupBy
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_equidepth_default_has_no_global_value_sort(spark, sf_dir):
     """Round-3 contract: the default equi-depth plan derives decile
     boundaries from the <=128-row mergeable histogram — no ntile, no
