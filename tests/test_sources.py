@@ -139,6 +139,48 @@ def test_real_wav_through_extract_audio_features(spark):
     assert feats[2].rms == 0.0
 
 
+from hypothesis import given, settings, strategies as st
+
+_px = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+@given(
+    st.integers(1, 7), st.integers(1, 7), st.data()
+)
+@settings(max_examples=60, deadline=None)
+def test_image_decoders_property(width, height, data):
+    rows = [
+        [data.draw(_px) for _ in range(width)] for _ in range(height)
+    ]
+    total = sum(v for row in rows for px in row for v in px)
+    want = round(total / (width * height * 3), 6)
+    for blob in (_ppm_p6(width, height, rows), _bmp24(width, height, rows)):
+        f = decode_image(blob)
+        assert (f["width"], f["height"]) == (width, height)
+        assert f["mean_lum"] == want  # exercises BMP stride padding paths
+
+
+@given(
+    st.sampled_from([8000, 22050, 44100]),
+    st.integers(1, 2),
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decoder_property(rate, channels, samples):
+    from kafka_stream_spark.operators.multimodal import decode_audio
+
+    frames = [tuple(samples[i:i + channels].copy() + [0] * (channels - len(samples[i:i + channels])))
+              for i in range(0, len(samples), channels)]
+    f = decode_audio(_wav(rate, channels, 16, frames))
+    assert f["sample_rate"] == rate and f["channels"] == channels
+    assert f["n_frames"] == len(frames)
+    flat = [s for fr in frames for s in fr]
+    want = round((sum(s * s for s in flat) / len(flat)) ** 0.5 / 32768.0, 6)
+    assert f["rms"] == want
+
+
 def test_real_decode_through_extract_features(spark):
     rows_a = [[(10, 20, 30), (40, 50, 60)]]          # 1x2
     rows_b = [[(0, 0, 0)], [(90, 90, 90)], [(255, 255, 255)]]  # 3x1
