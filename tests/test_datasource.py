@@ -1,0 +1,175 @@
+"""`kstopic` Python Data Source: batch reads with offset ranges and
+per-partition slices, offset-tracked streaming with checkpoint resume,
+startingOffsets modes, and maxOffsetsPerTrigger admission control."""
+
+import json
+import time
+
+import pytest
+import pyspark.sql.functions as F
+
+from kafka_stream_spark.sources.datasource import register
+from kafka_stream_spark.sources.topics import FileTopic
+
+
+@pytest.fixture()
+def topic(spark, tmp_path):
+    register(spark)
+    t = FileTopic(spark, str(tmp_path / "topics"), "ds_events", partitions=3)
+    df = spark.createDataFrame(
+        [(f"k{i % 5}".encode(), f"v{i}".encode()) for i in range(20)],
+        "key binary, value binary",
+    )
+    t.append(df)
+    return t
+
+
+def _load(spark, t, **opts):
+    r = spark.read.format("kstopic").option("root",
+                                            t.path.rsplit("/", 1)[0]) \
+        .option("topic", t.name)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_matches_filetopic(spark, topic):
+    got = _load(spark, topic).collect()
+    want = topic.read().collect()
+    assert len(got) == len(want) == 20
+    assert sorted(bytes(r.value) for r in got) == \
+        sorted(bytes(r.value) for r in want)
+    # record contract columns and per-partition dense offsets
+    assert set(got[0].asDict()) == {
+        "key", "value", "topic", "partition", "offset", "timestamp"}
+    for p in {r.partition for r in got}:
+        offs = sorted(r.offset for r in got if r.partition == p)
+        assert offs == list(range(len(offs)))
+
+
+def test_batch_offset_range_options(spark, topic):
+    ends = {r.partition: r.offset + 1
+            for r in topic.read().groupBy("partition")
+            .agg(F.max("offset").alias("offset")).collect()}
+    # skip the first record of every partition
+    starts = json.dumps({str(p): 1 for p in ends})
+    got = _load(spark, topic, startingOffsets=starts).collect()
+    assert len(got) == 20 - len(ends)
+    assert all(r.offset >= 1 for r in got)
+    # bounded end: only offset 0 of each partition
+    stops = json.dumps({str(p): 1 for p in ends})
+    got0 = _load(spark, topic, endingOffsets=stops).collect()
+    assert len(got0) == len(ends)
+    assert all(r.offset == 0 for r in got0)
+
+
+def test_batch_empty_topic(spark, tmp_path):
+    register(spark)
+    t = FileTopic(spark, str(tmp_path / "topics"), "ds_none")
+    assert _load(spark, t).collect() == []
+
+
+def test_stream_resumes_from_checkpoint(spark, topic, tmp_path):
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("kstopic")
+            .option("root", topic.path.rsplit("/", 1)[0])
+            .option("topic", topic.name)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 20
+    # new appends after the checkpoint: only the delta is re-read
+    topic.append(spark.createDataFrame(
+        [(b"k9", f"n{i}".encode()) for i in range(7)],
+        "key binary, value binary"))
+    run_once()
+    again = spark.read.parquet(out).collect()
+    assert len(again) == 27  # 20 + 7, no duplicates
+    vals = sorted(bytes(r.value) for r in again)
+    assert vals == sorted(
+        bytes(r.value) for r in topic.read().collect())
+
+
+def test_stream_starting_latest_skips_history(spark, topic, tmp_path):
+    ckpt, out = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("kstopic")
+        .option("root", topic.path.rsplit("/", 1)[0])
+        .option("topic", topic.name)
+        .option("startingOffsets", "latest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_max_offsets_per_trigger_batches(spark, topic, tmp_path):
+    # the first batch is an uncapped catch-up (documented: the Python
+    # source API's latestOffset carries no start, so a capped first
+    # batch could rewind across restarts); the cap holds from then on.
+    # Drain the initial 20, then append 18 more and watch them arrive
+    # in ≤6-offset batches, never duplicated.
+    import os as _os
+
+    ckpt, out = str(tmp_path / "ck3"), str(tmp_path / "out3")
+    q = (
+        spark.readStream.format("kstopic")
+        .option("root", topic.path.rsplit("/", 1)[0])
+        .option("topic", topic.name)
+        .option("maxOffsetsPerTrigger", "6")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds").start()
+    )
+
+    def wait_count(n, secs=120):
+        deadline = time.monotonic() + secs
+        while time.monotonic() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            time.sleep(0.5)
+
+    try:
+        wait_count(20)
+        topic.append(spark.createDataFrame(
+            [(f"k{i % 5}".encode(), f"x{i}".encode()) for i in range(18)],
+            "key binary, value binary"))
+        wait_count(38)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 38  # no loss, no duplicates
+    assert len({(r.partition, r.offset) for r in rows}) == 38
+    # reconstruct per-batch admitted offsets from the checkpoint log:
+    # after the catch-up batch, every batch admits ≤6 new offsets and
+    # the 18-record append takes ≥3 batches
+    offs_dir = f"{ckpt}/offsets"
+    ends = []
+    for s in sorted(int(f) for f in _os.listdir(offs_dir)
+                    if not f.startswith(".")):
+        last = open(f"{offs_dir}/{s}").read().strip().splitlines()[-1]
+        d = json.loads(last)
+        if isinstance(d, str):
+            d = json.loads(d)
+        ends.append(sum(int(v) for v in d.values()))
+    drained = [b - a for a, b in zip(ends, ends[1:])]
+    assert all(d <= 6 for d in drained)
+    assert sum(1 for d in drained if d > 0) >= 3
