@@ -1079,6 +1079,7 @@ _SEM_THRESHOLD = 0.35
 
 @query(
     "decontaminate_semantic",
+    bench=True,
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     b AS (SELECT vec_id AS bid, e AS be FROM v WHERE vec_id < {_SEM_BENCH_N}),
@@ -1171,6 +1172,7 @@ _NOV_BUCKET = 50  # docs per ingestion-order bucket in the curve
 
 @query(
     "ngram_novelty_curve",
+    bench=True,
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1210,11 +1212,14 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     data teams read before paying for more crawl: novelty_rate falling
     toward the duplication floor means new data is mostly old text).
 
-    Scale shape: one gram-keyed groupBy for global first-occurrence
-    (min(doc_id), map-side combinable) + one gram-keyed equi-join back
-    to per-doc gram sets + one doc-bucket rollup — the same two-shuffle
-    envelope as decontaminate_documents; nothing pairwise, nothing
-    ordered (ingestion order is data, not a sort: doc_id IS the order).
+    Scale shape: the per-doc novel count never joins the corpus-sized
+    gram table back to itself — ``first_seen`` (one row per DISTINCT
+    gram) aggregates by its ``first_doc`` and the per-doc totals
+    aggregate the gram table directly, so after the two unavoidable
+    gram-keyed shuffles (distinct, min-by-gram) everything in flight is
+    doc-sized partial aggregates; the doc-level join broadcasts under
+    AQE. Nothing pairwise, nothing ordered (ingestion order is data,
+    not a sort: doc_id IS the order).
     """
     (documents,) = load(spark, sf_dir, "documents")
     ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -1228,15 +1233,14 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first_seen, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel_per_doc = first_seen.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("n_novel"))
+    grams_per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    per_doc = grams_per_doc.join(novel_per_doc, "doc_id", "left").select(
+        "doc_id", "n_grams", F.coalesce("n_novel", F.lit(0)).alias("n_novel")
     )
     return (
         per_doc.groupBy(

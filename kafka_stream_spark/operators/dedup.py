@@ -684,6 +684,7 @@ def boilerplate_chunk_set(documents: DataFrame) -> DataFrame:
 
 @query(
     "strip_boilerplate_chunks",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,

@@ -197,6 +197,7 @@ _ED_BINS = 128  # fixed-width pre-bins feeding the decile-boundary sketch
 
 @query(
     "equidepth_histogram_value",
+    bench=True,
     oracle=f"""
     WITH ext AS (
       SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events
