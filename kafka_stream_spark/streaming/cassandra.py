@@ -46,16 +46,42 @@ def file_cql_transport(directory: str):
     return send
 
 
-def _literal(df: DataFrame, col: str):
-    """Render a column as a CQL literal, JVM-side: numbers/booleans bare,
-    timestamps ISO-quoted, strings quoted with '' escaping."""
+def _literal(df: DataFrame, col: str, ts_style: str = "cql"):
+    """Render a column as a SQL literal, JVM-side: numbers/booleans bare,
+    timestamps instant-preserving (see below), strings quoted with ''
+    escaping.
+
+    ``ts_style`` picks the dialect's timestamp literal:
+    - ``"cql"``: ``'…T….SSS+0000'`` — a zoneless CQL literal is read in
+      the COORDINATOR's timezone, so the zone must be explicit;
+    - ``"utc_naive"``: ``'yyyy-MM-dd HH:mm:ss.SSS'`` in UTC digits with
+      no suffix — Impala/Kudu and VoltDB TIMESTAMPs carry no zone and
+      store UTC by convention, and neither parser accepts ``+0000``.
+    Both convert the instant to UTC first; plain date_format would
+    render session-TZ wall-clock (the Mongo $date sink's bug class).
+    """
     t = df.schema[col].dataType
     if isinstance(t, (NumericType, BooleanType)):
         return F.col(col).cast("string")
-    if isinstance(t, (TimestampType, TimestampNTZType)):
+    if isinstance(t, TimestampType):
+        utc = F.to_utc_timestamp(F.col(col), F.expr("current_timezone()"))
+        if ts_style == "cql":
+            return F.concat(
+                F.lit("'"),
+                F.date_format(utc, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+                F.lit("+0000'"),
+            )
         return F.concat(
             F.lit("'"),
-            F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            F.date_format(utc, "yyyy-MM-dd HH:mm:ss.SSS"),
+            F.lit("'"),
+        )
+    if isinstance(t, TimestampNTZType):
+        # NTZ carries no instant: emit the wall-clock digits unchanged
+        sep = "'T'" if ts_style == "cql" else " "
+        return F.concat(
+            F.lit("'"),
+            F.date_format(col, f"yyyy-MM-dd{sep}HH:mm:ss.SSS"),
             F.lit("'"),
         )
     return F.concat(

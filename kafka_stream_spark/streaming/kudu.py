@@ -64,7 +64,7 @@ def render_row_ops(
     verb = "UPSERT" if upsert else "INSERT"
     stmt = F.concat(
         F.lit(f"{verb} INTO {table} ({', '.join(cols)}) VALUES ("),
-        F.concat_ws(", ", *[_literal(df, c) for c in cols]),
+        F.concat_ws(", ", *[_literal(df, c, ts_style="utc_naive") for c in cols]),
         F.lit(");"),
     )
     dcols = distribute_cols or pk_cols

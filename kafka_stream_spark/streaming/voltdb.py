@@ -43,7 +43,7 @@ def render_proc_calls(
     proc = f"{table}.{'upsert' if upsert else 'insert'}"
     stmt = F.concat(
         F.lit(f"exec {proc} "),
-        F.concat_ws(", ", *[_literal(df, c) for c in df.columns]),
+        F.concat_ws(", ", *[_literal(df, c, ts_style="utc_naive") for c in df.columns]),
         F.lit(";"),
     )
     return df.select(

@@ -48,7 +48,26 @@ def test_render_inserts_ttl_and_timestamp(spark):
         [(1, datetime.datetime(2026, 3, 1, 12, 30, 0))], "k long, ts timestamp"
     )
     row = render_inserts(tdf, "ks", "t", ["k"]).collect()[0]
-    assert "'2026-03-01T12:30:00.000'" in row.cql
+    assert "'2026-03-01T12:30:00.000+0000'" in row.cql
+
+
+def test_render_timestamp_instant_survives_session_tz(spark):
+    # the rendered literal must name the INSTANT (UTC + explicit zone),
+    # not the session wall-clock — the Mongo $date bug class
+    import datetime
+
+    tdf = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 3, 1, 12, 30, 0,
+                               tzinfo=datetime.timezone.utc))],
+        "k long, ts timestamp",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        row = render_inserts(tdf, "ks", "t", ["k"]).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert "'2026-03-01T12:30:00.000+0000'" in row.cql
 
 
 def test_render_inserts_rejects_unknown_pk(spark):
