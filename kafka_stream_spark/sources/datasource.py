@@ -93,9 +93,12 @@ def _end_offsets(path: str) -> dict[int, int]:
 
 
 def _read_slice(sl: _Slice):
-    """Executor-side scan of one partition's offset range. The dataset
-    filter reaches parquet row-group statistics, so files/row-groups
-    wholly outside (partition, offset-range) are skipped unread."""
+    """Executor-side scan of one partition's offset range, yielded as
+    Arrow RecordBatches (the read API's zero-copy fast path — no
+    per-row Python objects). The dataset filter reaches parquet
+    row-group statistics, so files/row-groups wholly outside
+    (partition, offset-range) are skipped unread."""
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     if not os.path.isdir(sl.path):
@@ -108,19 +111,21 @@ def _read_slice(sl: _Slice):
         (ds.field("offset") >= sl.start)
     if sl.end >= 0:
         f = f & (ds.field("offset") < sl.end)
-    tbl = ds.dataset(files, format="parquet").to_table(filter=f)
-    cols = [tbl[c].to_pylist() for c in
-            ("key", "value", "topic", "partition", "offset", "timestamp")]
+    tbl = ds.dataset(files, format="parquet").to_table(
+        filter=f,
+        columns=["key", "value", "topic", "partition", "offset", "timestamp"],
+    )
     # Spark's arrow bridge wants tz-aware instants for TimestampType;
-    # pyarrow hands back naive datetimes when the file lacks a tz
-    from datetime import timezone
-
-    cols[5] = [
-        t if t is None or t.tzinfo is not None
-        else t.replace(tzinfo=timezone.utc)
-        for t in cols[5]
-    ]
-    yield from zip(*cols)
+    # a cast fixes files written without one (naive micros == UTC here)
+    target = pa.schema([
+        pa.field("key", pa.binary()),
+        pa.field("value", pa.binary()),
+        pa.field("topic", pa.string()),
+        pa.field("partition", pa.int32()),
+        pa.field("offset", pa.int64()),
+        pa.field("timestamp", pa.timestamp("us", tz="UTC")),
+    ])
+    yield from tbl.cast(target).to_batches()
 
 
 def _parse_offsets(raw: str | None, ends: dict[int, int],
