@@ -94,6 +94,10 @@ class PipelineRegistry:
 
     def _build_source(self, src: dict) -> DataFrame:
         fmt = src["format"]
+        if fmt == "kstopic":  # engine topic source: register on demand
+            from kafka_stream_spark.sources.datasource import register
+
+            register(self.spark)
         reader = self.spark.readStream.format(fmt)
         for k, v in (src.get("options") or {}).items():
             reader = reader.option(k, v)

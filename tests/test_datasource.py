@@ -173,3 +173,30 @@ def test_max_offsets_per_trigger_batches(spark, topic, tmp_path):
     drained = [b - a for a, b in zip(ends, ends[1:])]
     assert all(d <= 6 for d in drained)
     assert sum(1 for d in drained if d > 0) >= 3
+
+
+def test_pipeline_spec_with_kstopic_source(spark, topic, tmp_path):
+    # Connect-style pipeline spec reading the engine topic through the
+    # kstopic source, KCQL projection, memory sink
+    from kafka_stream_spark.streaming.pipelines import PipelineRegistry
+
+    reg = PipelineRegistry(spark)
+    p = reg.start({
+        "name": "kstopic_pipe",
+        "source": {
+            "format": "kstopic",
+            "options": {"root": topic.path.rsplit("/", 1)[0],
+                        "topic": topic.name},
+        },
+        "transform": lambda df: df.selectExpr(
+            "partition", "offset", "cast(value as string) AS v"),
+        "sink": {"format": "memory", "table": "kstopic_out"},
+        "trigger": {"availableNow": True},
+        "checkpoint": str(tmp_path / "ck_pipe"),
+    })
+    p.query.awaitTermination(120)
+    rows = spark.sql("select * from kstopic_out").collect()
+    assert len(rows) == 20
+    assert sorted(r.v for r in rows) == sorted(
+        f"v{i}" for i in range(20))
+    reg.delete("kstopic_pipe")
