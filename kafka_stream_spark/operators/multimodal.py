@@ -132,14 +132,135 @@ def _decode_bmp(content: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(content: bytes) -> dict:
+    """PNG decoder (RFC 2083) on nothing but stdlib zlib: 8-bit
+    greyscale (type 0), RGB (2), grey+alpha (4) and RGBA (6),
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth), IDAT split across any number of chunks. mean_lum averages
+    the color samples, alpha excluded; ``channels`` reports samples
+    per pixel as stored (so RGBA = 4)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        clen, ctype = _struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                _struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color not in (0, 2, 4, 6):
+                raise NotImplementedError(f"PNG color type {color}")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG")
+            spp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _zlib.decompress(bytes(idat))
+    stride = width * spp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    has_alpha = spp in (2, 4)
+    color_spp = spp - (1 if has_alpha else 0)
+    prev = bytearray(stride)
+    total = 0
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(spp, stride):
+                line[i] = (line[i] + line[i - spp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - spp] if i >= spp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - spp] if i >= spp else 0
+                ul = prev[i - spp] if i >= spp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype}")
+        if has_alpha:
+            for px in range(width):
+                total += sum(line[px * spp : px * spp + color_spp])
+        else:
+            total += sum(line)
+        prev = line
+    n = width * height * color_spp
+    return {
+        "width": width,
+        "height": height,
+        "channels": spp,
+        "mean_lum": round(total / n, 6),
+    }
+
+
+def encode_png(pixels: list[list[tuple]], color_type: int = 2) -> bytes:
+    """Minimal PNG writer (filter 0 rows, one IDAT) so tests and demo
+    corpora can synthesize REAL files for the decoder without an
+    imaging library. ``pixels`` is rows of per-pixel sample tuples."""
+    import struct as _struct
+    import zlib as _zlib
+
+    spp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    height, width = len(pixels), len(pixels[0])
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (_struct.pack(">I", len(body)) + ctype + body
+                + _struct.pack(">I", _zlib.crc32(ctype + body)))
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    for row in pixels:
+        raw.append(0)  # filter: None
+        for px in row:
+            raw += bytes(px[:spp])
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Decode an image payload → {width, height, channels, mean_lum}.
 
-    Real, dependency-free decoders ship for PPM (P6/P3) and uncompressed
-    24/32-bit BMP — enough to exercise true pixel decoding end-to-end
-    through ``extract_features``. Other formats (PNG/JPEG/…) need a
-    codec library this container lacks and raise ``NotImplementedError``
-    (a real library drops into this dispatch without touching the plan).
+    Real, dependency-free decoders ship for PPM (P6/P3), uncompressed
+    24/32-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib; all five
+    scanline filters) — enough to exercise true pixel decoding
+    end-to-end through ``extract_features``. Other formats (JPEG/…)
+    need a codec library this container lacks and raise
+    ``NotImplementedError`` (a real library drops into this dispatch
+    without touching the plan).
     ``fake=True`` derives deterministic pseudo-dimensions from the byte
     length — the mode the synthetic-corpus oracle uses.
     """
@@ -150,9 +271,11 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:8] == _PNG_SIG:
+        return _decode_png(content)
     raise NotImplementedError(
-        "unsupported image format (PPM/BMP decode natively; others need "
-        "an imaging library — plumbing: extract_features/mapInPandas)"
+        "unsupported image format (PPM/BMP/PNG decode natively; others "
+        "need an imaging library — plumbing: extract_features/mapInPandas)"
     )
 
 

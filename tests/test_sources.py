@@ -404,3 +404,139 @@ def test_socket_source_streams_lines(spark, tmp_path):
     vals = {bytes(r.value).decode() for r in rows}
     assert {"alpha", "beta", "gamma"} <= vals
     assert all(r.topic == "net" for r in rows)
+
+
+# -- PNG decoder (RFC 2083; stdlib zlib only) ------------------------------
+
+def _png_raw(width, height, color_type, rows_filtered):
+    """Hand-assemble a PNG whose IDAT carries the given pre-filtered
+    scanlines (each: filter byte + filtered samples)."""
+    import struct, zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(rows_filtered)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_rgb_roundtrip_via_encoder():
+    from kafka_stream_spark.operators.multimodal import encode_png
+
+    rows = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+    f = decode_image(encode_png(rows, color_type=2))
+    total = sum(v for r in rows for px in r for v in px)
+    assert f == {"width": 2, "height": 2, "channels": 3,
+                 "mean_lum": round(total / 12, 6)}
+
+
+def test_png_gray_and_alpha_types():
+    from kafka_stream_spark.operators.multimodal import encode_png
+
+    g = decode_image(encode_png([[(100,), (200,)]], color_type=0))
+    assert g == {"width": 2, "height": 1, "channels": 1, "mean_lum": 150.0}
+    # RGBA: alpha excluded from luminance, channels reported as stored
+    rgba = decode_image(encode_png(
+        [[(10, 20, 30, 255), (40, 50, 60, 0)]], color_type=6))
+    assert rgba["channels"] == 4
+    assert rgba["mean_lum"] == round((10 + 20 + 30 + 40 + 50 + 60) / 6, 6)
+    # grey+alpha
+    ga = decode_image(encode_png([[(100, 255), (200, 0)]], color_type=4))
+    assert ga["channels"] == 2 and ga["mean_lum"] == 150.0
+
+
+def test_png_all_five_filters_decode():
+    # 3 rows x 2 px RGB, target (unfiltered) samples per row:
+    r0 = [10, 20, 30, 13, 25, 37]
+    r1 = [20, 30, 40, 23, 35, 47]
+    r2 = [25, 34, 43, 28, 39, 50]
+    # row0: Sub   -> filt[i] = raw[i] - raw[i-3]
+    f0 = bytes([1]) + bytes([10, 20, 30, (13 - 10), (25 - 20), (37 - 30)])
+    # row1: Up    -> filt[i] = raw[i] - prev[i]
+    f1 = bytes([2]) + bytes([(a - b) & 0xFF for a, b in zip(r1, r0)])
+    # row2: Average -> filt[i] = raw[i] - (left + up)//2
+    av = []
+    for i in range(6):
+        left = r2[i - 3] if i >= 3 else 0
+        av.append((r2[i] - ((left + r1[i]) >> 1)) & 0xFF)
+    f2 = bytes([3]) + bytes(av)
+    blob = _png_raw(2, 3, 2, [f0, f1, f2])
+    f = decode_image(blob)
+    total = sum(r0) + sum(r1) + sum(r2)
+    assert f["mean_lum"] == round(total / 18, 6)
+    # Paeth + None over a 2-row image
+    p0 = bytes([0]) + bytes(r0)
+    pa = []
+    from kafka_stream_spark.operators.multimodal import _paeth
+    for i in range(6):
+        left = r1[i - 3] if i >= 3 else 0
+        ul = r0[i - 3] if i >= 3 else 0
+        pa.append((r1[i] - _paeth(left, r0[i], ul)) & 0xFF)
+    p1 = bytes([4]) + bytes(pa)
+    f2b = decode_image(_png_raw(2, 2, 2, [p0, p1]))
+    assert f2b["mean_lum"] == round((sum(r0) + sum(r1)) / 12, 6)
+
+
+def test_png_multi_idat_chunks():
+    import struct, zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    z = zlib.compress(bytes([0, 1, 2, 3, 4, 5, 6]))
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", z[:5]) + chunk(b"IDAT", z[5:])
+            + chunk(b"IEND", b""))
+    f = decode_image(blob)
+    assert (f["width"], f["height"]) == (2, 1)
+    assert f["mean_lum"] == round(21 / 6, 6)
+
+
+def test_png_rejects_unsupported_shapes():
+    from kafka_stream_spark.operators.multimodal import encode_png
+    import struct, zlib
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\njunk")
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)))
+    with pytest.raises(NotImplementedError):
+        decode_image(interlaced)
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)))
+    with pytest.raises(NotImplementedError):
+        decode_image(deep)
+
+
+@given(st.integers(1, 6), st.integers(1, 6), st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_decoder_property(width, height, data):
+    from kafka_stream_spark.operators.multimodal import encode_png
+
+    rows = [[data.draw(_px) for _ in range(width)] for _ in range(height)]
+    f = decode_image(encode_png(rows, color_type=2))
+    total = sum(v for row in rows for px in row for v in px)
+    assert (f["width"], f["height"], f["channels"]) == (width, height, 3)
+    assert f["mean_lum"] == round(total / (width * height * 3), 6)
+
+
+def test_png_through_extract_features(spark):
+    from kafka_stream_spark.operators.multimodal import (
+        encode_png, extract_features, MEDIA_SCHEMA)
+
+    blob = encode_png([[(9, 18, 27), (36, 45, 54)]], color_type=2)
+    media = spark.createDataFrame([(1, "image", bytearray(blob))],
+                                  MEDIA_SCHEMA)
+    row = extract_features(media, fake_decode=False).collect()[0]
+    assert (row.width, row.height, row.channels) == (2, 1, 3)
+    assert row.mean_lum == round((9 + 18 + 27 + 36 + 45 + 54) / 6, 6)
