@@ -540,3 +540,67 @@ def test_png_through_extract_features(spark):
     row = extract_features(media, fake_decode=False).collect()[0]
     assert (row.width, row.height, row.channels) == (2, 1, 3)
     assert row.mean_lum == round((9 + 18 + 27 + 36 + 45 + 54) / 6, 6)
+
+
+# -- Y4M video decoder -----------------------------------------------------
+
+def test_y4m_roundtrip_and_metadata():
+    from kafka_stream_spark.operators.multimodal import decode_video, encode_y4m
+
+    f0 = [[10, 20], [30, 40]]
+    f1 = [[50, 60], [70, 80]]
+    v = decode_video(encode_y4m([f0, f1], fps=(30, 1)))
+    assert (v["width"], v["height"], v["fps"], v["n_frames"]) == (2, 2, 30.0, 2)
+    assert v["frame_lumas"] == [25.0, 65.0]
+
+
+def test_y4m_chroma_layouts():
+    from kafka_stream_spark.operators.multimodal import decode_video, encode_y4m
+
+    frames = [[[100] * 4] * 4]
+    for chroma in ("C420", "C422", "C444", "Cmono", "C420jpeg"):
+        v = decode_video(encode_y4m(frames, chroma=chroma))
+        assert v["n_frames"] == 1 and v["frame_lumas"] == [100.0]
+
+
+def test_y4m_rejects_compressed_and_truncated():
+    from kafka_stream_spark.operators.multimodal import decode_video, encode_y4m
+
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42...")  # mp4 needs a codec
+    blob = encode_y4m([[[1, 2], [3, 4]]])
+    with pytest.raises(ValueError):
+        decode_video(blob[:-3])  # truncated frame
+
+
+@given(st.integers(2, 6), st.integers(2, 6), st.integers(1, 4), st.data())
+@settings(max_examples=30, deadline=None)
+def test_y4m_decoder_property(width, height, n_frames, data):
+    from kafka_stream_spark.operators.multimodal import decode_video, encode_y4m
+
+    width, height = width * 2, height * 2  # C420 needs even dims
+    frames = [
+        [[data.draw(st.integers(0, 255)) for _ in range(width)]
+         for _ in range(height)]
+        for _ in range(n_frames)
+    ]
+    v = decode_video(encode_y4m(frames))
+    assert v["n_frames"] == n_frames
+    for fr, got in zip(frames, v["frame_lumas"]):
+        total = sum(sum(r) for r in fr)
+        assert got == round(total / (width * height), 6)
+
+
+def test_sample_video_frames_spark(spark):
+    from kafka_stream_spark.operators.multimodal import (
+        encode_y4m, sample_video_frames, MEDIA_SCHEMA)
+
+    frames = [[[i * 10 + 5] * 4] * 2 for i in range(7)]  # lumas 5,15,...,65
+    blob = encode_y4m(frames)
+    media = spark.createDataFrame([(3, "video", bytearray(blob))],
+                                  MEDIA_SCHEMA)
+    rows = sorted(sample_video_frames(media, stride=3).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.mean_luma) for r in rows] == [
+        (0, 5.0), (3, 35.0), (6, 65.0)]
+    assert all((r.width, r.height) == (4, 2) for r in rows)
