@@ -251,6 +251,204 @@ def encode_png(pixels: list[list[tuple]], color_type: int = 2) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec, Appendix F): variable code width
+    starting at min_code_size+1, CLEAR resets the table, EOI ends the
+    stream, widths grow after the table fills through 12 bits."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(1 << min_code_size)] + [[], []]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                next_code += 1
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """The matching encoder (for tests/synthesis): greedy longest-match,
+    emits CLEAR up front and EOI at the end, grows width with the
+    table, re-CLEARs at 12 bits."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        nonlocal table, width, next_code
+        table = {(i,): i for i in range(1 << min_code_size)}
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    table: dict[tuple, int] = {}
+    width = next_code = 0
+    reset()
+    emit(clear)
+    buf: tuple = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12):
+            emit(clear)
+            reset()
+        buf = (sym,)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(content: bytes) -> dict:
+    """GIF87a/89a decoder (the public GIF spec + Appendix F LZW):
+    global/local color tables, extension-block skipping, sub-block
+    de-blocking, first image frame only (animation frames after the
+    first are counted, not decoded). Interlaced rows don't change
+    luminance stats, so the row order is left as stored."""
+    import struct as _struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    sw, sh, flags, _bg, _ar = _struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = content[pos : pos + 3 * n]
+        pos += 3 * n
+    first: dict | None = None
+    n_frames = 0
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _x, _y, w, h, iflags = _struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = content[pos : pos + 3 * n]
+            pos += 3 * n
+        min_code = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos]:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if first is None:
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            total = sum(
+                ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2]
+                for i in idx[: w * h]
+            )
+            first = {
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "mean_lum": round(total / (w * h * 3), 6),
+            }
+    if first is None:
+        raise ValueError("GIF contains no image data")
+    return first
+
+
+def encode_gif(rgb_rows: list[list[tuple]]) -> bytes:
+    """Minimal GIF89a writer (palette built from the distinct colors,
+    ≤256; real LZW) so tests can synthesize true files."""
+    import struct as _struct
+
+    height, width = len(rgb_rows), len(rgb_rows[0])
+    palette: list[tuple] = sorted({px for row in rgb_rows for px in row})
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    depth = max(1, (len(palette) - 1).bit_length())
+    table_n = 1 << depth
+    lut = {c: i for i, c in enumerate(palette)}
+    indices = [lut[px] for row in rgb_rows for px in row]
+    min_code = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    for c in palette:
+        out += bytes(c)
+    out += bytes(3 * (table_n - len(palette)))
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(min_code)
+    lzw = _lzw_encode(indices, min_code)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Decode an image payload → {width, height, channels, mean_lum}.
 
@@ -273,9 +471,12 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
         return _decode_bmp(content)
     if content[:8] == _PNG_SIG:
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     raise NotImplementedError(
-        "unsupported image format (PPM/BMP/PNG decode natively; others "
-        "need an imaging library — plumbing: extract_features/mapInPandas)"
+        "unsupported image format (PPM/BMP/PNG/GIF decode natively; "
+        "others need an imaging library — plumbing: "
+        "extract_features/mapInPandas)"
     )
 
 

@@ -604,3 +604,73 @@ def test_sample_video_frames_spark(spark):
     assert [(r.frame_idx, r.mean_luma) for r in rows] == [
         (0, 5.0), (3, 35.0), (6, 65.0)]
     assert all((r.width, r.height) == (4, 2) for r in rows)
+
+
+# -- GIF decoder (GIF89a + Appendix F LZW) ---------------------------------
+
+def test_gif_roundtrip_via_encoder():
+    from kafka_stream_spark.operators.multimodal import encode_gif
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    f = decode_image(encode_gif(rows))
+    total = sum(v for r in rows for px in r for v in px)
+    assert f == {"width": 2, "height": 2, "channels": 3,
+                 "mean_lum": round(total / 12, 6)}
+
+
+def test_gif_known_bytes_minimal():
+    # hand-assembled 1x1 white GIF87a with a 2-entry table:
+    # LZW (min_code=2): CLEAR(100b), index 1(001b... width 3), EOI(101b)
+    import struct
+    blob = bytearray(b"GIF87a")
+    blob += struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)  # GCT, 2 entries
+    blob += bytes((0, 0, 0)) + bytes((255, 255, 255))
+    blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+    blob += bytes([2])  # min code size
+    # codes: clear=4 (100), pixel=1 (001), eoi=5 (101), 3-bit LSB packing
+    stream = 0b101_001_100
+    blob += bytes([2, stream & 0xFF, stream >> 8, 0x00])
+    blob += b"\x3b"
+    f = decode_image(bytes(blob))
+    assert f == {"width": 1, "height": 1, "channels": 3, "mean_lum": 255.0}
+
+
+def test_gif_skips_extensions_counts_frames():
+    from kafka_stream_spark.operators.multimodal import encode_gif, _decode_gif
+
+    base = bytearray(encode_gif([[(1, 2, 3)]]))
+    # splice a graphic-control extension before the image descriptor
+    img_at = base.index(0x2C, 6)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    blob = bytes(base[:img_at]) + ext + bytes(base[img_at:])
+    f = decode_image(blob)
+    assert (f["width"], f["height"]) == (1, 1)
+
+
+@given(st.integers(1, 8), st.integers(1, 8), st.data())
+@settings(max_examples=30, deadline=None)
+def test_gif_decoder_property(width, height, data):
+    from kafka_stream_spark.operators.multimodal import encode_gif
+
+    few_colors = st.sampled_from(
+        [(0, 0, 0), (255, 255, 255), (10, 200, 30), (128, 128, 128),
+         (200, 10, 10), (1, 2, 3), (250, 251, 252), (77, 88, 99)])
+    rows = [[data.draw(few_colors) for _ in range(width)]
+            for _ in range(height)]
+    f = decode_image(encode_gif(rows))
+    total = sum(v for r in rows for px in r for v in px)
+    assert (f["width"], f["height"]) == (width, height)
+    assert f["mean_lum"] == round(total / (width * height * 3), 6)
+
+
+def test_gif_lzw_width_growth_large_image():
+    from kafka_stream_spark.operators.multimodal import encode_gif
+
+    # 64x64 with 256 distinct colors forces LZW code-width growth
+    rows = [[(x * 4 % 256, y * 4 % 256, (x + y) % 256) for x in range(64)]
+            for y in range(64)]
+    # cap distinct colors at 256 by quantizing
+    rows = [[(px[0] & 0xF0, px[1] & 0xF0, 0) for px in row] for row in rows]
+    f = decode_image(encode_gif(rows))
+    total = sum(v for r in rows for px in r for v in px)
+    assert f["mean_lum"] == round(total / (64 * 64 * 3), 6)
