@@ -225,3 +225,107 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(_LP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative peeling, exactly verifiable
+# ---------------------------------------------------------------------------
+
+_KC_K = 2        # keep nodes with in-core degree >= K
+_KC_ITERS = 8    # bounded peel rounds; reaches the true fixpoint at the
+                 # test SFs (asserted in tests/test_graph_rank.py)
+_KC_TOPK = 25
+_KC_MIN_W = 2    # edge = parts co-occurring in >= this many orders
+
+
+def _kc_duck_iter(i: int) -> str:
+    """One peel round: survivors = nodes whose degree over edges with
+    BOTH endpoints surviving stays >= K. MATERIALIZED stops DuckDB
+    inlining the chain into 2^i scans (NOTES sharp edge: plain CTEs)."""
+    return f"""
+    nodes{i} AS MATERIALIZED (
+      SELECT e.src AS part
+      FROM edges e
+      JOIN nodes{i - 1} a ON a.part = e.src
+      JOIN nodes{i - 1} b ON b.part = e.dst
+      GROUP BY e.src
+      HAVING count(*) >= {_KC_K}
+    )"""
+
+
+@query(
+    "kcore_parts",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY src, dst
+      HAVING count(*) >= {_KC_MIN_W}
+    ),
+    nodes0 AS MATERIALIZED (SELECT DISTINCT src AS part FROM edges),
+    {",".join(_kc_duck_iter(i) for i in range(1, _KC_ITERS + 1))}
+    SELECT e.src AS l_partkey, CAST(count(*) AS BIGINT) AS core_deg
+    FROM edges e
+    JOIN nodes{_KC_ITERS} a ON a.part = e.src
+    JOIN nodes{_KC_ITERS} b ON b.part = e.dst
+    GROUP BY e.src
+    ORDER BY core_deg DESC, l_partkey
+    LIMIT {_KC_TOPK}
+    """,
+    description=(
+        f"{_KC_K}-core of the weighted part co-occurrence graph "
+        f"(edges = pairs sharing >= {_KC_MIN_W} orders): {_KC_ITERS} "
+        "synchronous peel rounds — the cluster-quality filter shape "
+        "(nodes outside the core are weakly-attached noise), exactly "
+        "oracle-checked via unrolled MATERIALIZED CTEs"
+    ),
+)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-core peeling. Per round: restrict edges to
+    surviving endpoints (two semi-join-shaped hash joins on the part
+    key; the survivor set is |parts|-sized so AQE broadcasts it),
+    recount degrees with map-side combine, keep nodes >= K.
+    localCheckpoint keeps the plan linear in rounds (sharp edge #10).
+    Bounded iteration like pagerank_parts: {_KC_ITERS} rounds reach
+    the true fixpoint at the verified SFs; at larger scale the bound
+    caps the cost and yields a supergraph of the true core.
+
+    Reference framing: the curation-side use is dedup/community
+    cluster QUALITY — cores survive, weakly-attached tendrils drop
+    (same graph as part_cooccurrence_lift / pagerank_parts).
+    """
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= _KC_MIN_W)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("part")).distinct()
+    for _ in range(_KC_ITERS):
+        nodes = (
+            edges.join(nodes.select(F.col("part").alias("src")), "src")
+            .join(nodes.select(F.col("part").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= _KC_K)
+            .select(F.col("src").alias("part"))
+            .localCheckpoint()
+        )
+    return (
+        edges.join(nodes.select(F.col("part").alias("src")), "src")
+        .join(nodes.select(F.col("part").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .select(F.col("src").alias("l_partkey"), "core_deg")
+        .orderBy(F.desc("core_deg"), "l_partkey")
+        .limit(_KC_TOPK)
+    )
