@@ -96,3 +96,34 @@ class Engine:
             registry=self.schemas,
         )
         return RestProxyServer(p, port=port).start()
+
+    def topic_df(self, name: str, **options) -> DataFrame:
+        """Batch topic scan through the ``kstopic`` data source — the
+        offset-addressed read path (startingOffsets / endingOffsets
+        JSON accepted as options), partition-pruned via parquet
+        row-group stats rather than a whole-directory read."""
+        if self._topic_root is None:
+            raise ValueError("Engine(topic_root=...) required for topics")
+        from kafka_stream_spark.sources.datasource import register
+
+        register(self.spark)
+        r = (self.spark.read.format("kstopic")
+             .option("root", self._topic_root).option("topic", name))
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def topic_stream(self, name: str, **options) -> DataFrame:
+        """Streaming subscribe through ``kstopic``: Kafka-source offset
+        contract (checkpointed per-partition ranges, startingOffsets,
+        maxOffsetsPerTrigger admission control)."""
+        if self._topic_root is None:
+            raise ValueError("Engine(topic_root=...) required for topics")
+        from kafka_stream_spark.sources.datasource import register
+
+        register(self.spark)
+        r = (self.spark.readStream.format("kstopic")
+             .option("root", self._topic_root).option("topic", name))
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r.load()

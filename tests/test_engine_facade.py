@@ -76,3 +76,20 @@ def test_proxy_surface(eng):
         assert eng.topic("facade_demo").read().count() == 1
     finally:
         srv.stop()
+
+
+def test_topic_df_and_stream_surface(eng, spark, tmp_path):
+    t = eng.topic("ds_clicks", partitions=2)
+    df = spark.createDataFrame(
+        [("a", b"x1"), ("b", b"x2"), ("c", b"x3")], "key string, value binary")
+    t.append(df)
+    got = eng.topic_df("ds_clicks").collect()
+    assert {bytes(r.value) for r in got} == {b"x1", b"x2", b"x3"}
+    # streaming leg through the same source
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (eng.topic_stream("ds_clicks")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
