@@ -1,0 +1,193 @@
+"""Avro Object Container Files (OCF) — the on-disk format the
+reference's Camus jobs actually write when draining topics to HDFS
+(``binaries/camus-run``; SURVEY.md S11). The repo's ``export_parquet``
+is the engine-native analog; this module adds the wire-true format so
+an existing Camus consumer reads the engine's exports unchanged.
+
+Public spec: the Avro 1.x specification, "Object Container Files"
+section — magic ``Obj\\x01``, a file-metadata map carrying
+``avro.schema``/``avro.codec``, a 16-byte sync marker, then blocks of
+``(count, byte-size, payload, sync)``. Codecs: ``null`` and
+``deflate`` (raw RFC-1951 via stdlib zlib). Per-record encode/decode
+rides the repo's compiled pure-Python codec (``avro_codec``), so the
+whole path stays Arrow/stdlib-only.
+
+Distributed shape: ``export_topic_ocf`` writes ONE container file per
+topic partition from the executors (``foreachPartition``; a shared
+filesystem is assumed at cluster scale, exactly as Camus assumed
+HDFS) — no driver collect, no shuffle beyond the repartition to the
+topic's own partitioning.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zlib
+
+from pyspark.sql import DataFrame
+
+from kafka_stream_spark.functions import avro_codec
+
+MAGIC = b"Obj\x01"
+
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = z = 0
+    while True:
+        b = buf.read(1)[0]
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1)
+
+
+def _write_meta(meta: dict[str, bytes]) -> bytes:
+    out = bytearray(_zigzag(len(meta)))
+    for k, v in meta.items():
+        kb = k.encode()
+        out += _zigzag(len(kb)) + kb + _zigzag(len(v)) + v
+    out += _zigzag(0)
+    return bytes(out)
+
+
+def _read_meta(buf: io.BytesIO) -> dict[str, bytes]:
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            return meta
+        if n < 0:  # negative block count carries a byte size after it
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = buf.read(_read_long(buf)).decode()
+            meta[k] = buf.read(_read_long(buf))
+
+
+def write_ocf(records: list[dict], schema: dict, codec: str = "null",
+              sync: bytes | None = None, block_size: int = 1000) -> bytes:
+    """Records → one container file's bytes. ``sync`` defaults to a
+    deterministic marker derived from the schema (the spec only asks
+    for 16 bytes consistent within the file; determinism keeps
+    byte-exact tests honest)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"OCF codec {codec!r}")
+    schema_json = json.dumps(schema).encode()
+    if sync is None:
+        sync = zlib.crc32(schema_json).to_bytes(4, "big") * 4
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    out = bytearray(MAGIC)
+    out += _write_meta({
+        "avro.schema": schema_json,
+        "avro.codec": codec.encode(),
+    })
+    out += sync
+    for i in range(0, len(records), block_size):
+        block = records[i : i + block_size]
+        payload = b"".join(
+            avro_codec.encode_record(r, schema) for r in block
+        )
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw RFC-1951 stream
+        out += _zigzag(len(block)) + _zigzag(len(payload)) + payload + sync
+    return bytes(out)
+
+
+def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
+    """Container bytes → (writer schema, records)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = _read_meta(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = (meta.get("avro.codec") or b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"OCF codec {codec!r}")
+    sync = buf.read(16)
+    dec = avro_codec.compile_decoder(schema)
+    records: list[dict] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        n = _read_long(buf)
+        size = _read_long(buf)
+        payload = buf.read(size)
+        if len(payload) != size:
+            raise ValueError("truncated OCF block")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        pos = 0
+        for _ in range(n):
+            rec, pos = dec(payload, pos)
+            records.append(rec)
+        if pos != len(payload):
+            raise ValueError("OCF block length mismatch")
+        if buf.read(16) != sync:
+            raise ValueError("OCF sync marker mismatch")
+    return schema, records
+
+
+def export_topic_ocf(topic_df: DataFrame, schema: dict, out_dir: str,
+                     codec: str = "deflate") -> int:
+    """Camus-true export: drain a (batch) topic frame into one ``.avro``
+    container file per topic partition, records as
+    ``{key: bytes|null, value: bytes}`` under the given writer schema's
+    field mapping — callers pass a schema matching their decoded value
+    shape and a ``prepare`` projection upstream if needed. Executor-side
+    writes (foreachPartition): nothing is collected to the driver.
+    Returns the number of partitions exported."""
+    os.makedirs(out_dir, exist_ok=True)
+    parts = [r.partition for r in
+             topic_df.select("partition").distinct().collect()]
+
+    def write_partition(rows) -> None:
+        by_part: dict[int, list[dict]] = {}
+        for r in rows:
+            by_part.setdefault(int(r.partition), []).append({
+                "key": bytes(r.key) if r.key is not None else None,
+                "value": bytes(r.value),
+                "offset": int(r.offset),
+            })
+        for p, recs in by_part.items():
+            recs.sort(key=lambda d: d["offset"])
+            blob = write_ocf(recs, schema, codec=codec)
+            with open(os.path.join(out_dir, f"partition-{p}.avro"),
+                      "wb") as f:
+                f.write(blob)
+
+    (topic_df.select("key", "value", "partition", "offset")
+     .repartition("partition")
+     .foreachPartition(write_partition))
+    return len(parts)
+
+
+#: the export record schema (Camus wrote the raw topic payload; offset
+#: kept for ordering audits)
+TOPIC_EXPORT_SCHEMA = {
+    "type": "record",
+    "name": "TopicRecord",
+    "fields": [
+        {"name": "key", "type": ["null", "bytes"]},
+        {"name": "value", "type": "bytes"},
+        {"name": "offset", "type": "long"},
+    ],
+}

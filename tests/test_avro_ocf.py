@@ -1,0 +1,90 @@
+"""Avro Object Container Files: header/meta/sync wire layout, null +
+deflate codecs, multi-block files, and the Camus-true per-partition
+topic export (S11)."""
+
+import json
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_stream_spark.functions.avro_ocf import (
+    MAGIC, TOPIC_EXPORT_SCHEMA, export_topic_ocf, read_ocf, write_ocf)
+
+USER = {
+    "type": "record", "name": "User",
+    "fields": [{"name": "name", "type": "string"},
+               {"name": "n", "type": "long"}],
+}
+
+
+def test_header_layout_known_bytes():
+    blob = write_ocf([], USER, codec="null", sync=b"S" * 16)
+    assert blob[:4] == MAGIC
+    # metadata map: count 2 as zigzag varint = 0x04
+    assert blob[4] == 0x04
+    assert b"avro.schema" in blob and b"avro.codec" in blob
+    assert blob.endswith(b"S" * 16)  # header sync, zero blocks
+
+
+def test_roundtrip_null_and_deflate():
+    recs = [{"name": f"u{i}", "n": i} for i in range(250)]
+    for codec in ("null", "deflate"):
+        blob = write_ocf(recs, USER, codec=codec, block_size=100)
+        schema, got = read_ocf(blob)
+        assert schema == USER
+        assert got == recs
+    # deflate genuinely compresses the repetitive payload
+    assert len(write_ocf(recs, USER, codec="deflate")) < \
+        len(write_ocf(recs, USER, codec="null"))
+
+
+def test_corruption_detected():
+    blob = bytearray(write_ocf([{"name": "x", "n": 1}], USER))
+    blob[-1] ^= 0xFF  # flip a sync byte
+    with pytest.raises(ValueError, match="sync"):
+        read_ocf(bytes(blob))
+    with pytest.raises(ValueError):
+        read_ocf(b"PAR1not-avro")
+    with pytest.raises(NotImplementedError):
+        write_ocf([], USER, codec="snappy")
+
+
+@given(st.lists(
+    st.tuples(st.text(max_size=20), st.integers(-2**40, 2**40)),
+    max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_roundtrip_property(pairs):
+    recs = [{"name": a, "n": b} for a, b in pairs]
+    _, got = read_ocf(write_ocf(recs, USER, codec="deflate", block_size=7))
+    assert got == recs
+
+
+def test_export_topic_ocf_per_partition(spark, tmp_path):
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    t = FileTopic(spark, str(tmp_path / "topics"), "exp", partitions=3)
+    t.append(spark.createDataFrame(
+        [(f"k{i}".encode(), f"v{i}".encode()) for i in range(12)],
+        "key binary, value binary"))
+    out = str(tmp_path / "camus")
+    export_topic_ocf(t.read(), TOPIC_EXPORT_SCHEMA, out)
+
+    import os
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("partition-") and f.endswith(".avro")
+                         for f in files)
+    got = {}
+    for f in files:
+        p = int(f.split("-")[1].split(".")[0])
+        schema, recs = read_ocf(open(os.path.join(out, f), "rb").read())
+        assert schema == TOPIC_EXPORT_SCHEMA
+        # records ordered by offset within the partition file
+        assert [r["offset"] for r in recs] == sorted(r["offset"] for r in recs)
+        for r in recs:
+            got[bytes(r["value"])] = p
+    assert set(got) == {f"v{i}".encode() for i in range(12)}
+    # partition routing matches the topic's own layout
+    want = {bytes(r.value): r.partition for r in t.read().collect()}
+    assert got == want
