@@ -191,3 +191,52 @@ TOPIC_EXPORT_SCHEMA = {
         {"name": "offset", "type": "long"},
     ],
 }
+
+
+def ocf_to_df(spark, path: str, schema: dict | None = None):
+    """Distributed OCF ingestion: Spark's binaryFile source lists and
+    reads the container files (one task per file — Camus dumps are
+    per-partition files, so parallelism matches the original topic),
+    and an Arrow-batched mapInPandas decodes blocks executor-side.
+    Output columns follow the writer schema's fields; pass ``schema``
+    to assert an expected reader schema (mismatch raises per-file)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                wschema, recs = read_ocf(bytes(blob))
+                if schema is not None and wschema != schema:
+                    raise ValueError(
+                        f"OCF writer schema mismatch: {wschema.get('name')}"
+                    )
+                rows.extend(recs)
+            yield pd.DataFrame(
+                rows,
+                columns=[f["name"] for f in
+                         (schema or TOPIC_EXPORT_SCHEMA)["fields"]],
+            )
+
+    ddl = ", ".join(
+        f"{f['name']} {_avro_to_ddl(f['type'])}"
+        for f in (schema or TOPIC_EXPORT_SCHEMA)["fields"]
+    )
+    return files.mapInPandas(gen, schema=ddl)
+
+
+def _avro_to_ddl(t) -> str:
+    """Minimal Avro→Spark DDL type mapping for the flat export shapes."""
+    if isinstance(t, list):  # ["null", T]
+        inner = [x for x in t if x != "null"]
+        return _avro_to_ddl(inner[0])
+    return {
+        "string": "string", "bytes": "binary", "long": "long",
+        "int": "int", "double": "double", "float": "float",
+        "boolean": "boolean",
+    }[t]

@@ -88,3 +88,24 @@ def test_export_topic_ocf_per_partition(spark, tmp_path):
     # partition routing matches the topic's own layout
     want = {bytes(r.value): r.partition for r in t.read().collect()}
     assert got == want
+
+
+def test_ocf_roundtrip_through_spark(spark, tmp_path):
+    from kafka_stream_spark.functions.avro_ocf import ocf_to_df
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    t = FileTopic(spark, str(tmp_path / "t2"), "exp2", partitions=2)
+    t.append(spark.createDataFrame(
+        [(f"k{i}".encode(), f"payload-{i}".encode()) for i in range(8)],
+        "key binary, value binary"))
+    out = str(tmp_path / "dump")
+    export_topic_ocf(t.read(), TOPIC_EXPORT_SCHEMA, out)
+    back = ocf_to_df(spark, out)
+    rows = back.collect()
+    assert len(rows) == 8
+    assert sorted(bytes(r.value) for r in rows) == sorted(
+        f"payload-{i}".encode() for i in range(8))
+    # reader-schema assertion fires on mismatch
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="schema mismatch"):
+        ocf_to_df(spark, out, schema=USER).collect()
