@@ -84,3 +84,48 @@ def topic_stats(df: DataFrame, partition_col: str | None = "partition") -> dict:
         )
         out["partitions"] = {int(r[partition_col]): int(r["n"]) for r in per}
     return out
+
+
+def consumer_lag(topic_root: str, topic: str, checkpoint_dir: str) -> dict:
+    """Per-partition consumer lag for a kstopic-sourced query — the
+    engine's ``kafka-consumer-groups --describe`` analog (the
+    reference's group-management flows, kafka-tests.yml:44-63).
+
+    Committed positions come from the query's checkpoint offset log
+    (the LAST entry in ``offsets/``, the batch Spark has planned);
+    end offsets from the topic directory's bookkeeping columns. A
+    query that has consumed everything reports lag 0 per partition.
+    """
+    import json
+    import os
+
+    from kafka_stream_spark.sources.datasource import _end_offsets
+
+    ends = _end_offsets(os.path.join(topic_root, topic))
+    committed: dict[int, int] = {}
+    offs_dir = os.path.join(checkpoint_dir, "offsets")
+    if os.path.isdir(offs_dir):
+        seqs = sorted(int(f) for f in os.listdir(offs_dir)
+                      if not f.startswith("."))
+        if seqs:
+            last = open(os.path.join(offs_dir, str(seqs[-1]))) \
+                .read().strip().splitlines()[-1]
+            d = json.loads(last)
+            if isinstance(d, str):
+                d = json.loads(d)
+            committed = {int(k): int(v) for k, v in d.items()}
+    parts = sorted(set(ends) | set(committed))
+    per = [
+        {
+            "partition": p,
+            "end_offset": ends.get(p, 0),
+            "committed": committed.get(p, 0),
+            "lag": max(0, ends.get(p, 0) - committed.get(p, 0)),
+        }
+        for p in parts
+    ]
+    return {
+        "topic": topic,
+        "partitions": per,
+        "total_lag": sum(x["lag"] for x in per),
+    }

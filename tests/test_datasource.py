@@ -200,3 +200,28 @@ def test_pipeline_spec_with_kstopic_source(spark, topic, tmp_path):
     assert sorted(r.v for r in rows) == sorted(
         f"v{i}" for i in range(20))
     reg.delete("kstopic_pipe")
+
+
+def test_consumer_lag_reporting(spark, topic, tmp_path):
+    from kafka_stream_spark.observability import consumer_lag
+
+    root = topic.path.rsplit("/", 1)[0]
+    ck, out = str(tmp_path / "lagck"), str(tmp_path / "lagout")
+    # before any consumption: all 20 records are lag
+    lag0 = consumer_lag(root, topic.name, ck)
+    assert lag0["total_lag"] == 20
+    q = (
+        spark.readStream.format("kstopic")
+        .option("root", root).option("topic", topic.name).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert consumer_lag(root, topic.name, ck)["total_lag"] == 0
+    # a new append reopens lag by exactly its size
+    topic.append(spark.createDataFrame(
+        [(b"kx", b"late1"), (b"ky", b"late2")], "key binary, value binary"))
+    lag2 = consumer_lag(root, topic.name, ck)
+    assert lag2["total_lag"] == 2
+    assert all(x["end_offset"] >= x["committed"] for x in lag2["partitions"])
