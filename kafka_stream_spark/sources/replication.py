@@ -53,3 +53,31 @@ def export_parquet(src: FileTopic, out_path: str, checkpoint: str) -> StreamingQ
         .trigger(availableNow=True)
         .start()
     )
+
+
+def export_ocf(src: FileTopic, out_dir: str, checkpoint: str) -> StreamingQuery:
+    """Drain the topic to wire-true Avro Object Container Files — the
+    format Camus actually wrote (S11). Each micro-batch lands under
+    ``<out_dir>/batch-<id>/partition-<p>.avro``; a replayed batch id
+    overwrites its own directory, so the sink is idempotent under
+    checkpoint recovery (T5)."""
+    import os
+
+    from kafka_stream_spark.functions.avro_ocf import (
+        TOPIC_EXPORT_SCHEMA, export_topic_ocf)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        export_topic_ocf(
+            batch_df, TOPIC_EXPORT_SCHEMA,
+            os.path.join(out_dir, f"batch-{batch_id}"),
+        )
+
+    return (
+        src.read_stream()
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

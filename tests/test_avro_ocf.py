@@ -109,3 +109,27 @@ def test_ocf_roundtrip_through_spark(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="schema mismatch"):
         ocf_to_df(spark, out, schema=USER).collect()
+
+
+def test_streaming_export_ocf(spark, tmp_path):
+    from kafka_stream_spark.functions.avro_ocf import ocf_to_df
+    from kafka_stream_spark.sources.replication import export_ocf
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    t = FileTopic(spark, str(tmp_path / "t3"), "exp3", partitions=2)
+    t.append(spark.createDataFrame(
+        [(f"k{i}".encode(), f"s{i}".encode()) for i in range(6)],
+        "key binary, value binary"))
+    out, ck = str(tmp_path / "ocf_out"), str(tmp_path / "ocf_ck")
+    q = export_ocf(t, out, ck)
+    q.awaitTermination(120)
+    got = ocf_to_df(spark, out + "/batch-*").collect()
+    assert sorted(bytes(r.value) for r in got) == sorted(
+        f"s{i}".encode() for i in range(6))
+    # second drain with new data appends a new batch dir only
+    t.append(spark.createDataFrame([(b"kz", b"s9")],
+                                   "key binary, value binary"))
+    q2 = export_ocf(t, out, ck)
+    q2.awaitTermination(120)
+    got2 = ocf_to_df(spark, out + "/batch-*").collect()
+    assert len(got2) == 7
