@@ -199,29 +199,41 @@ def ocf_to_df(spark, path: str, schema: dict | None = None):
     per-partition files, so parallelism matches the original topic),
     and an Arrow-batched mapInPandas decodes blocks executor-side.
     Output columns follow the writer schema's fields; pass ``schema``
-    to assert an expected reader schema (mismatch raises per-file)."""
+    as a READER schema to get Avro evolution semantics across
+    mixed-version dumps (the ``decode_df_evolving`` convention): fields
+    the writer lacks take the reader default (or null for [null,T]
+    unions), writer-only fields drop, and a reader field with neither
+    writer value nor default raises — the spec's resolution error."""
     import pandas as pd
-
-    from pyspark.sql import functions as F
 
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 
     def gen(batches):
+        reader = schema or TOPIC_EXPORT_SCHEMA
+        names = [f["name"] for f in reader["fields"]]
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
                 wschema, recs = read_ocf(bytes(blob))
-                if schema is not None and wschema != schema:
-                    raise ValueError(
-                        f"OCF writer schema mismatch: {wschema.get('name')}"
-                    )
-                rows.extend(recs)
-            yield pd.DataFrame(
-                rows,
-                columns=[f["name"] for f in
-                         (schema or TOPIC_EXPORT_SCHEMA)["fields"]],
-            )
+                wnames = {f["name"] for f in wschema["fields"]}
+                fill = {}
+                for f in reader["fields"]:
+                    if f["name"] in wnames:
+                        continue
+                    if "default" in f:
+                        fill[f["name"]] = f["default"]
+                    elif isinstance(f["type"], list) and "null" in f["type"]:
+                        fill[f["name"]] = None
+                    else:
+                        raise ValueError(
+                            f"OCF resolution: reader field {f['name']!r} "
+                            f"missing from writer {wschema.get('name')!r} "
+                            "and has no default"
+                        )
+                for r in recs:
+                    rows.append({n: r.get(n, fill.get(n)) for n in names})
+            yield pd.DataFrame(rows, columns=names)
 
     ddl = ", ".join(
         f"{f['name']} {_avro_to_ddl(f['type'])}"

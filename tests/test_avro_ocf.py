@@ -105,10 +105,23 @@ def test_ocf_roundtrip_through_spark(spark, tmp_path):
     assert len(rows) == 8
     assert sorted(bytes(r.value) for r in rows) == sorted(
         f"payload-{i}".encode() for i in range(8))
-    # reader-schema assertion fires on mismatch
+    # reader-schema RESOLUTION: a reader adding a defaulted field gets
+    # the default; one adding an undefaulted required field errors
+    evolved = {
+        "type": "record", "name": "TopicRecord",
+        "fields": TOPIC_EXPORT_SCHEMA["fields"]
+        + [{"name": "source", "type": "string", "default": "camus"}],
+    }
+    got_e = ocf_to_df(spark, out, schema=evolved).collect()
+    assert {r.source for r in got_e} == {"camus"} and len(got_e) == 8
+    bad = {
+        "type": "record", "name": "TopicRecord",
+        "fields": TOPIC_EXPORT_SCHEMA["fields"]
+        + [{"name": "must", "type": "string"}],
+    }
     import pytest as _pytest
-    with _pytest.raises(Exception, match="schema mismatch"):
-        ocf_to_df(spark, out, schema=USER).collect()
+    with _pytest.raises(Exception, match="no default"):
+        ocf_to_df(spark, out, schema=bad).collect()
 
 
 def test_streaming_export_ocf(spark, tmp_path):
