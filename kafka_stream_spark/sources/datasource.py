@@ -8,6 +8,11 @@ directories, the idiomatic Spark-4 shape for a custom source:
 
 * batch:  ``spark.read.format("kstopic").option("root", …)
   .option("topic", …)[.option("startingOffsets", json)] .load()`` —
+  subscription shapes mirror the Kafka source: ``topic`` (one),
+  ``topics`` (comma list — the reference's nullsink consumes four
+  topics in one connector, nullsink.sh:5), or ``subscribePattern``
+  (regex, re-matched each micro-batch so topics created mid-stream
+  join the subscription) —
   one ``InputPartition`` per topic partition, each task reading only
   its partition's rows via pyarrow dataset filters (row-group
   statistics prune on the ``partition``/``offset`` columns), so the
@@ -63,11 +68,33 @@ class _Slice(InputPartition):
     end: int    # exclusive; -1 = unbounded
 
 
-def _topic_path(options) -> str:
-    root, topic = options.get("root"), options.get("topic")
-    if not root or not topic:
-        raise ValueError("kstopic requires options 'root' and 'topic'")
-    return os.path.join(root, topic)
+def _subscription(options) -> tuple[str, list[str], bool]:
+    """(root, topics, multi) from the Kafka-source-shaped options:
+    ``topic`` (one), ``topics`` (comma list — the nullsink.sh:5 fan-in
+    shape), or ``subscribePattern`` (regex over topic dirs, re-matched
+    every latestOffset so topics created mid-stream join the
+    subscription). ``multi`` marks whether offsets serialize
+    topic-qualified."""
+    import re
+
+    root = options.get("root")
+    if not root:
+        raise ValueError("kstopic requires option 'root'")
+    if options.get("topic"):
+        return root, [options["topic"]], False
+    if options.get("topics"):
+        names = [t.strip() for t in options["topics"].split(",") if t.strip()]
+        return root, names, True
+    pat = options.get("subscribepattern")
+    if pat:
+        rx = re.compile(pat)
+        names = sorted(
+            d for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if os.path.isdir(os.path.join(root, d)) and rx.fullmatch(d)
+        )
+        return root, names, True
+    raise ValueError(
+        "kstopic requires one of 'topic', 'topics', 'subscribePattern'")
 
 
 def _end_offsets(path: str) -> dict[int, int]:
@@ -128,32 +155,57 @@ def _read_slice(sl: _Slice):
     yield from tbl.cast(target).to_batches()
 
 
-def _parse_offsets(raw: str | None, ends: dict[int, int],
-                   default: str) -> dict[int, int]:
+def _ends_multi(root: str, topics: list[str]) -> dict[tuple[str, int], int]:
+    out: dict[tuple[str, int], int] = {}
+    for t in topics:
+        for p, o in _end_offsets(os.path.join(root, t)).items():
+            out[(t, p)] = o
+    return out
+
+
+def _ser_key(tp: tuple[str, int], multi: bool) -> str:
+    return f"{tp[0]}:{tp[1]}" if multi else str(tp[1])
+
+
+def _parse_key(k: str, topics: list[str], multi: bool) -> tuple[str, int]:
+    if multi:
+        t, _, p = k.rpartition(":")
+        return t, int(p)
+    return topics[0], int(k)
+
+
+def _parse_offsets(raw: str | None, ends: dict[tuple[str, int], int],
+                   default: str, topics: list[str],
+                   multi: bool) -> dict[tuple[str, int], int]:
     mode = raw or default
     if mode == "earliest":
-        return {p: 0 for p in ends}
+        return {tp: 0 for tp in ends}
     if mode == "latest":
         return dict(ends)
-    explicit = {int(k): int(v) for k, v in json.loads(mode).items()}
-    return {p: explicit.get(p, 0) for p in set(ends) | set(explicit)}
+    explicit = {
+        _parse_key(k, topics, multi): int(v)
+        for k, v in json.loads(mode).items()
+    }
+    return {tp: explicit.get(tp, 0) for tp in set(ends) | set(explicit)}
 
 
 class _BatchReader(DataSourceReader):
     def __init__(self, options):
-        self.path = _topic_path(options)
-        ends = _end_offsets(self.path)
+        self.root, self.topics, self.multi = _subscription(options)
+        ends = _ends_multi(self.root, self.topics)
         starts = _parse_offsets(options.get("startingoffsets"), ends,
-                                "earliest")
-        stops = _parse_offsets(options.get("endingoffsets"), ends, "latest")
+                                "earliest", self.topics, self.multi)
+        stops = _parse_offsets(options.get("endingoffsets"), ends,
+                               "latest", self.topics, self.multi)
         self.slices = [
-            _Slice(self.path, p, starts.get(p, 0), stops.get(p, 0))
-            for p in sorted(ends)
-            if stops.get(p, 0) > starts.get(p, 0)
+            _Slice(os.path.join(self.root, t), p,
+                   starts.get((t, p), 0), stops.get((t, p), 0))
+            for (t, p) in sorted(ends)
+            if stops.get((t, p), 0) > starts.get((t, p), 0)
         ]
 
     def partitions(self):
-        return self.slices or [_Slice(self.path, -1, 0, 0)]
+        return self.slices or [_Slice(self.root, -1, 0, 0)]
 
     def read(self, partition: _Slice):
         if partition.partition < 0:  # empty topic
@@ -163,7 +215,8 @@ class _BatchReader(DataSourceReader):
 
 class _StreamReader(DataSourceStreamReader):
     def __init__(self, options):
-        self.path = _topic_path(options)
+        self._options = options
+        self.root, self.topics, self.multi = _subscription(options)
         self._starting = options.get("startingoffsets", "earliest")
         self._max_per_trigger = int(options.get("maxoffsetspertrigger", 0))
         #: admission-control cursor: the end we last admitted. The API's
@@ -183,17 +236,29 @@ class _StreamReader(DataSourceStreamReader):
             for p in set(cur) | set(offs)
         }
 
-    # offsets serialize as {"partition": next_offset_to_read}
+    def _live_topics(self) -> list[str]:
+        """Pattern subscriptions re-list the root so topics created
+        mid-stream join with start 0; explicit topic lists are fixed."""
+        if self._options.get("subscribepattern"):
+            _, topics, _ = _subscription(self._options)
+            return topics
+        return self.topics
+
+    # offsets serialize as {"partition"| "topic:partition": next_offset}
     def initialOffset(self) -> dict:
-        ends = _end_offsets(self.path)
-        first = {str(p): o for p, o in
-                 _parse_offsets(None, ends, self._starting).items()}
+        topics = self._live_topics()
+        ends = _ends_multi(self.root, topics)
+        first = {
+            _ser_key(tp, self.multi): o
+            for tp, o in _parse_offsets(None, ends, self._starting,
+                                        topics, self.multi).items()
+        }
         self._merge_cursor(first)  # never rewind a cursor latestOffset set
         return first
 
     def latestOffset(self) -> dict:
-        ends = _end_offsets(self.path)
-        target = {str(p): o for p, o in ends.items()}
+        ends = _ends_multi(self.root, self._live_topics())
+        target = {_ser_key(tp, self.multi): o for tp, o in ends.items()}
         start = self._cursor
         if not self._max_per_trigger or start is None:
             self._cursor = dict(target)
@@ -220,12 +285,15 @@ class _StreamReader(DataSourceStreamReader):
         # keep the admission cursor aligned with what Spark actually
         # planned (covers checkpoint restarts, where the true start is
         # ahead of anything this instance has seen)
-        self._merge_cursor({str(p): int(o) for p, o in end.items()})
-        return [
-            _Slice(self.path, int(p), int(start.get(p, 0)), int(end[p]))
-            for p in sorted(end)
-            if int(end[p]) > int(start.get(p, 0))
-        ] or [_Slice(self.path, -1, 0, 0)]
+        self._merge_cursor({str(k): int(o) for k, o in end.items()})
+        topics = self._live_topics()
+        out = []
+        for k in sorted(end):
+            t, p = _parse_key(str(k), topics, self.multi)
+            if int(end[k]) > int(start.get(k, 0)):
+                out.append(_Slice(os.path.join(self.root, t), p,
+                                  int(start.get(k, 0)), int(end[k])))
+        return out or [_Slice(self.root, -1, 0, 0)]
 
     def read(self, partition: _Slice):
         if partition.partition < 0:

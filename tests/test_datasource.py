@@ -225,3 +225,66 @@ def test_consumer_lag_reporting(spark, topic, tmp_path):
     lag2 = consumer_lag(root, topic.name, ck)
     assert lag2["total_lag"] == 2
     assert all(x["end_offset"] >= x["committed"] for x in lag2["partitions"])
+
+
+def test_multi_topic_batch_union(spark, tmp_path):
+    register(spark)
+    root = str(tmp_path / "topics")
+    for name, vals in (("ta", [b"a1", b"a2"]), ("tb", [b"b1"])):
+        t = FileTopic(spark, root, name, partitions=2)
+        t.append(spark.createDataFrame([(v, v) for v in vals],
+                                       "key binary, value binary"))
+    df = (spark.read.format("kstopic").option("root", root)
+          .option("topics", "ta, tb").load())
+    rows = df.collect()
+    assert sorted(bytes(r.value) for r in rows) == [b"a1", b"a2", b"b1"]
+    assert {r.topic for r in rows} == {"ta", "tb"}
+
+
+def test_subscribe_pattern_picks_up_new_topic(spark, tmp_path):
+    register(spark)
+    root = str(tmp_path / "topics")
+    t1 = FileTopic(spark, root, "logs_a", partitions=1)
+    t1.append(spark.createDataFrame([(b"k", b"v1")],
+                                    "key binary, value binary"))
+    FileTopic(spark, root, "other", partitions=1).append(
+        spark.createDataFrame([(b"k", b"x")], "key binary, value binary"))
+    out, ck = str(tmp_path / "po"), str(tmp_path / "pc")
+    q = (spark.readStream.format("kstopic")
+         .option("root", root).option("subscribePattern", "logs_.*").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="0 seconds").start())
+
+    def wait_vals(want, secs=90):
+        deadline = time.monotonic() + secs
+        while time.monotonic() < deadline:
+            try:
+                got = {bytes(r.value) for r in spark.read.parquet(out).collect()}
+                if got >= want:
+                    return got
+            except Exception:
+                pass
+            time.sleep(0.5)
+        return set()
+
+    try:
+        assert wait_vals({b"v1"})
+        # a topic matching the pattern created mid-stream joins from 0
+        t2 = FileTopic(spark, root, "logs_b", partitions=1)
+        t2.append(spark.createDataFrame([(b"k", b"v2")],
+                                        "key binary, value binary"))
+        got = wait_vals({b"v1", b"v2"})
+    finally:
+        q.stop()
+    assert got == {b"v1", b"v2"}  # 'other' never included
+    # offsets serialize topic-qualified in multi mode
+    import os as _os
+    seqs = sorted(int(f) for f in _os.listdir(f"{ck}/offsets")
+                  if not f.startswith("."))
+    last = open(f"{ck}/offsets/{seqs[-1]}").read().strip().splitlines()[-1]
+    d = json.loads(last)
+    if isinstance(d, str):
+        d = json.loads(d)
+    assert all(":" in k for k in d)
+    assert {k.split(":")[0] for k in d} == {"logs_a", "logs_b"}
