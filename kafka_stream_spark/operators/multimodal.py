@@ -146,54 +146,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _decode_png(content: bytes) -> dict:
-    """PNG decoder (RFC 2083) on nothing but stdlib zlib: 8-bit
-    greyscale (type 0), RGB (2), grey+alpha (4) and RGBA (6),
-    non-interlaced, all five scanline filters (None/Sub/Up/Average/
-    Paeth), IDAT split across any number of chunks. mean_lum averages
-    the color samples, alpha excluded; ``channels`` reports samples
-    per pixel as stored (so RGBA = 4)."""
-    import struct as _struct
-    import zlib as _zlib
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    if content[:8] != _PNG_SIG:
-        raise ValueError("bad PNG signature")
-    pos, width = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(content):
-        clen, ctype = _struct.unpack_from(">I4s", content, pos)
-        body = content[pos + 8 : pos + 8 + clen]
-        if len(body) != clen:
-            raise ValueError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = \
-                _struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth}")
-            if color not in (0, 2, 4, 6):
-                raise NotImplementedError(f"PNG color type {color}")
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG")
-            spp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # len + type + body + crc
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = _zlib.decompress(bytes(idat))
+
+def _png_unfilter_image(raw: bytes, offset: int, width: int, height: int,
+                        spp: int, color_spp: int) -> tuple[int, int]:
+    """Unfilter one (sub-)image of ``height`` scanlines starting at
+    ``offset``; returns (color-sample sum, next offset)."""
     stride = width * spp
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    has_alpha = spp in (2, 4)
-    color_spp = spp - (1 if has_alpha else 0)
+    has_alpha = color_spp != spp
     prev = bytearray(stride)
     total = 0
-    for r in range(height):
-        base = r * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
+    for _ in range(height):
+        if offset + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        ftype = raw[offset]
+        line = bytearray(raw[offset + 1 : offset + 1 + stride])
         if ftype == 1:  # Sub
             for i in range(spp, stride):
                 line[i] = (line[i] + line[i - spp]) & 0xFF
@@ -217,6 +187,64 @@ def _decode_png(content: bytes) -> dict:
         else:
             total += sum(line)
         prev = line
+        offset += 1 + stride
+    return total, offset
+
+
+def _decode_png(content: bytes) -> dict:
+    """PNG decoder (RFC 2083) on nothing but stdlib zlib: 8-bit
+    greyscale (type 0), RGB (2), grey+alpha (4) and RGBA (6), all five
+    scanline filters (None/Sub/Up/Average/Paeth), IDAT split across
+    any number of chunks, and Adam7 interlacing (each pass is its own
+    filtered sub-image; the passes partition the pixels, so summing
+    per pass gives exact whole-image stats). mean_lum averages the
+    color samples, alpha excluded; ``channels`` reports samples per
+    pixel as stored (so RGBA = 4)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        clen, ctype = _struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                _struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color not in (0, 2, 4, 6):
+                raise NotImplementedError(f"PNG color type {color}")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
+            spp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _zlib.decompress(bytes(idat))
+    color_spp = spp - (1 if spp in (2, 4) else 0)
+    total, off = 0, 0
+    if interlace:
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:  # empty pass at small dimensions
+                continue
+            t, off = _png_unfilter_image(raw, off, pw, ph, spp, color_spp)
+            total += t
+    else:
+        total, off = _png_unfilter_image(raw, off, width, height, spp,
+                                         color_spp)
+    if off != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
     n = width * height * color_spp
     return {
         "width": width,
@@ -517,15 +545,34 @@ def decode_audio(content: bytes) -> dict:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate = _struct.unpack_from("<HHI", fmt, 0)
     bits = _struct.unpack_from("<H", fmt, 14)[0]
-    if audio_fmt != 1 or bits not in (8, 16):
+    if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        audio_fmt = _struct.unpack_from("<H", fmt, 24)[0]  # SubFormat GUID head
+    ok = (audio_fmt == 1 and bits in (8, 16, 24, 32)) or \
+        (audio_fmt == 3 and bits == 32)  # 3 = IEEE float
+    if not ok:
         raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}")
     bytes_per_frame = channels * bits // 8
     n_frames = len(data) // bytes_per_frame
-    if bits == 16:
-        n = n_frames * channels
+    n = n_frames * channels
+    if audio_fmt == 3:  # float32 in [-1, 1]
+        samples = _struct.unpack_from(f"<{n}f", data, 0)
+        sq = sum(s * s for s in samples)
+        denom = 1.0
+    elif bits == 16:
         samples = _struct.unpack_from(f"<{n}h", data, 0)
         sq = sum(s * s for s in samples)
         denom = 32768.0
+    elif bits == 32:
+        samples = _struct.unpack_from(f"<{n}i", data, 0)
+        sq = sum(s * s for s in samples)
+        denom = 2147483648.0
+    elif bits == 24:  # packed little-endian signed 24-bit
+        samples = [
+            int.from_bytes(data[i:i + 3], "little", signed=True)
+            for i in range(0, n * 3, 3)
+        ]
+        sq = sum(s * s for s in samples)
+        denom = 8388608.0
     else:  # 8-bit PCM is unsigned, centered at 128
         samples = [b - 128 for b in data[: n_frames * bytes_per_frame]]
         sq = sum(s * s for s in samples)

@@ -508,10 +508,6 @@ def test_png_rejects_unsupported_shapes():
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
-    interlaced = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)))
-    with pytest.raises(NotImplementedError):
-        decode_image(interlaced)
     deep = (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)))
     with pytest.raises(NotImplementedError):
@@ -674,3 +670,81 @@ def test_gif_lzw_width_growth_large_image():
     f = decode_image(encode_gif(rows))
     total = sum(v for r in rows for px in r for v in px)
     assert f["mean_lum"] == round(total / (64 * 64 * 3), 6)
+
+
+def test_wav_float32_and_deep_pcm():
+    import struct
+    from kafka_stream_spark.operators.multimodal import decode_audio
+
+    def wav_raw(fmt_code, bits, data, channels=1, rate=8000):
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # IEEE float32: constant 0.5 -> rms exactly 0.5
+    f32 = b"".join(struct.pack("<f", 0.5) for _ in range(100))
+    f = decode_audio(wav_raw(3, 32, f32))
+    assert (f["bits"], f["n_frames"], f["rms"]) == (32, 100, 0.5)
+    # 32-bit int PCM: half-scale -> rms 0.5
+    i32 = b"".join(struct.pack("<i", 2**30) for _ in range(50))
+    f = decode_audio(wav_raw(1, 32, i32))
+    assert f["rms"] == 0.5
+    # 24-bit packed PCM: half-scale -> rms 0.5
+    i24 = b"".join(int(2**22).to_bytes(3, "little", signed=True)
+                   for _ in range(50))
+    f = decode_audio(wav_raw(1, 24, i24))
+    assert f["rms"] == 0.5
+    # float64 still unsupported
+    with pytest.raises(NotImplementedError):
+        decode_audio(wav_raw(3, 64, b"\x00" * 64))
+
+
+def _png_adam7(rows, color_type=2):
+    """Hand-build an Adam7-interlaced PNG (filter-0 pass rows)."""
+    import struct, zlib
+    from kafka_stream_spark.operators.multimodal import _ADAM7
+
+    spp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    height, width = len(rows), len(rows[0])
+    raw = bytearray()
+    for (x0, y0, dx, dy) in _ADAM7:
+        ys = range(y0, height, dy)
+        xs = range(x0, width, dx)
+        if not ys or not xs:
+            continue
+        for y in ys:
+            raw.append(0)
+            for x in xs:
+                raw += bytes(rows[y][x][:spp])
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlaced():
+    rows = [[(x * 10 % 256, y * 20 % 256, (x + y) % 256)
+             for x in range(10)] for y in range(9)]
+    f = decode_image(_png_adam7(rows))
+    total = sum(v for r in rows for px in r for v in px)
+    assert (f["width"], f["height"]) == (10, 9)
+    assert f["mean_lum"] == round(total / (10 * 9 * 3), 6)
+
+
+@given(st.integers(1, 17), st.integers(1, 17), st.data())
+@settings(max_examples=30, deadline=None)
+def test_png_adam7_property(width, height, data):
+    # small and odd dimensions exercise empty passes and partial grids
+    rows = [[data.draw(_px) for _ in range(width)] for _ in range(height)]
+    f = decode_image(_png_adam7(rows))
+    total = sum(v for r in rows for px in r for v in px)
+    assert (f["width"], f["height"]) == (width, height)
+    assert f["mean_lum"] == round(total / (width * height * 3), 6)
