@@ -41,9 +41,11 @@ def main() -> None:
                 pass
         # cache isolation: each query pays its own full cost — no accidental
         # cross-query reuse of cached shingle/token tables. min-of-N runs
-        # (BENCH_REPEATS, default 2) filters GC/compilation jitter so
-        # round-over-round comparisons track real plan changes.
-        repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+        # (BENCH_REPEATS, default 3 — raised round 3 after a sitting where
+        # uniform host noise inflated every query 20-40%) filters GC/
+        # compilation/host jitter so round-over-round comparisons track
+        # real plan changes.
+        repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
         best, n = None, 0
         for _ in range(repeats):
             spark.catalog.clearCache()
