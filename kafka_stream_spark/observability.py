@@ -113,7 +113,15 @@ def consumer_lag(topic_root: str, topic: str, checkpoint_dir: str) -> dict:
             d = json.loads(last)
             if isinstance(d, str):
                 d = json.loads(d)
-            committed = {int(k): int(v) for k, v in d.items()}
+            for k, v in d.items():
+                # multi-topic checkpoints qualify keys as "topic:p";
+                # keep only this topic's entries
+                if ":" in str(k):
+                    t, _, p = str(k).rpartition(":")
+                    if t == topic:
+                        committed[int(p)] = int(v)
+                else:
+                    committed[int(k)] = int(v)
     parts = sorted(set(ends) | set(committed))
     per = [
         {

@@ -77,6 +77,8 @@ def _decode_ppm(content: bytes) -> dict:
     width, height, maxval = fields
     if maxval > 255:
         raise NotImplementedError("PPM maxval > 255 (2-byte samples)")
+    if width <= 0 or height <= 0:
+        raise ValueError("PPM with zero dimension")
     n = width * height * 3
     if magic == b"P6":
         pos += 1  # exactly one whitespace byte after maxval
@@ -111,6 +113,8 @@ def _decode_bmp(content: bytes) -> dict:
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     height = abs(height)  # negative height = top-down rows; stats invariant
+    if width <= 0 or height == 0:
+        raise ValueError("BMP with zero or negative dimension")
     bytes_pp = bpp // 8
     stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
     total = 0
@@ -221,6 +225,8 @@ def _decode_png(content: bytes) -> dict:
                 raise NotImplementedError(f"PNG color type {color}")
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace}")
+            if width == 0 or height == 0:
+                raise ValueError("PNG with zero dimension")
             spp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
         elif ctype == b"IDAT":
             idat += body
@@ -427,6 +433,8 @@ def _decode_gif(content: bytes) -> dict:
         pos += 1
         n_frames += 1
         if first is None:
+            if w == 0 or h == 0:
+                raise ValueError("GIF frame with zero dimension")
             if ct is None:
                 raise ValueError("GIF image has no color table")
             idx = _lzw_decode(bytes(data), min_code)
@@ -551,6 +559,8 @@ def decode_audio(content: bytes) -> dict:
         (audio_fmt == 3 and bits == 32)  # 3 = IEEE float
     if not ok:
         raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}")
+    if channels == 0 or rate == 0:
+        raise ValueError("WAV with zero channels or sample rate")
     bytes_per_frame = channels * bits // 8
     n_frames = len(data) // bytes_per_frame
     n = n_frames * channels
@@ -710,6 +720,8 @@ def decode_video(content: bytes) -> dict:
             chroma = p
     if width is None or height is None:
         raise ValueError("Y4M header missing W/H")
+    if width <= 0 or height <= 0:
+        raise ValueError("Y4M with zero dimension")
     if chroma not in _Y4M_CHROMA:
         raise NotImplementedError(f"Y4M colorspace {chroma}")
     sub = _Y4M_CHROMA[chroma]

@@ -80,3 +80,46 @@ def test_lzw_terminates(data):
 
     for mcs in (2, 4, 8):
         _check(lambda d: _lzw_decode(d, mcs), data)
+
+
+@given(st.binary(min_size=8, max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_crafted_headers_never_divide_by_zero(data):
+    """Near-valid headers with zero dimensions/channels must raise a
+    typed error, not ZeroDivisionError."""
+    import struct
+
+    from kafka_stream_spark.operators.multimodal import (
+        decode_audio, decode_image, decode_video)
+
+    # zero-dim PPM / BMP / PNG IHDR / GIF screen / Y4M header / WAV fmt
+    _check(decode_image, b"P6\n0 0\n255\n" + data)
+    bmp = b"BM" + data[:8].ljust(8, b"\0") + struct.pack("<I", 54) + \
+        b"(\x00\x00\x00" + struct.pack("<ii", 0, 0) + \
+        b"\x01\x00\x18\x00" + struct.pack("<I", 0) + bytes(20)
+    _check(decode_image, bmp)
+
+    def chunk(ctype, body):
+        import zlib
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", __import__("zlib").compress(b""))
+           + chunk(b"IEND", b""))
+    _check(decode_image, png)
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 0, 0, 0x80, 0, 0)
+           + bytes(6) + b"\x2c" + struct.pack("<HHHHB", 0, 0, 0, 0, 0)
+           + bytes([2, 1, 0x4C, 0]) + b"\x3b")
+    _check(decode_image, gif)
+    _check(decode_video, b"YUV4MPEG2 W0 H0 F25:1\nFRAME\n" + data)
+
+    def wav(channels, rate, bits=16, fmt_code=1):
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, rate, 1, 1, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    _check(decode_audio, wav(0, 8000))
+    _check(decode_audio, wav(1, 0))
