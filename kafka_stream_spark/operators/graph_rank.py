@@ -329,3 +329,73 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("core_deg"), "l_partkey")
         .limit(_KC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity — one-number graph health statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_assortativity_parts",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY src, dst
+      HAVING count(*) >= {_KC_MIN_W}
+    ),
+    degs AS (SELECT src AS part, count(*) AS d FROM edges GROUP BY src),
+    ed AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges e JOIN degs da ON da.part = e.src
+                   JOIN degs db ON db.part = e.dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(corr(dx, dy), 6) AS assortativity
+    FROM ed
+    """,
+    description=(
+        "Degree assortativity (Newman 2002) of the weighted co-purchase "
+        "graph: Pearson correlation of endpoint degrees over directed "
+        "edge instances — positive = hubs buy with hubs, negative = "
+        "hub-leaf structure; the one-number health check read before "
+        "trusting community/core structure"
+    ),
+)
+def graph_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-level degree correlation: edges joined to the |parts|-sized
+    degree table on each endpoint (AQE broadcasts it), then a single
+    scalar aggregate — two tiny hash joins and one map-side-combined
+    agg; nothing pairwise. Both endpoints' directions are present in
+    the symmetric edge set, so this equals the undirected definition.
+
+    Public algorithm: Newman, "Assortative mixing in networks" (2002).
+    """
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= _KC_MIN_W)
+        .select("src", "dst")
+    )
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("src").alias("part"), "d"
+    )
+    ed = (
+        edges.join(degs.select(F.col("part").alias("src"),
+                               F.col("d").alias("dx")), "src")
+        .join(degs.select(F.col("part").alias("dst"),
+                          F.col("d").alias("dy")), "dst")
+    )
+    return ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+    )

@@ -165,3 +165,43 @@ def test_kcore_matches_python_reference(spark, tmp_path):
     # reported degree = in-core degree
     for n in core:
         assert got[n] == sum(1 for s, dd in edges if s == n and dd in core)
+
+
+def test_assortativity_matches_python_reference(spark, tmp_path):
+    import statistics
+
+    from kafka_stream_spark.operators.graph_rank import (
+        _KC_MIN_W, graph_assortativity_parts)
+    import kafka_stream_spark.operators.graph_rank as gr
+
+    baskets = [
+        (1, [10, 11, 12]), (2, [10, 11, 12]),
+        (3, [20, 21]), (4, [20, 21]),
+        (5, [12, 20]), (6, [12, 20]),
+    ]
+    rows = [(o, p_) for o, ps in baskets for p_ in ps]
+    d = str(tmp_path / "li2")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long") \
+        .write.parquet(d)
+    li = spark.read.parquet(d)
+    orig = gr.load
+    gr.load = lambda s, sd, *names: (li,)
+    try:
+        row = graph_assortativity_parts(spark, d).collect()[0]
+    finally:
+        gr.load = orig
+
+    from collections import Counter
+    c = Counter()
+    for _, ps in baskets:
+        for x in ps:
+            for y in ps:
+                if x != y:
+                    c[(x, y)] += 1
+    edges = sorted(e for e, w in c.items() if w >= _KC_MIN_W)
+    deg = Counter(s for s, _ in edges)
+    xs = [deg[s] for s, _ in edges]
+    ys = [deg[t] for _, t in edges]
+    want = statistics.correlation(xs, ys)
+    assert row.n_edges == len(edges)
+    assert row.assortativity == round(want, 6)
