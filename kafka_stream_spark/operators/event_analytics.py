@@ -984,3 +984,63 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+             AS avg_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description=(
+        "Semi-structured props aggregated through Spark 4's VARIANT "
+        "type (parse_json -> variant_get typed extraction) instead of "
+        "per-row JSON string re-parsing — the open-schema event-payload "
+        "path; per event_type count/sum/avg/min/max of $.k"
+    ),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 native semi-structured handling: ``parse_json`` builds a
+    binary VARIANT once and ``variant_get`` does typed path extraction
+    JVM-side (whole-stage codegen; no Python, no schema declaration up
+    front — the open-schema shape Kafka event payloads actually have).
+    One scan + one map-side-combined aggregate; at scale the variant
+    parse is the same single pass a from_json schema-bound read costs,
+    without freezing the schema.
+
+    Reference framing: every reference topic carries free-form JSON
+    values (sample-data producers); Lenses SQL browses them without
+    declared schemas — VARIANT is the engine-native equivalent.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
