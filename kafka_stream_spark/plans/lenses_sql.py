@@ -43,6 +43,13 @@ class LensesShell:
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
         self.spark: SparkSession = catalog.spark
+        # the Lenses scalar library analog: engine functions callable
+        # from plain SQL (Catalyst-inlined, see functions/sql_udfs.py)
+        from kafka_stream_spark.functions.sql_udfs import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(self.spark)
 
     def execute(self, statement: str) -> DataFrame:
         m = _SET_RE.match(statement)

@@ -123,3 +123,20 @@ def test_crafted_headers_never_divide_by_zero(data):
 
     _check(decode_audio, wav(0, 8000))
     _check(decode_audio, wav(1, 0))
+
+
+@given(_garbage)
+@settings(max_examples=60, deadline=None)
+def test_ftp_and_avro_decode_terminate(data):
+    from kafka_stream_spark.functions import avro_codec
+    from kafka_stream_spark.sources import ftp_codec
+
+    try:
+        replies, rest = ftp_codec.decode_replies(data)
+        assert data.endswith(rest)
+    except OK_ERRORS:
+        pass
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "string"},
+                         {"name": "b", "type": "long"}]}
+    _check(lambda d: avro_codec.decode_record(d, schema), data)
