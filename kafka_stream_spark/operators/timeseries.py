@@ -1603,3 +1603,124 @@ def leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     ).orderBy("lag_days")
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift — the continuous companion to the
+# binned KL monitor above
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ks_drift_events",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    base AS (
+      SELECT vc, count(*) AS cb FROM ev WHERE t = 'view' GROUP BY vc
+    ),
+    oth AS (
+      SELECT t, vc, count(*) AS ct FROM ev WHERE t <> 'view' GROUP BY t, vc
+    ),
+    grid AS (
+      SELECT t, vc FROM oth
+      UNION
+      SELECT o.t, b.vc
+      FROM (SELECT DISTINCT t FROM oth) o CROSS JOIN base b
+    ),
+    cum AS (
+      SELECT g.t, g.vc,
+             sum(coalesce(o.ct, 0)) OVER w AS c1,
+             sum(coalesce(b.cb, 0)) OVER w AS c2,
+             sum(coalesce(o.ct, 0)) OVER (PARTITION BY g.t) AS n1,
+             sum(coalesce(b.cb, 0)) OVER (PARTITION BY g.t) AS n2
+      FROM grid g
+      LEFT JOIN oth o ON o.t = g.t AND o.vc = g.vc
+      LEFT JOIN base b ON b.vc = g.vc
+      WINDOW w AS (PARTITION BY g.t ORDER BY g.vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t AS event_type,
+           CAST(max(n1) AS BIGINT) AS n_obs,
+           CAST(max(n2) AS BIGINT) AS n_base,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+           CAST(max(abs(c1 * n2 - c2 * n1)) * 1000000
+                // (max(n1) * max(n2)) AS BIGINT) AS d_micro
+    FROM cum
+    GROUP BY t
+    ORDER BY t
+    """,
+    description=(
+        "Exact two-sample Kolmogorov-Smirnov distance of each event type's "
+        "value distribution against the 'view' baseline — the continuous "
+        "drift monitor next to the binned KL one. All-integer: values in "
+        "cents, the sup evaluated as max |c1*n2 - c2*n1| over the merged "
+        "support, so both engines agree bit-for-bit"
+    ),
+    bench=False,
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS via counts, never a global sort: values collapse to the distinct
+    cents domain first (bounded by the price range, not the row count), the
+    cumulative step is a per-type partitioned window over that bounded
+    domain, and the statistic is the integer cross-multiplied sup
+    |F1 - F2| — no float CDFs, no engine-ordered float sums. At 100 TB the
+    only corpus-sized work is the two groupBys; everything after is
+    |distinct cents| x |types| sized. Reference framing: the drift screen a
+    Lenses-style continuous-monitoring stack runs next to throughput
+    metrics (kafka-tests.yml's monitoring group)."""
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = ev.where(F.col("t") == "view").groupBy("vc").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    oth = ev.where(F.col("t") != "view").groupBy("t", "vc").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    grid = oth.select("t", "vc").union(
+        base.select("vc").crossJoin(F.broadcast(oth.select("t").distinct()))
+        .select("t", "vc")
+    ).distinct()
+    joined = (
+        grid.join(oth, ["t", "vc"], "left")
+        .join(base, ["vc"], "left")
+        .select(
+            "t", "vc",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("t")
+    cum = joined.select(
+        "t",
+        F.sum("ct").over(w).alias("c1"),
+        F.sum("cb").over(w).alias("c2"),
+        F.sum("ct").over(wt).alias("n1"),
+        F.sum("cb").over(wt).alias("n2"),
+    )
+    return (
+        cum.groupBy("t")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_obs"),
+            F.max("n2").cast("bigint").alias("n_base"),
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("d_num"),
+            F.expr(
+                "CAST(max(abs(c1 * n2 - c2 * n1)) * 1000000"
+                " div (max(n1) * max(n2)) AS BIGINT)"
+            ).alias("d_micro"),
+        )
+        .withColumnRenamed("t", "event_type")
+        .orderBy("event_type")
+    )
