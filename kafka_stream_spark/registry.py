@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         bpe,
         curation_ext,
         components,
+        embedding_stats,
         entity_resolution,
         event_analytics,
         graph_rank,
