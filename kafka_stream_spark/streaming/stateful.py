@@ -30,6 +30,9 @@ Ready-made processors:
 - ``histogram_tracker``: fixed-bin histogram maintainer over a frozen
   [lo, hi] — per-shard counter arrays whose element-wise sum is the
   global histogram (the mergeable streaming quantile state).
+- ``space_saving_tracker``: Space-Saving top-k heavy hitters — m slots
+  per shard with deterministic per-item error certificates (the
+  list-maintaining complement to ``cms_tracker``'s point queries).
 
 Scale: state lives in the state store (set RocksDB via
 ``session.enable_rocksdb_state`` for big keyspaces); keys are hash-
@@ -749,4 +752,84 @@ def histogram_tracker(
 
     return grouped.applyInPandasWithState(
         fn, HIST_SCHEMA, _HIST_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving heavy hitters — deterministic-guarantee top-k state
+# ---------------------------------------------------------------------------
+
+SS_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("item", StringType()),
+        StructField("est_count", LongType()),
+        StructField("max_err", LongType()),
+        StructField("n_processed", LongType()),
+    ]
+)
+_SS_STATE = "items ARRAY<STRING>, counts ARRAY<LONG>, errs ARRAY<LONG>, n LONG"
+
+
+def space_saving_tracker(
+    grouped, shard_col: str, item_col: str, m: int = 64, topk: int = 10
+) -> DataFrame:
+    """Space-Saving (Metwally/Agrawal/El Abbadi 2005) top-k maintainer:
+    exactly ``m`` (item, count, err) slots per shard — O(m) state
+    forever, like ``cms_tracker`` but with per-item DETERMINISTIC bounds
+    instead of probabilistic ones: true_count is always within
+    [est_count - max_err, est_count], and every item whose true
+    frequency exceeds n/m is guaranteed to be in the summary, whatever
+    the arrival order. A new item evicts the current minimum-count slot
+    (ties broken by item string, so replay is deterministic) and
+    inherits its count as the error bound. Emits the shard's top-k
+    each micro-batch (update mode). The complement to ``cms_tracker``:
+    CMS answers point queries about any item; Space-Saving maintains
+    the top-k list itself with certificates."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs, n = state.get
+            tab: dict = {it: [c, e] for it, c, e in zip(items, counts, errs)}
+            n = int(n)
+        else:
+            tab, n = {}, 0
+        for pdf in pdfs:
+            for v in pdf[item_col].astype(str):
+                n += 1
+                slot = tab.get(v)
+                if slot is not None:
+                    slot[0] += 1
+                elif len(tab) < m:
+                    tab[v] = [1, 0]
+                else:
+                    ev_item, ev = min(
+                        tab.items(), key=lambda kv: (kv[1][0], kv[0])
+                    )
+                    del tab[ev_item]
+                    tab[v] = [ev[0] + 1, ev[0]]
+        ordered = sorted(tab)
+        state.update(
+            (
+                ordered,
+                [tab[i][0] for i in ordered],
+                [tab[i][1] for i in ordered],
+                n,
+            )
+        )
+        top = sorted(tab.items(), key=lambda kv: (-kv[1][0], kv[0]))[:topk]
+        yield pd.DataFrame(
+            {
+                "shard": [str(key[0])] * len(top),
+                "item": [t[0] for t in top],
+                "est_count": [t[1][0] for t in top],
+                "max_err": [t[1][1] for t in top],
+                "n_processed": [n] * len(top),
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, SS_SCHEMA, _SS_STATE, "update", GroupStateTimeout.NoTimeout
     )
