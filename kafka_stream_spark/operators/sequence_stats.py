@@ -459,3 +459,116 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "perplexity_buckets_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(toks) - 1
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+    lp AS (
+      SELECT b.doc_id,
+             CAST(round(ln(c2.n2 * 1.0 / c1.n1) * 1000000, 0) AS BIGINT) AS lp_u
+      FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(sum(lp_u) / (count(*) * 1000000.0), 6) AS avg6
+      FROM lp GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT quantile_cont(avg6, 0.33) AS b33,
+             quantile_cont(avg6, 0.66) AS b66
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT d.source,
+             CASE WHEN s.avg6 <= cut.b33 THEN 'tail'
+                  WHEN s.avg6 <= cut.b66 THEN 'middle'
+                  ELSE 'head' END AS bucket,
+             CAST(round(s.avg6 * 1000000) AS BIGINT) AS avg_u
+      FROM scored s
+      JOIN documents d USING (doc_id)
+      CROSS JOIN cut
+    )
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(avg_u) / (count(*) * 1000000.0), 6) AS mean_logprob
+    FROM bucketed
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+    """,
+    description=(
+        "CCNet-style head/middle/tail split: documents bucketed at the "
+        "33rd/66th percentile of their bigram-LM average log-prob, "
+        "rolled up per source (the language-model quality-tier stage "
+        "between scoring and sampling)"
+    ),
+)
+def perplexity_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket boundaries are exact interpolated percentiles over the
+    6dp-rounded doc scores (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` bit-for-bit, the ``corpus_stats_by_source``
+    parity), so the head/middle/tail cut is engine-stable; per-bucket
+    means go back through integer micro-units to keep the final rollup
+    order-independent. Costs the two LM shuffles plus one doc-sized
+    percentile agg — the corpus never re-shuffles for the bucketing
+    itself (the boundary is a broadcast 1-row crossJoin)."""
+    toks = _doc_tokens(spark, sf_dir)
+    big = toks.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("g")
+    ).select("doc_id", "g.w1", "g.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    lp = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n2") / F.col("n1")) * 1000000, 0)
+            .cast("bigint")
+            .alias("lp_u"),
+        )
+    )
+    scored = lp.groupBy("doc_id").agg(
+        F.round(F.sum("lp_u") / (F.count(F.lit(1)) * 1000000.0), 6).alias("avg6")
+    )
+    cut = scored.agg(
+        F.expr("percentile(avg6, 0.33)").alias("b33"),
+        F.expr("percentile(avg6, 0.66)").alias("b66"),
+    )
+    (documents,) = load(spark, sf_dir, "documents")
+    bucketed = (
+        scored.join(documents.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "source",
+            F.when(F.col("avg6") <= F.col("b33"), "tail")
+            .when(F.col("avg6") <= F.col("b66"), "middle")
+            .otherwise("head")
+            .alias("bucket"),
+            F.round(F.col("avg6") * 1000000).cast("bigint").alias("avg_u"),
+        )
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("avg_u") / (F.count(F.lit(1)) * 1000000.0), 6).alias(
+                "mean_logprob"
+            ),
+        )
+        .orderBy("source", "bucket")
+    )
