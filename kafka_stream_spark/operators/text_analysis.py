@@ -593,3 +593,106 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit — the dataset-card power-law audit
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100  # fit over the top-R words per source
+
+
+@query(
+    "zipf_fit_by_source",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT source, word, count(*) AS freq FROM w GROUP BY source, word
+    ),
+    ranked AS (
+      SELECT source, word, freq,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY freq DESC, word) AS rnk
+      FROM wc
+    ),
+    pts AS (
+      SELECT source,
+             CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(freq) * 1000000) AS BIGINT) AS y,
+             CASE WHEN rnk = 1 THEN word END AS top_word
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    mom AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             max(top_word) AS top_word
+      FROM pts GROUP BY source
+    )
+    SELECT source, n AS n_words, top_word,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+             AS r2
+    FROM mom ORDER BY source
+    """,
+    description=(
+        f"Zipf power-law fit per source: OLS slope of ln(freq) vs ln(rank) "
+        f"over the top-{_ZIPF_TOP} words (integer micro-unit moments, so "
+        "the fit is engine-exact) — the dataset-card check that a text "
+        "source has natural-language frequency structure"
+    ),
+)
+def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass: explode-to-words then a (source, word) groupBy
+    with map-side combine (shuffle width = per-source vocabulary, not
+    token count); ranking and the fit run over the top-R rows per
+    source. ln() lands in integer micro-units before any cross-row sum
+    (the ``lm_bigram_logprob`` determinism pattern), and the OLS slope
+    comes from the five integer moment sums (the ``ols_daily_trend``
+    pattern) — both engines agree exactly."""
+    (documents,) = load(spark, sf_dir, "documents")
+    wc = (
+        documents.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = wc.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("freq"), "word")
+        ),
+    ).where(F.col("rnk") <= _ZIPF_TOP)
+    pts = ranked.select(
+        "source",
+        F.round(F.log(F.col("rnk")) * 1000000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("freq")) * 1000000).cast("bigint").alias("y"),
+        F.when(F.col("rnk") == 1, F.col("word")).alias("top_word"),
+    )
+    mom = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.max("top_word").alias("top_word"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "source",
+        F.col("n").alias("n_words"),
+        "top_word",
+        F.round(num * 1.0 / denx, 6).alias("zipf_slope"),
+        F.round((num * 1.0 * num) / (denx * 1.0 * deny), 6).alias("r2"),
+    ).orderBy("source")
