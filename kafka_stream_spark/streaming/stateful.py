@@ -833,3 +833,65 @@ def space_saving_tracker(
     return grouped.applyInPandasWithState(
         fn, SS_SCHEMA, _SS_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k-by-hash reservoir — deterministic uniform sample of a stream
+# ---------------------------------------------------------------------------
+
+RESERVOIR_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("sample", ArrayType(StringType())),
+        StructField("n_seen", LongType()),
+        StructField("n_distinct_tracked", LongType()),
+    ]
+)
+_RESERVOIR_STATE = "hashes ARRAY<LONG>, items ARRAY<STRING>, n LONG"
+
+
+def hash_reservoir_sampler(
+    grouped, key_col: str, item_col: str, k: int = 32
+) -> DataFrame:
+    """Uniform k-sample of an unbounded stream with NO RNG: keep the k
+    items with the smallest md5 priorities (the hash-based variant of
+    reservoir sampling / Efraimidis-Spirakis with unit weights — the
+    same determinism move as the batch ``weighted_sample_documents``).
+    Because min-k sets merge by union+truncate, the state after any
+    number of micro-batches equals the batch bottom-k over everything
+    seen — replay- and checkpoint-stable, O(k) state per key. Distinct
+    items only (a re-arriving item keeps its priority), which is what a
+    training-data spot-check sample wants."""
+    import hashlib
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, its, n = state.get
+            pool = dict(zip(hs, its))
+            n = int(n)
+        else:
+            pool, n = {}, 0
+        for pdf in pdfs:
+            for v in pdf[item_col].astype(str):
+                n += 1
+                hv = int(
+                    hashlib.md5(f"rsv:{v}".encode()).hexdigest()[:15], 16
+                )
+                pool[hv] = v
+        kept = sorted(pool)[:k]
+        pool = {h: pool[h] for h in kept}
+        state.update((kept, [pool[h] for h in kept], n))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "sample": [[pool[h] for h in kept]],
+                "n_seen": [n],
+                "n_distinct_tracked": [len(kept)],
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, RESERVOIR_SCHEMA, _RESERVOIR_STATE, "update", GroupStateTimeout.NoTimeout
+    )
