@@ -449,6 +449,7 @@ _RA_MIN_CO = 2  # edge = parts co-purchased in >= 2 orders (tie strength)
         "Adamic-Adar: common neighbours weighted 1/deg instead of 1/log "
         "deg) over non-adjacent pairs, top-25 predicted edges"
     ),
+    bench=True,
 )
 def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wedge-join shape, never |parts|^2: the graph keeps only ties

@@ -648,6 +648,7 @@ _ZIPF_TOP = 100  # fit over the top-R words per source
         "the fit is engine-exact) — the dataset-card check that a text "
         "source has natural-language frequency structure"
     ),
+    bench=True,
 )
 def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One corpus pass: explode-to-words then a (source, word) groupBy

@@ -1659,7 +1659,7 @@ def leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents, the sup evaluated as max |c1*n2 - c2*n1| over the merged "
         "support, so both engines agree bit-for-bit"
     ),
-    bench=False,
+    bench=True,
 )
 def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS via counts, never a global sort: values collapse to the distinct
