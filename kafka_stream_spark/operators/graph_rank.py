@@ -512,3 +512,102 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_u"), "part_a", "part_b")
         .limit(_RA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality — bounded-hop BFS, exactly verifiable
+# ---------------------------------------------------------------------------
+
+_HC_HOPS = 4
+_HC_SCALE = 1_000_000
+_HC_TOPK = 25
+
+
+def _hc_duck_iter(k: int) -> str:
+    """One unrolled BFS relaxation: dist{k} = min(dist{k-1}, one more hop)."""
+    return f"""
+    dist{k} AS MATERIALIZED (
+      SELECT src, dst, min(d) AS d FROM (
+        SELECT src, dst, d FROM dist{k - 1}
+        UNION ALL
+        SELECT p.src, e.dst, p.d + 1 AS d
+        FROM dist{k - 1} p JOIN edges e ON e.src = p.dst
+        WHERE e.dst <> p.src
+      ) GROUP BY src, dst
+    )"""
+
+
+@query(
+    "harmonic_centrality_parts",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY src, dst
+      HAVING count(*) >= {_RA_MIN_CO}
+    ),
+    dist1 AS MATERIALIZED (SELECT src, dst, 1 AS d FROM edges),
+    {",".join(_hc_duck_iter(k) for k in range(2, _HC_HOPS + 1))}
+    SELECT src AS l_partkey,
+           CAST(sum({_HC_SCALE} // d) AS BIGINT) AS harmonic_u,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM dist{_HC_HOPS}
+    GROUP BY src
+    ORDER BY harmonic_u DESC, l_partkey
+    LIMIT {_HC_TOPK}
+    """,
+    description=(
+        f"Harmonic centrality within {_HC_HOPS} hops on the tie-strength "
+        "co-purchase graph (Boldi-Vigna 2014's harmonic variant of "
+        "closeness, the one defined on disconnected graphs) — integer "
+        "1/d micro-weights, bit-exact unrolled-CTE BFS oracle"
+    ),
+)
+def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS as {_HC_HOPS} min-plus relaxation rounds: each
+    round is one dist⋈edges hash join plus a (src, dst) min-groupBy with
+    map-side combine — the Pregel SSSP step writ as DataFrame ops. The
+    hop bound caps the pair mass at Sum |B_4(v)| (4-hop neighborhoods),
+    which is what makes all-sources centrality tractable on a sparse
+    tie-strength graph — the full-closeness variant is |V| BFS traversals
+    and is exactly what this operator deliberately is NOT. localCheckpoint
+    per round keeps the plan linear (NOTES.md sharp edge #10)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("co_n"))
+        .where(F.col("co_n") >= _RA_MIN_CO)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    dist = edges.select("src", "dst", F.lit(1).alias("d"))
+    hop = edges.select(F.col("src").alias("dst"), F.col("dst").alias("w"))
+    for _ in range(_HC_HOPS - 1):
+        expanded = (
+            dist.join(hop, "dst")
+            .where(F.col("w") != F.col("src"))
+            .select("src", F.col("w").alias("dst"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        dist.groupBy("src")
+        .agg(
+            F.sum(F.expr(f"{_HC_SCALE} div d")).cast("bigint").alias("harmonic_u"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        )
+        .select(F.col("src").alias("l_partkey"), "harmonic_u", "n_reached")
+        .orderBy(F.desc("harmonic_u"), "l_partkey")
+        .limit(_HC_TOPK)
+    )
