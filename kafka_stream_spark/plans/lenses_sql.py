@@ -13,6 +13,9 @@ this shell adds only the non-relational dialect statements on top of
     DESCRIBE [TOPIC] <name>      -> column name/type rows
     SET 'key' = 'value'          -> session conf (Lenses SET statements)
     INSERT INTO <t> SELECT ...   -> processor: materialize result as view <t>
+    EXPLAIN [EXTENDED] SELECT .. -> Catalyst plan rows (the shell's
+                                    query-inspection surface; EXTENDED =
+                                    all four plan phases)
     anything else                -> spark.sql(...) verbatim
 
 Everything returns a DataFrame so results compose with the rest of the
@@ -33,6 +36,7 @@ _DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(?:TOPIC\s+)?(\w+)\s*;?\s*$", re.I)
 _SHOW_TOPICS_RE = re.compile(r"^\s*SHOW\s+TOPICS\s*;?\s*$", re.I)
 _SHOW_QUERIES_RE = re.compile(r"^\s*SHOW\s+QUERIES\s*;?\s*$", re.I)
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", re.I | re.S)
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(EXTENDED\s+)?(SELECT\b.*)$", re.I | re.S)
 
 
 class LensesShell:
@@ -78,6 +82,14 @@ class LensesShell:
             df = self.catalog.table(m.group(1))
             rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema]
             return self.spark.createDataFrame(rows, ["column", "type", "nullable"])
+
+        m = _EXPLAIN_RE.match(statement)
+        if m:
+            extended, select = bool(m.group(1)), m.group(2).rstrip("; \n")
+            qe = self.spark.sql(select)._jdf.queryExecution()
+            text = qe.toString() if extended else qe.simpleString()
+            rows = [(i, line) for i, line in enumerate(text.splitlines())]
+            return self.spark.createDataFrame(rows, "line int, plan string")
 
         m = _INSERT_RE.match(statement)
         if m:

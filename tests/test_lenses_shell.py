@@ -87,3 +87,26 @@ def test_register_topic_system_fields_browse(spark, tmp_path):
     parts = {r._partition for r in shell.execute(
         "SELECT _partition FROM vessels").collect()}
     assert parts <= {0, 1}
+
+
+def test_explain_returns_plan_rows(spark):
+    sh = _shell(spark)
+    sh.execute("SELECT 1").count()  # warm
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "sh_orders"
+    )
+    out = sh.execute(
+        "EXPLAIN SELECT o_orderpriority, count(*) FROM sh_orders"
+        " WHERE o_totalprice > 1000 GROUP BY o_orderpriority;"
+    ).collect()
+    text = "\n".join(r.plan for r in out)
+    assert "HashAggregate" in text or "Aggregate" in text
+    # the physical plan must show the filter pushed into the scan
+    assert "PushedFilters" in text or "Filter" in text
+    ext = sh.execute(
+        "EXPLAIN EXTENDED SELECT count(*) FROM sh_orders"
+    ).collect()
+    ext_text = "\n".join(r.plan for r in ext)
+    for phase in ("Parsed Logical Plan", "Analyzed Logical Plan",
+                  "Optimized Logical Plan", "Physical Plan"):
+        assert phase in ext_text
