@@ -55,37 +55,98 @@ def _tdiv(a: int, b: int) -> int:
     return -((-a) // b) if a < 0 else a // b
 
 
+def _arr(xs: list[int]) -> str:
+    return "array(" + ",".join(f"{x}L" for x in xs) + ")"
+
+
+def _dot_col(v: list[int]):
+    """d = c . v as a sequential JVM array fold (order-fixed, integer)."""
+    return F.expr(
+        f"aggregate(zip_with(c, {_arr(v)}, (x, y) -> x * y),"
+        f" 0L, (a, x) -> a + x)"
+    )
+
+
+def _centered(spark: SparkSession, sf_dir: str):
+    """(vec_id, label, c) with c the micro-unit centered embedding."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding,"
+            f" x -> CAST(round(CAST(x AS DOUBLE) * {_U_SCALE}) AS BIGINT))"
+        ).alias("u"),
+    )
+    stats = (
+        u.select(F.posexplode("u").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n = int(stats[0]["cnt"])
+    s = [0] * _D
+    for r in stats:
+        s[r["i"]] = int(r["s"])
+    m = [_tdiv(x, n) for x in s]
+    return u.select(
+        "vec_id",
+        "label",
+        F.expr(f"zip_with(u, {_arr(m)}, (x, y) -> x - y)").alias("c"),
+    ).localCheckpoint()
+
+
+def _power_iterate(c_df, iters: int = _ITERS) -> list[int]:
+    """The distributed power loop: per round one corpus pass + a
+    64-value collect + integer renormalization in the driver."""
+    v = [_V_NORM] * _D
+    for _ in range(iters):
+        w_rows = (
+            c_df.select(F.posexplode("c").alias("i", "ci"), _dot_col(v).alias("d"))
+            .groupBy("i")
+            .agg(F.sum(F.col("ci") * F.col("d")).alias("w"))
+            .collect()
+        )
+        w = [0] * _D
+        for r in w_rows:
+            w[r["i"]] = int(r["w"])
+        dv = max(1, max(abs(x) for x in w) // _V_NORM)
+        v = [_tdiv(x, dv) for x in w]
+    return v
+
+
 def _terms(fmt: str, sep: str = ", ") -> str:
     return sep.join(fmt.format(i=i, i1=i + 1) for i in range(_D))
 
 
-def _duck_iter(k: int) -> str:
-    """One unrolled power-iteration round: p{k} (projections) from c and
-    v{k-1}; w{k} (C^T C v); v{k} (renormalized integer direction)."""
+def _duck_iter(k: int, tbl: str = "c", pfx: str = "") -> str:
+    """One unrolled power-iteration round over centered table ``tbl``
+    (columns c0..c63): {pfx}p{k} (projections) from tbl and {pfx}v{k-1};
+    {pfx}w{k} (C^T C v); {pfx}v{k} (renormalized integer direction)."""
     if k == 1:
         proj = _terms(f"c{{i}} * {_V_NORM}", " + ")
-        src = "c"
+        src = f"{tbl} c"
     else:
         proj = _terms("c.c{i} * v.v{i}", " + ")
-        src = f"c CROSS JOIN v{k - 1} v"
+        src = f"{tbl} c CROSS JOIN {pfx}v{k - 1} v"
     return f"""
-    p{k} AS MATERIALIZED (
+    {pfx}p{k} AS MATERIALIZED (
       SELECT c.*, ({proj}) AS d FROM {src}
     ),
-    w{k} AS MATERIALIZED (
-      SELECT {_terms("CAST(sum(c{i} * d) AS BIGINT) AS w{i}")} FROM p{k}
+    {pfx}w{k} AS MATERIALIZED (
+      SELECT {_terms("CAST(sum(c{i} * d) AS BIGINT) AS w{i}")} FROM {pfx}p{k}
     ),
-    v{k} AS MATERIALIZED (
+    {pfx}v{k} AS MATERIALIZED (
       SELECT {_terms("w{i} // dv AS v{i}")}
       FROM (
         SELECT *,
                greatest(1, greatest({_terms("abs(w{i})")}) // {_V_NORM}) AS dv
-        FROM w{k}
+        FROM {pfx}w{k}
       )
     )"""
 
 
-def _duck_top() -> str:
+def _duck_top(pfx: str = "", suffix: str = "") -> str:
     mx = f"greatest({_terms('abs(v{i})')})"
     dim_cases = " ".join(
         f"WHEN abs(v{i}) = mx THEN {i}" for i in range(_D)
@@ -94,10 +155,10 @@ def _duck_top() -> str:
         f"WHEN abs(v{i}) = mx THEN v{i}" for i in range(_D)
     )
     return f"""
-    top AS MATERIALIZED (
-      SELECT CAST(CASE {dim_cases} END AS INT) AS top_dim,
-             CAST(CASE {load_cases} END AS BIGINT) AS top_loading
-      FROM (SELECT *, {mx} AS mx FROM v{_ITERS})
+    {pfx}top AS MATERIALIZED (
+      SELECT CAST(CASE {dim_cases} END AS INT) AS top_dim{suffix},
+             CAST(CASE {load_cases} END AS BIGINT) AS top_loading{suffix}
+      FROM (SELECT *, {mx} AS mx FROM {pfx}v{_ITERS})
     )"""
 
 
@@ -161,57 +222,9 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer renormalization in the driver (exactly mirrored by the
     oracle's v{k} CTE). localCheckpoint on c keeps the plan linear in
     rounds (NOTES.md sharp edge #10)."""
-    (emb,) = load(spark, sf_dir, "embeddings")
-    u = emb.select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(embedding,"
-            f" x -> CAST(round(CAST(x AS DOUBLE) * {_U_SCALE}) AS BIGINT))"
-        ).alias("u"),
-    )
-    stats = (
-        u.select(F.posexplode("u").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    n = int(stats[0]["cnt"])
-    s = [0] * _D
-    for r in stats:
-        s[r["i"]] = int(r["s"])
-    m = [_tdiv(x, n) for x in s]
-    m_lit = "array(" + ",".join(f"{x}L" for x in m) + ")"
-    c_df = u.select(
-        "vec_id",
-        "label",
-        F.expr(f"zip_with(u, {m_lit}, (x, y) -> x - y)").alias("c"),
-    ).localCheckpoint()
-
-    v = [_V_NORM] * _D
-    for _ in range(_ITERS):
-        v_lit = "array(" + ",".join(f"{x}L" for x in v) + ")"
-        d_col = F.expr(
-            f"aggregate(zip_with(c, {v_lit}, (x, y) -> x * y),"
-            f" 0L, (a, x) -> a + x)"
-        )
-        w_rows = (
-            c_df.select(F.posexplode("c").alias("i", "ci"), d_col.alias("d"))
-            .groupBy("i")
-            .agg(F.sum(F.col("ci") * F.col("d")).alias("w"))
-            .collect()
-        )
-        w = [0] * _D
-        for r in w_rows:
-            w[r["i"]] = int(r["w"])
-        dv = max(1, max(abs(x) for x in w) // _V_NORM)
-        v = [_tdiv(x, dv) for x in w]
-
-    v_lit = "array(" + ",".join(f"{x}L" for x in v) + ")"
-    d_col = F.expr(
-        f"aggregate(zip_with(c, {v_lit}, (x, y) -> x * y),"
-        f" 0L, (a, x) -> a + x)"
-    )
+    c_df = _centered(spark, sf_dir)
+    v = _power_iterate(c_df)
+    d_col = _dot_col(v)
     proj = c_df.select("label", d_col.alias("d"))
     lab = proj.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
@@ -239,6 +252,143 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(top_dim).cast("int").alias("top_dim"),
             F.lit(v[top_dim]).cast("bigint").alias("top_loading"),
             "var_u",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-component PCA — exact integer deflation, then a second power loop
+# ---------------------------------------------------------------------------
+
+_SHIFT = 1 << 26  # post-deflation rescale (keeps stage-2 sums inside BIGINT)
+
+
+@query(
+    "pca2_embeddings",
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_U_SCALE}) AS BIGINT)) AS u
+      FROM embeddings
+    ),
+    s AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {_terms("CAST(sum(u[{i1}]) AS BIGINT) AS s{i}")}
+      FROM u
+    ),
+    m AS MATERIALIZED (
+      SELECT n, {_terms("s{i} // n AS m{i}")} FROM s
+    ),
+    c AS MATERIALIZED (
+      SELECT vec_id, label, {_terms("u.u[{i1}] - m.m{i} AS c{i}")}
+      FROM u CROSS JOIN m
+    ),
+    {",".join(_duck_iter(k) for k in range(1, _ITERS + 1))},
+    pf1 AS MATERIALIZED (
+      SELECT c.*, ({_terms("c.c{i} * v.v{i}", " + ")}) AS d
+      FROM c c CROSS JOIN v{_ITERS} v
+    ),
+    vn AS MATERIALIZED (
+      SELECT ({_terms("v{i} * v{i}", " + ")}) AS vn FROM v{_ITERS}
+    ),
+    c2s AS MATERIALIZED (
+      SELECT p.vec_id, p.label, p.d AS d1,
+             {_terms(f"(vn.vn * p.c{{i}} - p.d * v.v{{i}}) // {_SHIFT} AS c{{i}}")}
+      FROM pf1 p CROSS JOIN v{_ITERS} v CROSS JOIN vn
+    ),
+    {",".join(_duck_iter(k, tbl="c2s", pfx="q") for k in range(1, _ITERS + 1))},
+    pf2 AS MATERIALIZED (
+      SELECT c.label, c.d1, ({_terms("c.c{i} * v.v{i}", " + ")}) AS d2
+      FROM c2s c CROSS JOIN qv{_ITERS} v
+    ),
+    lab AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(d1) AS BIGINT) AS sum_p1_u,
+             CAST(sum(d2) AS BIGINT) AS sum_p2_u
+      FROM pf2 GROUP BY label
+    ),
+    var AS (
+      SELECT CAST(sum((abs(d1) // {_V_NORM}) * (abs(d1) // {_V_NORM}))
+                  AS BIGINT) AS var1_u,
+             CAST(sum((abs(d2) // {_V_NORM}) * (abs(d2) // {_V_NORM}))
+                  AS BIGINT) AS var2_u
+      FROM pf2
+    ),
+    {_duck_top(suffix="1")},
+    {_duck_top(pfx="q", suffix="2")}
+    SELECT lab.label, lab.n_vecs, lab.sum_p1_u, lab.sum_p2_u,
+           top.top_dim1, qtop.top_dim2, var.var1_u, var.var2_u
+    FROM lab CROSS JOIN var CROSS JOIN top CROSS JOIN qtop
+    ORDER BY lab.label
+    """,
+    description=(
+        "Two-component PCA: after the PC1 power loop, the corpus is "
+        "deflated EXACTLY in integers (c2 = |v|^2 * c - (c.v) v, which is "
+        "orthogonal to v with zero rounding), rescaled by a fixed "
+        "truncating shift, and a second power loop extracts PC2 — "
+        "per-label projections onto both components, argmax dims, and "
+        "both Rayleigh variance numerators; same bit-exact unrolled "
+        "oracle discipline as pca_embeddings"
+    ),
+)
+def pca2_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic deflation trick made integer-exact: c2 = vn*c - d*v
+    satisfies c2 . v = vn*(c.v) - (c.v)*vn = 0 identically, so no
+    orthogonalization error accumulates before the fixed ``div`` rescale
+    (truncation consistent across Spark/DuckDB/driver). Stage 2 is the
+    same one-pass-per-round loop as stage 1, on the deflated corpus
+    (localCheckpointed once). Two iterations' worth of corpus passes,
+    still zero corpus shuffles."""
+    c_df = _centered(spark, sf_dir)
+    v1 = _power_iterate(c_df)
+    vn = sum(x * x for x in v1)
+    c2_df = (
+        c_df.select("vec_id", "label", "c", _dot_col(v1).alias("d1"))
+        .select(
+            "vec_id",
+            "label",
+            "d1",
+            F.expr(
+                f"zip_with(c, {_arr(v1)},"
+                f" (x, y) -> ({vn}L * x - d1 * y) div {_SHIFT})"
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    v2 = _power_iterate(c2_df)
+    pf = c2_df.select("label", "d1", _dot_col(v2).alias("d2"))
+    lab = pf.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("d1").cast("bigint").alias("sum_p1_u"),
+        F.sum("d2").cast("bigint").alias("sum_p2_u"),
+    )
+    var_df = pf.agg(
+        F.sum(F.expr(f"(abs(d1) div {_V_NORM}) * (abs(d1) div {_V_NORM})"))
+        .cast("bigint")
+        .alias("var1_u"),
+        F.sum(F.expr(f"(abs(d2) div {_V_NORM}) * (abs(d2) div {_V_NORM})"))
+        .cast("bigint")
+        .alias("var2_u"),
+    )
+
+    def _top(v: list[int]) -> int:
+        mx = max(abs(x) for x in v)
+        return min(i for i in range(_D) if abs(v[i]) == mx)
+
+    return (
+        lab.crossJoin(F.broadcast(var_df))
+        .select(
+            "label",
+            "n_vecs",
+            "sum_p1_u",
+            "sum_p2_u",
+            F.lit(_top(v1)).cast("int").alias("top_dim1"),
+            F.lit(_top(v2)).cast("int").alias("top_dim2"),
+            "var1_u",
+            "var2_u",
         )
         .orderBy("label")
     )
