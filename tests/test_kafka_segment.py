@@ -1,0 +1,157 @@
+"""Kafka RecordBatch v2 / log-segment codec: spec-pinned layout
+(magic 2, CRC-32C, zigzag varints), none+gzip codecs, corruption
+detection, and the distributed export→ingest round trip."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_stream_spark.sources.kafka_segment import (
+    MAGIC,
+    SegmentError,
+    crc32c,
+    decode_record_batch,
+    decode_segment,
+    encode_record_batch,
+    encode_segment,
+    export_topic_segments,
+    segment_filename,
+    segments_to_df,
+)
+
+
+def test_crc32c_known_vectors():
+    # canonical Castagnoli check value + RFC 3720 B.4 all-zeros vector
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_batch_layout_is_spec_pinned():
+    blob = encode_record_batch(
+        [{"key": None, "value": b"", "timestamp_ms": 7}], base_offset=42
+    )
+    base_offset, batch_length = struct.unpack_from(">qi", blob, 0)
+    assert base_offset == 42
+    assert len(blob) == 12 + batch_length  # batchLength covers the rest
+    assert blob[16] == MAGIC  # magic byte at fixed position 16
+    # attributes..recordCount block starts at 21; recordCount at 57
+    assert struct.unpack_from(">i", blob, 57)[0] == 1
+    # minimum v2 batch: 61-byte header + 7-byte record
+    assert len(blob) == 68
+
+
+def test_roundtrip_nulls_headers_codecs():
+    recs = [
+        {"key": b"k1", "value": b"v1", "timestamp_ms": 1000,
+         "headers": [("trace", b"abc"), ("null-h", None)]},
+        {"key": None, "value": b"v2", "timestamp_ms": 999},
+        {"key": b"k3", "value": None, "timestamp_ms": 2000},
+    ]
+    for comp in ("none", "gzip"):
+        batch, end = decode_record_batch(encode_record_batch(recs, 100, comp))
+        assert batch["compression"] == comp
+        assert batch["base_offset"] == 100 and batch["last_offset"] == 102
+        out = batch["records"]
+        assert [r["offset"] for r in out] == [100, 101, 102]
+        assert [r["timestamp_ms"] for r in out] == [1000, 999, 2000]
+        assert out[0]["headers"] == [("trace", b"abc"), ("null-h", None)]
+        assert out[1]["key"] is None and out[2]["value"] is None
+
+
+def test_segment_multi_batch():
+    recs = [
+        {"key": f"k{i}".encode(), "value": bytes([i % 251]), "timestamp_ms": i}
+        for i in range(1000)
+    ]
+    seg = encode_segment(recs, base_offset=5, batch_size=256)
+    got = decode_segment(seg)
+    assert [r["offset"] for r in got] == list(range(5, 1005))
+    assert got[700]["value"] == bytes([700 % 251])
+    assert segment_filename(5) == "00000000000000000005.log"
+
+
+def test_gzip_compresses_repetitive_payload():
+    recs = [{"key": None, "value": b"A" * 100, "timestamp_ms": 0}] * 200
+    assert len(encode_record_batch(recs, 0, "gzip")) < len(
+        encode_record_batch(recs, 0, "none")
+    )
+
+
+def test_corruption_detected():
+    recs = [{"key": b"a", "value": b"b", "timestamp_ms": 1}]
+    good = encode_record_batch(recs, 0)
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF
+    with pytest.raises(SegmentError, match="crc"):
+        decode_record_batch(bytes(flipped))
+    wrong_magic = bytearray(good)
+    wrong_magic[16] = 1
+    with pytest.raises(SegmentError, match="magic"):
+        decode_record_batch(bytes(wrong_magic))
+    with pytest.raises(SegmentError):
+        decode_record_batch(good[: len(good) - 3])
+    with pytest.raises(SegmentError):
+        encode_record_batch(recs, 0, compression="zstd")
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_hostile_bytes_raise_typed_errors(blob):
+    """Arbitrary bytes must terminate with SegmentError, never crash or
+    hang (same contract as the repo-wide codec fuzz suite)."""
+    try:
+        decode_segment(blob)
+    except SegmentError:
+        pass
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.binary(max_size=30)),
+            st.one_of(st.none(), st.binary(max_size=60)),
+            st.integers(0, 2**41),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_property(tuples):
+    recs = [
+        {"key": k, "value": v, "timestamp_ms": t} for k, v, t in tuples
+    ]
+    got = decode_segment(encode_segment(recs, 17, batch_size=7))
+    assert [(r["key"], r["value"], r["timestamp_ms"]) for r in got] == [
+        (k, v, t) for k, v, t in tuples
+    ]
+    assert [r["offset"] for r in got] == list(range(17, 17 + len(recs)))
+
+
+def test_export_ingest_roundtrip_through_spark(spark, tmp_path):
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    t = FileTopic(spark, str(tmp_path / "topics"), "seg", partitions=3)
+    t.append(
+        spark.createDataFrame(
+            [(f"k{i}".encode(), f"payload-{i}".encode()) for i in range(24)],
+            "key binary, value binary",
+        )
+    )
+    out = str(tmp_path / "segments")
+    files = export_topic_segments(t.read(), out, compression="gzip")
+    assert files and all(f.endswith(".log") for f in files)
+    # the broker data-dir layout: partition dirs, offset-named segments
+    assert any("partition=" in f for f in files)
+
+    back = segments_to_df(spark, out).collect()
+    want = {
+        (bytes(r.value), r.partition, r.offset) for r in t.read().collect()
+    }
+    got = {(bytes(r.value), r.partition, r.offset) for r in back}
+    assert got == want
+    # timestamps survive at ms precision
+    ts = {(r.partition, r.offset): r.timestamp for r in back}
+    assert len(ts) == 24 and all(v is not None for v in ts.values())
