@@ -81,3 +81,30 @@ def export_ocf(src: FileTopic, out_dir: str, checkpoint: str) -> StreamingQuery:
         .trigger(availableNow=True)
         .start()
     )
+
+
+def export_segments(src: FileTopic, out_dir: str, checkpoint: str) -> StreamingQuery:
+    """Drain the topic to wire-true Kafka log segments (magic-v2 record
+    batches, CRC-32C) — the broker's own on-disk format, so downstream
+    tooling that reads a data dir (kafka-dump-log, tiered-storage
+    readers) consumes the drain unchanged. Batch-id-keyed directories
+    keep the sink idempotent under checkpoint recovery (T5), same as
+    :func:`export_ocf`."""
+    import os
+
+    from kafka_stream_spark.sources.kafka_segment import export_topic_segments
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        export_topic_segments(
+            batch_df, os.path.join(out_dir, f"batch-{batch_id}")
+        )
+
+    return (
+        src.read_stream()
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -155,3 +155,31 @@ def test_export_ingest_roundtrip_through_spark(spark, tmp_path):
     # timestamps survive at ms precision
     ts = {(r.partition, r.offset): r.timestamp for r in back}
     assert len(ts) == 24 and all(v is not None for v in ts.values())
+
+
+def test_streaming_segment_drain(spark, tmp_path):
+    """availableNow drain → batch-keyed segment dirs; records match and
+    the per-partition files are broker-layout."""
+    from kafka_stream_spark.sources.replication import export_segments
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    t = FileTopic(spark, str(tmp_path / "topics"), "sdrain", partitions=2)
+    t.append(
+        spark.createDataFrame(
+            [(f"k{i}".encode(), f"sv-{i}".encode()) for i in range(10)],
+            "key binary, value binary",
+        )
+    )
+    out = str(tmp_path / "segdump")
+    q = export_segments(t, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    import os
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch-")]
+    assert batch_dirs
+    got = set()
+    for d in batch_dirs:
+        for r in segments_to_df(spark, os.path.join(out, d)).collect():
+            got.add(bytes(r.value))
+    assert got == {f"sv-{i}".encode() for i in range(10)}
