@@ -55,7 +55,14 @@ def timestamp_router(ts_col: str, fmt: str = "yyyyMMdd", topic_col: str = "topic
     """TimestampRouter: rewrite the topic/route by the record timestamp —
     the partitioned-sink-path analog (SURVEY.md P6)."""
     def t(df: DataFrame) -> DataFrame:
-        stamped = F.date_format(F.col(ts_col), fmt)
+        # route on the UTC wall clock, not the session's: date_format
+        # renders session-local digits, so a non-UTC session would route
+        # the same instant to a different daily topic (the Mongo-$date
+        # bug class from the round-2 advisory, applied to routing)
+        stamped = F.date_format(
+            F.to_utc_timestamp(F.col(ts_col), F.expr("current_timezone()")),
+            fmt,
+        )
         routed = F.lit(pattern)
         routed = F.replace(routed, F.lit("{topic}"), F.col(topic_col))
         routed = F.replace(routed, F.lit("{timestamp}"), stamped)

@@ -178,10 +178,13 @@ def monitored_records_df(df: DataFrame, value_col: str = "body") -> DataFrame:
             for name, base, raw in zip(pdf["name"], pdf["offset"], pdf[value_col]):
                 at = int(base)
                 for line in bytes(raw).split(b"\n"):
-                    if line:
+                    # CRLF files: strip the carriage return from the
+                    # record text; byte offsets still count raw bytes
+                    body = line[:-1] if line.endswith(b"\r") else line
+                    if body:
                         names.append(name)
                         offsets.append(at)
-                        texts.append(line.decode("utf-8", "replace"))
+                        texts.append(body.decode("utf-8", "replace"))
                     at += len(line) + 1
             yield pd.DataFrame(
                 {

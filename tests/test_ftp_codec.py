@@ -128,3 +128,21 @@ def test_monitored_records_df(spark):
         ("b.log", 10): "gamma",
         ("b.log", 17): "delta",
     }
+
+
+def test_monitored_records_crlf_lines_stripped(spark):
+    import pandas as pd
+
+    from kafka_stream_spark.sources import ftp_codec as f
+
+    df = spark.createDataFrame(
+        [("w.txt", 0, bytearray(b"alpha\r\nbeta\r\n\r\ngamma"))],
+        "name string, offset long, body binary",
+    )
+    rows = sorted(
+        (r.byte_offset, r.line)
+        for r in f.monitored_records_df(df).collect()
+    )
+    # \r never reaches the record text; blank CRLF line skipped;
+    # offsets still count raw bytes (CR included)
+    assert rows == [(0, "alpha"), (7, "beta"), (15, "gamma")]

@@ -50,3 +50,23 @@ def test_smt_filter_keeps_pushdown(spark, sf_dir):
     out = smt.apply_chain(orders, [smt.filter_predicate("o_custkey = 7")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
+
+
+def test_timestamp_router_is_tz_invariant(spark):
+    """The route must name the UTC day of the instant, whatever the
+    session timezone (the $date bug class applied to routing)."""
+    from kafka_stream_spark.plans import smt
+
+    df = spark.createDataFrame(
+        [("t", "2024-03-01 23:30:00")], "topic string, s string"
+    ).selectExpr("topic", "to_timestamp(s) AS ts")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_route = smt.timestamp_router("ts", "yyyyMMdd")(df).collect()[0].topic
+        # the stored instant is fixed; re-render under a session far west
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_route = smt.timestamp_router("ts", "yyyyMMdd")(df).collect()[0].topic
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc_route == ny_route
