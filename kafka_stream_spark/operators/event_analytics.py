@@ -1044,3 +1044,98 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed funnel — the time-budgeted variant (ClickHouse windowFunnel shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "windowed_funnel_events",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(t1.t1) AS t1, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts <= t2.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT d.depth,
+           CASE d.depth
+             WHEN 1 THEN (SELECT count(*) FROM t1)
+             WHEN 2 THEN (SELECT count(*) FROM t2)
+             ELSE (SELECT count(*) FROM t3)
+           END AS n_users_reaching
+    FROM (SELECT unnest([1, 2, 3]) AS depth) d
+    ORDER BY d.depth
+    """,
+    description=(
+        "Windowed funnel (view -> click -> purchase, whole chain within "
+        "24h of the anchor view): per-depth user counts — the "
+        "time-budgeted windowFunnel variant next to the unbounded "
+        "funnel_conversion"
+    ),
+)
+def windowed_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same three user-keyed min-aggregations as funnel_conversion (one
+    exchange key throughout, AQE reuses it), with every later stage
+    bounded by the ANCHOR's 24h budget, not just the previous stage's
+    timestamp — the deterministic first-anchor reading of windowFunnel
+    (the chain starts at the user's first view; each stage is the
+    earliest qualifying event). One row per depth at any scale."""
+    (events,) = load(spark, sf_dir, "events")
+    t1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        events.join(t1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    depths = spark.range(1, 4).select(F.col("id").cast("int").alias("depth"))
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("c2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("c3")))
+    )
+    return (
+        depths.crossJoin(F.broadcast(counts))
+        .select(
+            "depth",
+            F.when(F.col("depth") == 1, F.col("c1"))
+            .when(F.col("depth") == 2, F.col("c2"))
+            .otherwise(F.col("c3"))
+            .cast("bigint")
+            .alias("n_users_reaching"),
+        )
+        .orderBy("depth")
+    )

@@ -890,3 +890,160 @@ def diversified_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price_cents"), "o_orderkey")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# collaborative-filtering neighbors + promo elasticity
+# ---------------------------------------------------------------------------
+
+_UU_MAX_BUYERS = 25  # ignore ubiquitous parts (the posting-list hub cap)
+_UU_MIN_SHARED = 2
+_UU_TOPK = 25
+
+
+@query(
+    "user_similarity_parts",
+    oracle=f"""
+    WITH up AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    rare AS (
+      SELECT p FROM up GROUP BY p
+      HAVING count(*) <= {_UU_MAX_BUYERS}
+    ),
+    upr AS (SELECT u, up.p FROM up JOIN rare ON rare.p = up.p),
+    sizes AS (SELECT u, count(*) AS n FROM upr GROUP BY u),
+    pairs AS (
+      SELECT a.u AS ua, b.u AS ub, count(*) AS shared
+      FROM upr a JOIN upr b ON a.p = b.p AND a.u < b.u
+      GROUP BY a.u, b.u
+      HAVING count(*) >= {_UU_MIN_SHARED}
+    )
+    SELECT p.ua AS cust_a, p.ub AS cust_b,
+           CAST(p.shared AS BIGINT) AS shared_parts,
+           CAST(p.shared * 1000000 // (sa.n + sb.n - p.shared) AS BIGINT)
+             AS jaccard_u
+    FROM pairs p
+    JOIN sizes sa ON sa.u = p.ua
+    JOIN sizes sb ON sb.u = p.ub
+    ORDER BY jaccard_u DESC, cust_a, cust_b
+    LIMIT {_UU_TOPK}
+    """,
+    description=(
+        "User-user collaborative-filtering neighbors: Jaccard over "
+        "purchased part sets (posting-list join on the part, ubiquitous "
+        f"parts above {_UU_MAX_BUYERS} buyers excluded — the IDF-style "
+        "hub cap), integer micro-Jaccard, top-25 most similar pairs"
+    ),
+)
+def user_similarity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The item-based posting-list join (never |users|^2): pair mass is
+    Sum over kept parts of buyers^2, explicitly bounded by the hub cap —
+    the same candidate-bounding idea as dedup_ngram_jaccard's posting
+    lists, applied to the bipartite purchase graph. All integer outputs
+    (micro-Jaccard by truncating division) keep both engines exact."""
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    up = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    rare = (
+        up.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("buyers"))
+        .where(F.col("buyers") <= _UU_MAX_BUYERS)
+        .select("p")
+    )
+    upr = up.join(rare, "p").localCheckpoint()
+    sizes = upr.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    a = upr.select(F.col("u").alias("ua"), "p")
+    b = upr.select(F.col("u").alias("ub"), "p")
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= _UU_MIN_SHARED)
+    )
+    return (
+        pairs.join(sizes.select(F.col("u").alias("ua"), F.col("n").alias("na")), "ua")
+        .join(sizes.select(F.col("u").alias("ub"), F.col("n").alias("nb")), "ub")
+        .select(
+            F.col("ua").alias("cust_a"),
+            F.col("ub").alias("cust_b"),
+            F.col("shared").cast("bigint").alias("shared_parts"),
+            F.expr("CAST(shared * 1000000 div (na + nb - shared) AS BIGINT)")
+            .alias("jaccard_u"),
+        )
+        .orderBy(F.desc("jaccard_u"), "cust_a", "cust_b")
+        .limit(_UU_TOPK)
+    )
+
+
+@query(
+    "discount_elasticity_brands",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    mom AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand,
+           n AS n_lines,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+             AS qty_per_discount_pt,
+           round(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+             AS r2
+    FROM mom ORDER BY p_brand
+    """,
+    description=(
+        "Promo elasticity per brand: exact-integer OLS of line quantity "
+        "on discount points — the retail promo-effectiveness readout "
+        "(same five-moment engine-exact fit as ols_daily_trend)"
+    ),
+)
+def discount_elasticity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lineitem⋈part join (AQE broadcasts the dim at bench scale)
+    then a 25-group integer moment rollup with map-side combine — a
+    single corpus pass; the fit itself is algebra over six BIGINTs."""
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    pts = lineitem.join(
+        part.select("p_partkey", "p_brand"),
+        lineitem.l_partkey == part.p_partkey,
+    ).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    mom = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "p_brand",
+        F.col("n").alias("n_lines"),
+        F.round(num * 1.0 / denx, 6).alias("qty_per_discount_pt"),
+        F.round((num * 1.0 * num) / (denx * 1.0 * deny), 6).alias("r2"),
+    ).orderBy("p_brand")
