@@ -507,3 +507,40 @@ def test_diversified_topk_avoids_global_sort(spark, sf_dir):
     global 25 selects via TakeOrderedAndProject, never a full sort."""
     p = plan_of(spark, sf_dir, "diversified_topk_orders")
     assert "TakeOrderedAndProject" in p
+
+
+def test_link_prediction_wedge_join_is_equi(spark, sf_dir):
+    """Candidates must come from the equi wedge join; the existing-edge
+    removal must be a hash anti-join — no nested loop over pair mass."""
+    p = plan_of(spark, sf_dir, "link_prediction_parts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+
+
+def test_user_similarity_posting_join_is_equi(spark, sf_dir):
+    """The CF pair stage is a posting-list equi-join on the part key
+    (hub-capped), never a user-cross-user plan."""
+    p = plan_of(spark, sf_dir, "user_similarity_parts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ks_drift_no_single_partition_sort(spark, sf_dir):
+    """The KS cumulative step must run per-type over the collapsed cents
+    domain: no Exchange SinglePartition before the window (that would be
+    the global-sort anti-pattern the sketch histogram replaced)."""
+    p = plan_of(spark, sf_dir, "ks_drift_events")
+    head, _, tail = p.partition("Window")
+    assert tail, "expected a Window node"
+    assert "Exchange SinglePartition" not in head
+
+
+def test_pca_corpus_never_shuffles(spark, sf_dir):
+    """The PCA projection pass reads the checkpointed centered corpus
+    map-only; the only exchange is the 64-group (or label-group)
+    reduction — no corpus-wide repartitioning."""
+    p = plan_of(spark, sf_dir, "pca_embeddings")
+    assert "CartesianProduct" not in p
+    # final plan: per-label partial agg + the broadcast var crossJoin
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
