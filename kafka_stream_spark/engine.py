@@ -127,3 +127,24 @@ class Engine:
         for k, v in options.items():
             r = r.option(k, v)
         return r.load()
+
+    def dump_segments(self, name: str, out_dir: str,
+                      compression: str = "none") -> list[str]:
+        """Export a topic as wire-true Kafka log segments (magic-v2
+        record batches, CRC-32C, broker data-dir layout) — the format
+        interchange path for tooling that reads real broker dirs."""
+        from kafka_stream_spark.sources.kafka_segment import (
+            export_topic_segments,
+        )
+
+        return export_topic_segments(
+            self.topic(name).read(), out_dir, compression=compression
+        )
+
+    def load_segments(self, path: str) -> DataFrame:
+        """Ingest Kafka log segments (e.g. copied from a broker data
+        dir) back into the topic envelope, CRC-validated, decoded
+        distributed via binaryFile + mapInPandas."""
+        from kafka_stream_spark.sources.kafka_segment import segments_to_df
+
+        return segments_to_df(self.spark, path)

@@ -33,6 +33,9 @@ Ready-made processors:
 - ``space_saving_tracker``: Space-Saving top-k heavy hitters — m slots
   per shard with deterministic per-item error certificates (the
   list-maintaining complement to ``cms_tracker``'s point queries).
+- ``hash_reservoir_sampler``: RNG-free uniform k-sample (bottom-k by
+  md5 priority; multi-batch state equals the batch bottom-k — the
+  streaming twin of ``weighted_sample_documents``'s determinism move).
 
 Scale: state lives in the state store (set RocksDB via
 ``session.enable_rocksdb_state`` for big keyspaces); keys are hash-

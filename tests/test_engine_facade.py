@@ -93,3 +93,20 @@ def test_topic_df_and_stream_surface(eng, spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_dump_and_load_segments(eng, tmp_path):
+    t = eng.topic("segfacade", partitions=2)
+    t.append(
+        eng.spark.createDataFrame(
+            [(f"k{i}".encode(), f"v{i}".encode()) for i in range(6)],
+            "key binary, value binary",
+        )
+    )
+    out = str(tmp_path / "segs")
+    files = eng.dump_segments("segfacade", out)
+    assert files and all(f.endswith(".log") for f in files)
+    back = eng.load_segments(out).collect()
+    assert sorted(bytes(r.value) for r in back) == sorted(
+        f"v{i}".encode() for i in range(6)
+    )
