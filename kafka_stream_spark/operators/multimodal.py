@@ -509,8 +509,12 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        from kafka_stream_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "unsupported image format (PPM/BMP/PNG/GIF decode natively; "
+        "unsupported image format (PPM/BMP/PNG/GIF/JPEG decode natively; "
         "others need an imaging library — plumbing: "
         "extract_features/mapInPandas)"
     )
