@@ -183,3 +183,36 @@ def test_streaming_segment_drain(spark, tmp_path):
         for r in segments_to_df(spark, os.path.join(out, d)).collect():
             got.add(bytes(r.value))
     assert got == {f"sv-{i}".encode() for i in range(10)}
+
+
+def test_segment_codec_throughput_floor():
+    """The reference's ingest smoke implies >=5.6 MB/s (500k x 1KB in
+    90s, kafka-tests.yml:14-18). The segment codec must clear it
+    single-core in both directions (best-of-3: the suite runs fully
+    parallel, one window can be squeezed — NOTES.md sharp edge)."""
+    import time
+
+    from kafka_stream_spark.sources.kafka_segment import (
+        decode_segment,
+        encode_segment,
+    )
+
+    recs = [
+        {
+            "key": str(i % 997).encode(),
+            "value": (b"x" * 900) + str(i).encode(),
+            "timestamp_ms": i,
+        }
+        for i in range(3000)
+    ]
+    enc_best = dec_best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        seg = encode_segment(recs, 0, batch_size=512)
+        enc_best = max(enc_best, len(seg) / 1e6 / (time.time() - t0))
+        t0 = time.time()
+        out = decode_segment(seg)
+        dec_best = max(dec_best, len(seg) / 1e6 / (time.time() - t0))
+    assert len(out) == len(recs)
+    assert enc_best >= 5.6, f"encode {enc_best:.1f} MB/s below floor"
+    assert dec_best >= 5.6, f"decode {dec_best:.1f} MB/s below floor"
