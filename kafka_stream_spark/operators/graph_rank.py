@@ -611,3 +611,103 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harmonic_u"), "l_partkey")
         .limit(_HC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient — the per-node cohesion readout
+# ---------------------------------------------------------------------------
+
+_CC_SCALE = 1_000_000
+_CC_TOPK = 25
+
+
+@query(
+    "clustering_coefficient_parts",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY src, dst
+      HAVING count(*) >= {_RA_MIN_CO}
+    ),
+    degs AS (SELECT src AS part, count(*) AS deg FROM edges GROUP BY src),
+    tri AS (
+      SELECT e1.dst AS v, count(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst
+        AND EXISTS (
+          SELECT 1 FROM edges e
+          WHERE e.src = e1.src AND e.dst = e2.dst
+        )
+      GROUP BY e1.dst
+    )
+    SELECT d.part AS l_partkey,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+           CAST(coalesce(t.t, 0) * {_CC_SCALE} * 2 // (d.deg * (d.deg - 1))
+                AS BIGINT) AS clustering_u
+    FROM degs d LEFT JOIN tri t ON t.v = d.part
+    WHERE d.deg >= 2
+    ORDER BY clustering_u DESC, l_partkey
+    LIMIT {_CC_TOPK}
+    """,
+    description=(
+        "Local clustering coefficient (Watts-Strogatz 1998) per part on "
+        "the tie-strength co-purchase graph: closed wedges at the "
+        "middle vertex over deg-choose-2, integer micro-units, top-25 "
+        "most clustered parts"
+    ),
+)
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same wedge join as ``link_prediction_parts`` with the
+    anti-join flipped to a LeftSemi (closed wedges instead of open
+    ones): pair mass Sum deg(v)^2 on the ~constant thresholded graph,
+    per-v counts with map-side combine, coefficient as a truncating
+    integer division both engines share."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("co_n"))
+        .where(F.col("co_n") >= _RA_MIN_CO)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("part"), "deg"
+    )
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = (
+        e1.join(e2, "v")
+        .where(F.col("u") < F.col("w"))
+        .join(
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            ["u", "w"],
+            "left_semi",
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        degs.where(F.col("deg") >= 2)
+        .join(tri.select(F.col("v").alias("part"), "t"), "part", "left")
+        .select(
+            F.col("part").alias("l_partkey"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                f"CAST(coalesce(t, 0) * {_CC_SCALE} * 2"
+                f" div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("clustering_u"),
+        )
+        .orderBy(F.desc("clustering_u"), "l_partkey")
+        .limit(_CC_TOPK)
+    )
