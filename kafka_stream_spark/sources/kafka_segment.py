@@ -429,3 +429,75 @@ def segments_to_df(spark, path: str) -> DataFrame:
         "offset",
         F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# offset / time indexes — the other two files of a broker log-dir entry
+# ---------------------------------------------------------------------------
+
+
+def build_offset_index(
+    segment: bytes, base_offset: int, interval_bytes: int = 4096
+) -> bytes:
+    """Kafka ``.index`` file: sparse (relativeOffset:int32,
+    filePosition:int32) entries, one per ~``interval_bytes`` of log —
+    the broker's binary layout, so offset lookups on an exported
+    segment behave like on a real one."""
+    out = bytearray()
+    pos = 0
+    last_indexed = 0
+    while pos < len(segment):
+        batch, nxt = decode_record_batch(segment, pos)
+        if pos > 0 and pos - last_indexed >= interval_bytes:
+            rel = batch["base_offset"] - base_offset
+            if rel < 0 or rel > 0x7FFFFFFF:
+                raise SegmentError("relative offset out of int32 range")
+            out += struct.pack(">ii", rel, pos)
+            last_indexed = pos
+        pos = nxt
+    return bytes(out)
+
+
+def build_time_index(segment: bytes, base_offset: int) -> bytes:
+    """Kafka ``.timeindex``: (maxTimestamp:int64, relativeOffset:int32)
+    per batch, monotonically increasing timestamps only (the broker
+    skips non-advancing entries)."""
+    out = bytearray()
+    pos = 0
+    last_ts = -1
+    while pos < len(segment):
+        batch, nxt = decode_record_batch(segment, pos)
+        ts = batch["max_timestamp_ms"]
+        if ts > last_ts:
+            rel = batch["last_offset"] - base_offset
+            out += struct.pack(">qi", ts, rel)
+            last_ts = ts
+        pos = nxt
+    return bytes(out)
+
+
+def lookup_offset(
+    segment: bytes, index: bytes, base_offset: int, target_offset: int
+) -> list[dict]:
+    """Fetch records with offset >= target using the sparse index the
+    way the broker does: binary-search the index for the greatest entry
+    <= target, then scan batches forward from that file position."""
+    rel_target = target_offset - base_offset
+    lo, hi, start_pos = 0, len(index) // 8 - 1, 0
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        rel, fpos = struct.unpack_from(">ii", index, mid * 8)
+        if rel <= rel_target:
+            start_pos = fpos
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    pos, out = start_pos, []
+    while pos < len(segment):
+        batch, pos = decode_record_batch(segment, pos)
+        if batch["last_offset"] < target_offset:
+            continue
+        out.extend(
+            r for r in batch["records"] if r["offset"] >= target_offset
+        )
+    return out

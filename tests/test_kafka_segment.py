@@ -216,3 +216,40 @@ def test_segment_codec_throughput_floor():
     assert len(out) == len(recs)
     assert enc_best >= 5.6, f"encode {enc_best:.1f} MB/s below floor"
     assert dec_best >= 5.6, f"decode {dec_best:.1f} MB/s below floor"
+
+
+def test_offset_and_time_indexes():
+    from kafka_stream_spark.sources.kafka_segment import (
+        build_offset_index,
+        build_time_index,
+        lookup_offset,
+    )
+
+    recs = [
+        {"key": None, "value": bytes([i % 251]) * 40, "timestamp_ms": i * 10}
+        for i in range(2000)
+    ]
+    base = 1000
+    seg = encode_segment(recs, base, batch_size=64)
+    idx = build_offset_index(seg, base, interval_bytes=2048)
+    assert len(idx) % 8 == 0 and len(idx) > 0
+    # entries strictly increasing in both fields
+    entries = [struct.unpack_from(">ii", idx, i) for i in range(0, len(idx), 8)]
+    assert entries == sorted(entries)
+    # indexed lookup == full scan filter, for targets on and off batch
+    # boundaries, before the first index entry and past the last
+    for target in (base, base + 1, base + 63, base + 64, base + 777,
+                   base + 1999):
+        got = lookup_offset(seg, idx, base, target)
+        want = [r for r in decode_segment(seg) if r["offset"] >= target]
+        assert [r["offset"] for r in got] == [r["offset"] for r in want], target
+    assert lookup_offset(seg, idx, base, base + 2000) == []
+
+    tidx = build_time_index(seg, base)
+    t_entries = [
+        struct.unpack_from(">qi", tidx, i) for i in range(0, len(tidx), 12)
+    ]
+    assert len(tidx) % 12 == 0 and t_entries == sorted(t_entries)
+    # each entry maps a batch max-timestamp to its last relative offset
+    ts, rel = t_entries[0]
+    assert ts == 63 * 10 and rel == 63
