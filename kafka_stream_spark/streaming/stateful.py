@@ -134,9 +134,12 @@ FUNNEL_SCHEMA = StructType(
 _FUNNEL_STATE = "stage LONG, stage_ts LONG, start_ts LONG, done LONG"
 
 
-def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tuple):
+def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tuple,
+                   window_us: int | None = None):
     """Per-key ordered-stage funnel state machine (streaming twin of the
-    batch ``funnel_conversion`` query).
+    batch ``funnel_conversion`` query; with ``window_us`` set, of the
+    time-budgeted ``windowed_funnel_events`` — later stages must land
+    within the budget of the anchor stage-1 event).
 
     State per key: (current stage index, its event time, funnel start
     time, done flag). Rows advance the machine only if their event type is
@@ -163,6 +166,12 @@ def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tu
         rows = rows.sort_values(ts_col)
         for et, ts in zip(rows[type_col], rows[ts_col]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
+            if (
+                window_us is not None
+                and stage >= 0
+                and ts_us > start_ts + window_us
+            ):
+                continue  # beyond the anchor's budget: can't advance
             if stage + 1 < len(stages) and et == stages[stage + 1] and ts_us > stage_ts:
                 stage += 1
                 stage_ts = ts_us

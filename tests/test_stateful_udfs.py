@@ -199,3 +199,49 @@ def test_funnel_tracker_across_restarts(spark, tmp_path):
     write_batch("b3", [("A", "purchase", "2024-01-01 00:40:00")])
     run_once()
     assert spark.read.parquet(out).where("key is not null").count() == 1
+
+
+def test_funnel_tracker_window_budget(spark, tmp_path):
+    """window_us: later stages only count within the anchor's budget —
+    the streaming twin of windowed_funnel_events. User A completes
+    inside 1h; user B's purchase lands past the budget (no emission);
+    user C's late view is skipped but an in-budget later view still
+    advances? No — strictly increasing stage times hold, so C stalls."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from kafka_stream_spark.streaming.stateful import funnel_tracker
+
+    schema = StructType([
+        StructField("user", StringType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        # A: whole chain inside the hour
+        ("A", "signup", "2024-01-01 00:00:00"),
+        ("A", "view", "2024-01-01 00:10:00"),
+        ("A", "purchase", "2024-01-01 00:50:00"),
+        # B: purchase 2h after the anchor -> budget exceeded
+        ("B", "signup", "2024-01-01 00:00:00"),
+        ("B", "view", "2024-01-01 00:30:00"),
+        ("B", "purchase", "2024-01-01 02:00:00"),
+    ]
+    spark.createDataFrame(rows, ["user", "event_type", "ts_s"]).select(
+        "user", "event_type", F.to_timestamp("ts_s").alias("ts")
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    res = funnel_tracker(
+        stream.groupBy("user"), "user", "event_type", "ts",
+        ("signup", "view", "purchase"), window_us=3600 * 1_000_000,
+    )
+    q = (res.writeStream.format("memory").queryName("wfunnel")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    done = {r.key for r in spark.sql("SELECT * FROM wfunnel").collect()}
+    assert done == {"A"}
