@@ -1724,3 +1724,162 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("t", "event_type")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters triple smoothing — level + trend + weekly seasonality
+# ---------------------------------------------------------------------------
+
+
+def _hw_lvl_new_duck() -> str:
+    s_case = " ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))
+    return f"0.5 * (s.x - CASE s.dw {s_case} END) + 0.5 * (r.level + r.trend)"
+
+
+def _hw_duck_s_updates() -> str:
+    lvl = _hw_lvl_new_duck()
+    return ", ".join(
+        f"CASE WHEN s.dw = {j} THEN 0.5 * (s.x - ({lvl})) + 0.5 * r.s{j} "
+        f"ELSE r.s{j} END AS s{j}"
+        for j in range(7)
+    )
+
+
+@query(
+    "holt_winters_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             CAST(day - DATE '1970-01-01' AS INTEGER) % 7 AS dw,
+             cents::DOUBLE AS x,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    init AS (
+      SELECT event_type,
+             sum(CASE WHEN t <= 7 THEN x END) / 7 AS l0,
+             {", ".join(f"max(CASE WHEN t <= 7 AND dw = {j} THEN x END) AS x{j}" for j in range(7))}
+      FROM ser WHERE n >= 8 GROUP BY event_type
+    ),
+    rec AS (
+      SELECT event_type, 7 AS t, l0 AS level, CAST(0.0 AS DOUBLE) AS trend,
+             {", ".join(f"x{j} - l0 AS s{j}" for j in range(7))}
+      FROM init
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             {_hw_lvl_new_duck()} AS level,
+             0.5 * (({_hw_lvl_new_duck()}) - r.level) + 0.5 * r.trend AS trend,
+             {_hw_duck_s_updates()}
+      FROM rec r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1
+    ),
+    fin AS (
+      SELECT r.*, row_number() OVER (PARTITION BY event_type ORDER BY t DESC)
+               AS rn
+      FROM rec r
+    ),
+    lastdw AS (
+      SELECT event_type, max(t) AS n_days,
+             max(CASE WHEN t = n THEN dw END) AS dw_last
+      FROM ser GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CAST(l.n_days AS INTEGER) AS n_days,
+           round(f.level / 100, 6) AS level_value,
+           round(f.trend / 100, 6) AS trend_value,
+           round((f.level + f.trend +
+                  CASE (l.dw_last + 1) % 7
+                    {" ".join(f"WHEN {j} THEN f.s{j}" for j in range(7))}
+                  END) / 100, 6) AS forecast_next
+    FROM fin f JOIN lastdw l USING (event_type)
+    WHERE f.rn = 1
+    ORDER BY f.event_type
+    """,
+    description=(
+        "Holt-Winters additive triple smoothing (level + trend + weekly "
+        "seasonal, alpha=beta=gamma=0.5) per event type over exact daily "
+        "cents, one-step forecast honoring the next day's seasonal index "
+        "— the recursion folds over the calendar, cross-engine bit-stable "
+        "(dyadic 0.5 coefficients, identical expression shapes)"
+    ),
+)
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winters' seasonal extension of Holt (Winters 1960 / Hyndman fpp3
+    §8.3): seasonal slots are epoch-day mod 7 (engine-neutral dow), the
+    first week initializes level (week mean) and the seven seasonal
+    offsets, then the fold runs t=8..n. Corpus work is the same single
+    daily groupBy as holt_trend_forecast; the recursion is
+    calendar-sized per type with a 9-field struct accumulator."""
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    ser = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day,"
+            " cast(datediff(day, date'1970-01-01') % 7 as int) as dw,"
+            " cast(cents as double) as x))),"
+            " s -> struct(s.dw as dw, s.x as x))"
+        ).alias("vals")
+    ).where(F.size("vals") >= 8)
+
+    s_case = " ".join(f"WHEN {j} THEN acc.s{j}" for j in range(7))
+    lvl_new = (
+        f"0.5 * (t.x - CASE t.dw {s_case} END)"
+        " + 0.5 * (acc.level + acc.trend)"
+    )
+    s_updates = ", ".join(
+        f"'s{j}', CASE WHEN t.dw = {j} "
+        f"THEN 0.5 * (t.x - ({lvl_new})) + 0.5 * acc.s{j} "
+        f"ELSE acc.s{j} END"
+        for j in range(7)
+    )
+    init_l0 = (
+        "(" + " + ".join(f"element_at(vals, {i}).x" for i in range(1, 8)) + ") / 7D"
+    )
+    init_s = ", ".join(
+        f"'s{j}', element_at(filter(slice(vals, 1, 7), v -> v.dw = {j}), 1).x"
+        f" - ({init_l0})"
+        for j in range(7)
+    )
+    fold = F.expr(
+        f"aggregate(slice(vals, 8, size(vals) - 7),"
+        f" named_struct('level', {init_l0}, 'trend', 0D, {init_s}),"
+        f" (acc, t) -> named_struct("
+        f"   'level', {lvl_new},"
+        f"   'trend', 0.5 * (({lvl_new}) - acc.level) + 0.5 * acc.trend,"
+        f"   {s_updates}))"
+    ).alias("hw")
+    next_s = " ".join(
+        f"WHEN {j} THEN hw.s{j}" for j in range(7)
+    )
+    return (
+        ser.select(
+            "event_type",
+            F.size("vals").cast("int").alias("n_days"),
+            F.element_at("vals", -1).getField("dw").alias("dw_last"),
+            fold,
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("hw.level") / 100, 6).alias("level_value"),
+            F.round(F.col("hw.trend") / 100, 6).alias("trend_value"),
+            F.round(
+                (
+                    F.col("hw.level")
+                    + F.col("hw.trend")
+                    + F.expr(f"CASE (dw_last + 1) % 7 {next_s} END")
+                )
+                / 100,
+                6,
+            ).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
