@@ -407,20 +407,78 @@ def graph_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RA_SCALE = 1_000_000
 _RA_TOPK = 25
-_RA_MIN_CO = 2  # edge = parts co-purchased in >= 2 orders (tie strength)
+_RA_MIN_CO = 2  # noise floor: parts co-purchased in >= 2 orders
+_TIE_TOPN = 16  # per-node kNN sparsification: |E| <= 2*K*|V| at ANY scale
 
 
-@query(
-    "link_prediction_parts",
-    oracle=f"""
-    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-      SELECT a.l_partkey AS src, b.l_partkey AS dst
+def _tie_graph(lineitem: DataFrame) -> DataFrame:
+    """Tie-strength co-purchase graph, scale-stable by construction:
+    absolute count thresholds stop sparsifying when the corpus grows
+    (every pair's count grows with data, so a fixed >=2 cut converges
+    to the COMPLETE co-occurrence graph — measured 10x on 3x data
+    before this fix); keeping each node's top-K strongest ties instead
+    bounds |E| <= 2*K*|V| at every scale (the standard kNN-graph
+    sparsification). Deterministic: count desc, then dst; symmetrized
+    by union with the reversed prunes."""
+    from pyspark.sql import Window
+
+    p = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("co_n"))
+        .where(F.col("co_n") >= _RA_MIN_CO)
+    )
+    pruned = (
+        co.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("co_n"), "dst")
+            ),
+        )
+        .where(F.col("rnk") <= _TIE_TOPN)
+        .select("src", "dst")
+    )
+    return (
+        pruned.union(
+            pruned.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _duck_tie_graph() -> str:
+    """The oracle twin of :func:`_tie_graph` (CTEs p/co/pruned/edges)."""
+    return f"""p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS co_n
       FROM p a JOIN p b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       GROUP BY src, dst
       HAVING count(*) >= {_RA_MIN_CO}
     ),
+    pruned AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY co_n DESC, dst) AS rnk
+        FROM co) WHERE rnk <= {_TIE_TOPN}
+    ),
+    edges AS (
+      SELECT src, dst FROM pruned
+      UNION
+      SELECT dst, src FROM pruned
+    )"""
+
+
+@query(
+    "link_prediction_parts",
+    oracle=f"""
+    WITH {_duck_tie_graph()},
     degs AS (SELECT src AS part, count(*) AS deg FROM edges GROUP BY src),
     e2 AS (
       SELECT e.src AS v, e.dst AS w, {_RA_SCALE} // d.deg AS ra
@@ -465,18 +523,7 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices are exactly what AQE's skew-join split is enabled for
     (session defaults)."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    p = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("co_n"))
-        .where(F.col("co_n") >= _RA_MIN_CO)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = _tie_graph(lineitem)
     degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("v"), "deg"
     )
@@ -540,14 +587,7 @@ def _hc_duck_iter(k: int) -> str:
 @query(
     "harmonic_centrality_parts",
     oracle=f"""
-    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-      SELECT a.l_partkey AS src, b.l_partkey AS dst
-      FROM p a JOIN p b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-      GROUP BY src, dst
-      HAVING count(*) >= {_RA_MIN_CO}
-    ),
+    WITH {_duck_tie_graph()},
     dist1 AS MATERIALIZED (SELECT src, dst, 1 AS d FROM edges),
     {",".join(_hc_duck_iter(k) for k in range(2, _HC_HOPS + 1))}
     SELECT src AS l_partkey,
@@ -575,18 +615,7 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is exactly what this operator deliberately is NOT. localCheckpoint
     per round keeps the plan linear (NOTES.md sharp edge #10)."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    p = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("co_n"))
-        .where(F.col("co_n") >= _RA_MIN_CO)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = _tie_graph(lineitem)
     dist = edges.select("src", "dst", F.lit(1).alias("d"))
     hop = edges.select(F.col("src").alias("dst"), F.col("dst").alias("w"))
     for _ in range(_HC_HOPS - 1):
@@ -624,14 +653,7 @@ _CC_TOPK = 25
 @query(
     "clustering_coefficient_parts",
     oracle=f"""
-    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-      SELECT a.l_partkey AS src, b.l_partkey AS dst
-      FROM p a JOIN p b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-      GROUP BY src, dst
-      HAVING count(*) >= {_RA_MIN_CO}
-    ),
+    WITH {_duck_tie_graph()},
     degs AS (SELECT src AS part, count(*) AS deg FROM edges GROUP BY src),
     tri AS (
       SELECT e1.dst AS v, count(*) AS t
@@ -668,18 +690,7 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-v counts with map-side combine, coefficient as a truncating
     integer division both engines share."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    p = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("co_n"))
-        .where(F.col("co_n") >= _RA_MIN_CO)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = _tie_graph(lineitem)
     degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("part"), "deg"
     )
