@@ -416,10 +416,13 @@ def _tie_graph(lineitem: DataFrame) -> DataFrame:
     absolute count thresholds stop sparsifying when the corpus grows
     (every pair's count grows with data, so a fixed >=2 cut converges
     to the COMPLETE co-occurrence graph — measured 10x on 3x data
-    before this fix); keeping each node's top-K strongest ties instead
-    bounds |E| <= 2*K*|V| at every scale (the standard kNN-graph
-    sparsification). Deterministic: count desc, then dst; symmetrized
-    by union with the reversed prunes."""
+    before this fix); keeping each node's top-K strongest ties bounds
+    |E| at every scale, and requiring the tie to be MUTUAL (both
+    endpoints keep each other — the intersection, not the union, of
+    the per-node prunes) additionally bounds every DEGREE by K: a
+    union-symmetrized prune lets a universally-popular node keep
+    in-degree ~|V|, which blew the 4-hop BFS heap on the 3x audit.
+    Deterministic: count desc, then dst; symmetric by construction."""
     from pyspark.sql import Window
 
     p = lineitem.select("l_orderkey", "l_partkey").distinct()
@@ -443,10 +446,9 @@ def _tie_graph(lineitem: DataFrame) -> DataFrame:
         .select("src", "dst")
     )
     return (
-        pruned.union(
+        pruned.intersect(
             pruned.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .localCheckpoint()
     )
 
@@ -470,7 +472,7 @@ def _duck_tie_graph() -> str:
     ),
     edges AS (
       SELECT src, dst FROM pruned
-      UNION
+      INTERSECT
       SELECT dst, src FROM pruned
     )"""
 
