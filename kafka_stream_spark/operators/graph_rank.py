@@ -444,6 +444,7 @@ def _tie_graph(lineitem: DataFrame) -> DataFrame:
         )
         .where(F.col("rnk") <= _TIE_TOPN)
         .select("src", "dst")
+        .localCheckpoint()  # tiny (<= K|V|); both intersect branches reuse it
     )
     return (
         pruned.intersect(
