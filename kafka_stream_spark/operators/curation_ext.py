@@ -1255,3 +1255,85 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking — overlapping token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_CAP = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # CAP - overlap(16)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(generate_series(0, greatest(n_tok - 1, 0), {_CHUNK_STRIDE}))
+               AS start_tok
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(start_tok // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(least({_CHUNK_CAP}, n_tok - start_tok) AS INT) AS n_chunk_tokens,
+           substr(md5(array_to_string(
+             list_slice(toks, start_tok + 1, start_tok + {_CHUNK_CAP}), ' ')), 1, 16)
+             AS chunk_hash
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+    description=(
+        "RAG chunking: split each document into overlapping fixed-size "
+        "token windows (cap 64, stride 48) with stable content hashes"
+    ),
+    bench=True,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the retrieval-indexing prep step).
+
+    Scale shape: pure map + bounded explode — each doc fans out to
+    ceil(n_tok/stride) rows with no shuffle at all (the final orderBy
+    exists only for the oracle hash; drop it in production and the plan
+    is a single scan->project->generate stage). Chunk hashes, not chunk
+    text, go downstream, so the output stays narrow regardless of
+    document length. Reference framing: the reference's feeds carry
+    long article bodies (sample-data/reddit.value.json) that a
+    retrieval index consumes chunk-wise.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    starts = tok.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_tok") - 1, F.lit(0)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+    )
+    chunk_text = F.array_join(
+        F.slice(F.col("toks"), F.col("start_tok") + 1, _CHUNK_CAP), " "
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.least(F.lit(_CHUNK_CAP), F.col("n_tok") - F.col("start_tok"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.substring(F.md5(chunk_text.cast("binary")), 1, 16).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
