@@ -1337,3 +1337,138 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunk_tokens"),
         F.substring(F.md5(chunk_text.cast("binary")), 1, 16).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing — the multilingual-sampling practice
+# ---------------------------------------------------------------------------
+
+_TMIX_ALPHA = 0.3  # sampling temperature exponent (XLM-R's alpha)
+_TMIX_W_SCALE = 1_000_000
+
+
+@query(
+    "mix_sources_temperature",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+             ('0x' || substr(md5('tmix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+               AS b
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+      FROM tok GROUP BY source
+    ),
+    corpus AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM totals),
+    wts AS (
+      SELECT t.source, t.src_tokens, c.total,
+             CAST(round(pow(t.src_tokens * 1.0 / c.total, {_TMIX_ALPHA})
+                        * {_TMIX_W_SCALE}) AS BIGINT) AS w_micro
+      FROM totals t CROSS JOIN corpus c
+    ),
+    wsum AS (SELECT CAST(sum(w_micro) AS BIGINT) AS ws FROM wts),
+    rated AS (
+      SELECT w.source, w.src_tokens, w.w_micro,
+             least((w.w_micro * ((w.total // 2) // s.ws)
+                    + (w.w_micro * ((w.total // 2) % s.ws)) // s.ws)
+                   * 10000 // w.src_tokens,
+                   10000) AS thresh
+      FROM wts w CROSS JOIN wsum s
+    )
+    SELECT k.source,
+           r.src_tokens AS n_tokens_in,
+           r.w_micro AS weight_micro,
+           r.thresh AS keep_per_10k,
+           count(*) FILTER (WHERE k.b < r.thresh) AS n_docs_kept,
+           CAST(coalesce(sum(k.n_tok) FILTER (WHERE k.b < r.thresh), 0)
+             AS BIGINT) AS n_tokens_kept
+    FROM tok k JOIN rated r ON k.source = r.source
+    GROUP BY k.source, r.src_tokens, r.w_micro, r.thresh
+    ORDER BY k.source
+    """,
+    description=(
+        "Temperature-scaled source mixing (share^0.3 upweights small "
+        "sources, the multilingual pretraining practice): integer "
+        "micro-weights and exact-integer target split, md5-bucket keep "
+        "decisions"
+    ),
+)
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing p_s ∝ share_s^alpha (alpha=0.3): the standard
+    rebalancing between mix_sources_to_budget's two extremes (alpha=1 is
+    proportional, alpha=0 is uniform).
+
+    Scale shape is identical to mix_sources_to_budget — two tiny
+    aggregate passes produce per-source integer keep-thresholds and the
+    corpus-sized side only ever does a map-side md5-bucket compare
+    against a broadcast 20-row table; no corpus shuffle to sample.
+    Exactness: pow() is the ONLY float op and it is immediately pinned to
+    an integer micro-weight; the budget split uses the overflow-safe
+    exact identity  floor(B*w/S) = w*(B div S) + floor(w*(B mod S)/S)
+    so both engines agree bit-for-bit (w*B alone would overflow int64
+    near 1e13 corpus tokens).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('tmix:', cast(doc_id as string)) as binary)),"
+            " 1, 15), 16, 10) as bigint)"
+        )
+        % 10000
+    )
+    tok = documents.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    ).withColumn("b", bucket)
+    totals = tok.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("src_tokens")
+    )
+    corpus = totals.agg(F.sum("src_tokens").cast("bigint").alias("total"))
+    wts = totals.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "src_tokens",
+        "total",
+        F.round(
+            F.pow(F.col("src_tokens") * 1.0 / F.col("total"), _TMIX_ALPHA)
+            * _TMIX_W_SCALE
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    wsum = wts.agg(F.sum("w_micro").cast("bigint").alias("ws"))
+    rated = wts.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "src_tokens",
+        "w_micro",
+        F.least(
+            F.expr(
+                "(w_micro * ((total div 2) div ws)"
+                " + (w_micro * ((total div 2) % ws)) div ws)"
+                " * 10000 div src_tokens"
+            ),
+            F.lit(10000).cast("bigint"),
+        ).alias("thresh"),
+    )
+    return (
+        tok.join(F.broadcast(rated), "source")
+        .groupBy("source", "src_tokens", "w_micro", "thresh")
+        .agg(
+            F.sum(F.when(F.col("b") < F.col("thresh"), 1).otherwise(0)).alias(
+                "n_docs_kept"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("b") < F.col("thresh"), F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+        .select(
+            "source",
+            F.col("src_tokens").alias("n_tokens_in"),
+            F.col("w_micro").alias("weight_micro"),
+            F.col("thresh").alias("keep_per_10k"),
+            "n_docs_kept",
+            "n_tokens_kept",
+        )
+        .orderBy("source")
+    )

@@ -18,6 +18,8 @@ DuckDB agree bit-for-bit despite float summation-order differences.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -1223,10 +1225,10 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_eval_metrics",
-    oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+# Shared oracle CTE block: exact cosine ground truth (top-10 per query)
+# and the IVF candidate list, exactly as ann_cosine_topk / ann_ivf_topk
+# compute them.  Used by both ann_eval_metrics and ndcg_eval_retrieval.
+_EVAL_CTES = """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
     exact AS (
       SELECT query_id, vec_id, rn FROM (
@@ -1275,7 +1277,13 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE p.brank <= 3
         )
       ) WHERE rn <= 10
-    ),
+    )"""
+
+
+@query(
+    "ann_eval_metrics",
+    oracle=f"""
+    WITH {_EVAL_CTES},
     hits AS (
       SELECT e.query_id, count(i.vec_id) AS n_hits
       FROM exact e LEFT JOIN ivf i
@@ -1354,6 +1362,87 @@ def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
             "reciprocal_rank",
+        )
+        .orderBy("query_id")
+    )
+
+
+# nDCG@10: integer per-position micro-weights round(1e6/log2(pos+1))
+# computed ONCE in Python and embedded as literals in BOTH engines, so
+# DCG is pure integer arithmetic (bit-exact cross-engine); only the final
+# normalization divides.  Graded relevance comes from the exact ranking:
+# ground-truth top-3 -> grade 3, ranks 4-10 -> grade 1, else 0.
+_NDCG_K = 10
+_DCG_W = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDEAL = [3, 3, 3, 1, 1, 1, 1, 1, 1, 1]
+_IDCG_MICRO = sum(g * w for g, w in zip(_NDCG_IDEAL, _DCG_W))
+_DCG_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]"
+
+
+@query(
+    "ndcg_eval_retrieval",
+    oracle=f"""
+    WITH {_EVAL_CTES},
+    graded AS (
+      SELECT i.query_id, i.rn AS pos,
+             CASE WHEN e.rn <= 3 THEN 3
+                  WHEN e.rn IS NOT NULL THEN 1
+                  ELSE 0 END AS rel
+      FROM ivf i LEFT JOIN exact e
+        ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    )
+    SELECT query_id,
+           CAST(sum(rel * ({_DCG_W_SQL})[pos]) AS BIGINT) AS dcg_micro,
+           round(sum(rel * ({_DCG_W_SQL})[pos]) * 1.0 / {_IDCG_MICRO}, 6)
+             AS ndcg_at_10
+    FROM graded
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+    description=(
+        "nDCG@10 of the IVF ranking against graded relevance derived "
+        "from the exact cosine ground truth (top-3 -> grade 3, top-10 -> "
+        "grade 1) — integer micro-weight DCG, engine-exact"
+    ),
+)
+def ndcg_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-discounted retrieval eval (the metric ann_eval_metrics'
+    flat recall/MRR can't see: WHERE in the list the good hits sit).
+
+    Same composition shape as ann_eval_metrics — exact ground truth over
+    the query sample joined to the index's candidate list — so the whole
+    thing stays a few-row join at any corpus size: both inputs are
+    |queries| x k rows regardless of corpus scale.  The log2 discount
+    table is k integers embedded as literals (no float transcendentals
+    at query time in either engine).
+    """
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = ann_cosine_topk(spark, sf_dir).withColumn("rn", F.row_number().over(rank_w))
+    ivf = ann_ivf_topk(spark, sf_dir).withColumn("pos", F.row_number().over(rank_w))
+    graded = (
+        ivf.select("query_id", "vec_id", "pos")
+        .join(
+            exact.select("query_id", "vec_id", F.col("rn").alias("exact_rn")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "pos",
+            F.when(F.col("exact_rn") <= 3, 3)
+            .when(F.col("exact_rn").isNotNull(), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w = F.element_at(F.array(*[F.lit(x) for x in _DCG_W]), F.col("pos"))
+    return (
+        graded.groupBy("query_id")
+        .agg(F.sum(F.col("rel") * w).cast("bigint").alias("dcg_micro"))
+        .select(
+            "query_id",
+            "dcg_micro",
+            F.round(F.col("dcg_micro") * 1.0 / _IDCG_MICRO, 6).alias("ndcg_at_10"),
         )
         .orderBy("query_id")
     )
