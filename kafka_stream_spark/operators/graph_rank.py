@@ -422,18 +422,43 @@ def _tie_graph(lineitem: DataFrame) -> DataFrame:
     the per-node prunes) additionally bounds every DEGREE by K: a
     union-symmetrized prune lets a universally-popular node keep
     in-degree ~|V|, which blew the 4-hop BFS heap on the 3x audit.
-    Deterministic: count desc, then dst; symmetric by construction."""
+    Deterministic: count desc, then dst; symmetric by construction.
+
+    Pair generation is basket-local, not a self-join: one groupBy
+    collects each order's (bounded — TPC-H orders carry <= 7 parts;
+    cap any real feed the same way) sorted part set, then src<dst
+    pairs explode map-side straight into the pair-count shuffle.
+    That is 2 wide exchanges of the big table (baskets, pair counts)
+    where the a-join-b formulation paid 4 (distinct, two join
+    exchanges, pair counts) — and the shuffled pair stream is HALF
+    the size (unordered pairs; the symmetric closure is a narrow
+    union of the thresholded survivors)."""
     from pyspark.sql import Window
 
-    p = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    co = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)), y ->"
+                " struct(x as src, y as dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    co_half = (
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("co_n"))
         .where(F.col("co_n") >= _RA_MIN_CO)
+        # barrier at the SMALLEST lineage cut: everything upstream is the
+        # expensive part, and the union/window/intersect below re-read
+        # this subplan 4x with NO ReusedExchange (verified in the
+        # executed plan) — without it the pair aggregation runs 4x.
+        .localCheckpoint()
+    )
+    co = co_half.unionByName(
+        co_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "co_n")
     )
     pruned = (
         co.withColumn(
@@ -444,7 +469,6 @@ def _tie_graph(lineitem: DataFrame) -> DataFrame:
         )
         .where(F.col("rnk") <= _TIE_TOPN)
         .select("src", "dst")
-        .localCheckpoint()  # tiny (<= K|V|); both intersect branches reuse it
     )
     return (
         pruned.intersect(

@@ -396,14 +396,37 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order itemsets iterate the same join shape on the survivors.
     """
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    p = lineitem.select("l_orderkey", "l_partkey").distinct()
-    n_orders = p.agg(F.countDistinct("l_orderkey").alias("n"))
-    freq = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    a = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = p.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    # ONE pass over the fact table builds the per-order basket (bounded
+    # width: TPC-H orders carry <= 7 parts — cap any real feed the same
+    # way); the barrier makes the three consumers below (order count,
+    # part frequencies, pair counts) re-read |orders| basket rows instead
+    # of each re-scanning + re-aggregating the fact table (no
+    # ReusedExchange across the branches otherwise). Pairs explode
+    # basket-locally with part_a < part_b by construction (sorted set) —
+    # half the pair mass the a-join-b formulation shuffled, and two
+    # fewer wide exchanges.
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    freq = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), y ->"
+                    " struct(x as part_a, y as part_b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.part_a", "e.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= _BASKET_MIN_SUPPORT)
