@@ -427,16 +427,30 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuples, so the triangle set — and the ranking — is engine-stable.
     """
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    p = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = p.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = p.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # basket-local pair generation (u < v by sorted-set construction):
+    # one wide exchange for the baskets, one for the pair counts — the
+    # a-join-b formulation paid four and shuffled the ordered-pair
+    # stream (2x this size). Checkpoint the thresholded edge list (tiny)
+    # because degree + orientation re-read it three times with no
+    # ReusedExchange.
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), y ->"
+                    " struct(x as u, y as v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("nc"))
         .where(F.col("nc") >= _TRI_MIN_SUPPORT)
         .select("u", "v")
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
