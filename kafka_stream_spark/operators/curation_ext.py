@@ -1472,3 +1472,100 @@ def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup saturation curve — new-unique yield per corpus decile
+# ---------------------------------------------------------------------------
+
+_SAT_DECILES = 10
+
+
+@query(
+    "dedup_saturation_curve",
+    oracle=f"""
+    WITH d AS (
+      SELECT md5(text) AS h,
+             ('0x' || substr(md5('sat:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % {_SAT_DECILES} AS decile
+      FROM documents
+    ),
+    firstd AS (SELECT h, min(decile) AS fd FROM d GROUP BY h),
+    per AS (
+      SELECT dd.decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE f.fd = dd.decile
+                                     AND dd.rn = 1) AS BIGINT) AS new_uniques
+      FROM (SELECT h, decile,
+                   row_number() OVER (PARTITION BY h, decile
+                                      ORDER BY h) AS rn
+            FROM d) dd
+      JOIN firstd f ON f.h = dd.h
+      GROUP BY dd.decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           n_docs,
+           new_uniques,
+           CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(new_uniques) OVER w AS BIGINT) AS cum_uniques,
+           round(sum(new_uniques) OVER w * 1.0 / sum(n_docs) OVER w, 6)
+             AS unique_rate
+    FROM per
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    ORDER BY decile
+    """,
+    description=(
+        "Data-saturation diagnostic: split the corpus into 10 "
+        "deterministic md5 deciles (a simulated ingest order) and report "
+        "how many NEW unique contents each decile contributes — the "
+        "marginal-value-of-more-crawl curve"
+    ),
+)
+def dedup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answers 'is more of this source still yielding new data?': the
+    cumulative unique-content yield as a deterministic pseudo-ingest
+    order consumes the corpus decile by decile.
+
+    Scale shape: one groupBy per content hash for first-occurrence
+    deciles (exact-dedup cost), one per (hash, decile) distinct, then
+    all window math runs on a 10-row table — the curve itself is free.
+    The decile assignment is md5-derived, so the 'ingest order' is
+    reproducible across engines and runs."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = documents.select(
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(concat('sat:', cast(doc_id as string))"
+                " as binary)), 1, 15), 16, 10) as bigint)"
+            )
+            % _SAT_DECILES
+        ).alias("decile"),
+    )
+    firstd = d.groupBy("h").agg(F.min("decile").alias("fd"))
+    # per (h, decile): how many docs, and is this the hash's first decile
+    hd = d.groupBy("h", "decile").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        hd.join(firstd, "h")
+        .groupBy("decile")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("fd") == F.col("decile"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_uniques"),
+        )
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        "new_uniques",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("new_uniques").over(w).cast("bigint").alias("cum_uniques"),
+        F.round(
+            F.sum("new_uniques").over(w) * 1.0 / F.sum("n_docs").over(w), 6
+        ).alias("unique_rate"),
+    ).orderBy("decile")

@@ -548,6 +548,84 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# classifier calibration — reliability diagram as a query
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+# per-token mean micro-weight s sits in [-50_000, 50_000] after the
+# x1000 scaling; shift+scale maps it onto integer bins 0..9
+_CAL_SHIFT = 50_000
+_CAL_SPAN = 100_001
+
+
+@query(
+    "calibration_reliability_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> {_W_DUCK})) AS BIGINT) * 1000
+               // len(string_split(text, ' ')) AS s
+      FROM documents
+    ),
+    binned AS (
+      SELECT (s + {_CAL_SHIFT}) * {_CAL_BINS} // {_CAL_SPAN} AS bin,
+             s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM scored
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_en) AS BIGINT) AS n_en,
+           round(sum(is_en) * 1.0 / count(*), 6) AS en_rate,
+           CAST(sum(s) AS BIGINT) // count(*) AS mean_score_milli
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    description=(
+        "Classifier calibration audit: reliability-diagram bins of the "
+        "hashed quality score vs the lang='en' label — per-bin counts, "
+        "empirical positive rate, mean score (integer-exact binning)"
+    ),
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-picking companion to quality_classifier_score: bins
+    the per-token mean score into a fixed integer grid and reports the
+    empirical label rate per bin (a reliability diagram / calibration
+    table). Map-only scoring into a ten-row aggregate — the
+    corpus is never shuffled, so the audit costs one scan at any size.
+    Integer shift-scale binning and truncating division keep every bin
+    boundary engine-exact."""
+    (documents,) = load(spark, sf_dir, "documents")
+    # integer truncating division (matches DuckDB //) via expr div
+    scored = documents.select(
+        "lang",
+        F.expr(
+            f"""(aggregate(transform(split(text, ' '), t -> {_W_SPARK}),
+                           cast(0 as bigint), (acc, v) -> acc + v) * 1000)
+                div size(split(text, ' '))"""
+        ).alias("s"),
+    )
+    binned = scored.select(
+        F.expr(f"(s + {_CAL_SHIFT}) * {_CAL_BINS} div {_CAL_SPAN}")
+        .cast("int")
+        .alias("bin"),
+        "s",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_en").cast("bigint").alias("n_en"),
+            F.round(F.sum("is_en") * 1.0 / F.count(F.lit(1)), 6).alias("en_rate"),
+            F.expr("cast(sum(s) as bigint) div count(1)").alias("mean_score_milli"),
+        )
+        .orderBy("bin")
+    )
+
+
 @query(
     "corpus_stats_by_source",
     oracle="""
