@@ -1569,3 +1569,134 @@ def dedup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_uniques").over(w) * 1.0 / F.sum("n_docs").over(w), 6
         ).alias("unique_rate"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption example generation (T5-style denoising pairs)
+# ---------------------------------------------------------------------------
+
+_SC_BLOCK = 20   # one mask span per 20-token block (~15% corruption)
+_SC_MAX_S = 15   # span start offset within block: md5 % 15
+_SC_MAX_L = 5    # span length: 1 + md5 % 5  (mean 3)
+
+# per-block deterministic span start / length, derived from md5 so both
+# engines draw the identical "noise"; {b} is an integer expression for
+# the block id.
+_SC_S_SPARK = (
+    "(cast(conv(substr(md5(cast(concat('t5s:', cast(doc_id as string), ':',"
+    " cast({b} as string)) as binary)), 1, 8), 16, 10) as bigint)"
+    f" % {_SC_MAX_S})"
+)
+_SC_L_SPARK = (
+    "(1 + cast(conv(substr(md5(cast(concat('t5l:', cast(doc_id as string), ':',"
+    " cast({b} as string)) as binary)), 1, 8), 16, 10) as bigint)"
+    f" % {_SC_MAX_L})"
+)
+_SC_S_DUCK = (
+    "((('0x' || substr(md5('t5s:' || doc_id::VARCHAR || ':' ||"
+    f" ({{b}})::VARCHAR), 1, 8))::BIGINT) % {_SC_MAX_S})"
+)
+_SC_L_DUCK = (
+    "(1 + (('0x' || substr(md5('t5l:' || doc_id::VARCHAR || ':' ||"
+    f" ({{b}})::VARCHAR), 1, 8))::BIGINT) % {_SC_MAX_L})"
+)
+
+
+def _sc_corr(s_tpl: str, l_tpl: str, div: str) -> str:
+    """Predicate text: position p falls inside its block's mask span."""
+    s = s_tpl.format(b=f"p {div} {_SC_BLOCK}")
+    l = l_tpl.format(b=f"p {div} {_SC_BLOCK}")
+    return f"((p % {_SC_BLOCK}) >= {s} AND (p % {_SC_BLOCK}) < {s} + {l})"
+
+
+_SC_CORR_SPARK = _sc_corr(_SC_S_SPARK, _SC_L_SPARK, "div")
+_SC_CORR_DUCK = _sc_corr(_SC_S_DUCK, _SC_L_DUCK, "//")
+
+
+@query(
+    "span_corruption_examples",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(len(list_filter(range(0, ((n - 1) // {_SC_BLOCK}) + 1),
+                 b -> {_SC_S_DUCK.format(b="b")} <
+                      least({_SC_BLOCK}, n - b * {_SC_BLOCK})))
+             AS INT) AS n_spans,
+           CAST(len(list_filter(range(0, n), p -> {_SC_CORR_DUCK}))
+             AS INT) AS n_corrupted,
+           array_to_string(list_transform(
+             list_filter(range(0, n),
+               p -> NOT {_SC_CORR_DUCK}
+                    OR (p % {_SC_BLOCK}) = {_SC_S_DUCK.format(b=f"p // {_SC_BLOCK}")}),
+             p -> CASE WHEN {_SC_CORR_DUCK}
+                       THEN '<extra_id_' || (p // {_SC_BLOCK})::VARCHAR || '>'
+                       ELSE toks[p + 1] END), ' ') AS input_text,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(0, n), p -> {_SC_CORR_DUCK}),
+             p -> CASE WHEN (p % {_SC_BLOCK}) = {_SC_S_DUCK.format(b=f"p // {_SC_BLOCK}")}
+                       THEN '<extra_id_' || (p // {_SC_BLOCK})::VARCHAR || '> '
+                            || toks[p + 1]
+                       ELSE toks[p + 1] END), ' '), '') AS target_text
+    FROM t
+    ORDER BY doc_id
+    """,
+    description=(
+        "T5-style span-corruption pair generation: one deterministic "
+        "md5-placed mask span per 20-token block (~15% corruption, mean "
+        "span 3) yields <input with sentinels, target spans> training "
+        "pairs — map-only, engine-exact"
+    ),
+)
+def span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective example generator (Raffel et al. 2020's span
+    corruption, the T5 pretraining objective): masked-input / target
+    pairs materialized as columns.
+
+    The span placement is blockwise — one span per 20-token block with
+    md5-drawn start and length — so spans can never overlap and the
+    whole generator is a single map-only projection: no shuffle, no UDF,
+    no per-token row explosion. At 100 TB this runs at scan speed and
+    parallelizes with the input splits. Sentinel ids are the block ids
+    (deterministic, strictly increasing within a doc)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    s_at = _SC_S_SPARK.format(b=f"p div {_SC_BLOCK}")
+    return t.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        F.expr(
+            f"""size(filter(sequence(0, (n - 1) div {_SC_BLOCK}),
+                 b -> {_SC_S_SPARK.format(b="b")} <
+                      least({_SC_BLOCK}, n - b * {_SC_BLOCK})))"""
+        ).cast("int").alias("n_spans"),
+        F.expr(
+            f"size(filter(sequence(0, n - 1), p -> {_SC_CORR_SPARK}))"
+        ).cast("int").alias("n_corrupted"),
+        F.expr(
+            f"""array_join(transform(
+                 filter(sequence(0, n - 1),
+                   p -> NOT {_SC_CORR_SPARK} OR (p % {_SC_BLOCK}) = {s_at}),
+                 p -> CASE WHEN {_SC_CORR_SPARK}
+                           THEN concat('<extra_id_',
+                                       cast(p div {_SC_BLOCK} as string), '>')
+                           ELSE element_at(toks, p + 1) END), ' ')"""
+        ).alias("input_text"),
+        F.expr(
+            f"""array_join(transform(
+                 filter(sequence(0, n - 1), p -> {_SC_CORR_SPARK}),
+                 p -> CASE WHEN (p % {_SC_BLOCK}) = {s_at}
+                           THEN concat('<extra_id_',
+                                       cast(p div {_SC_BLOCK} as string), '> ',
+                                       element_at(toks, p + 1))
+                           ELSE element_at(toks, p + 1) END), ' ')"""
+        ).alias("target_text"),
+    ).orderBy("doc_id")
