@@ -1651,6 +1651,7 @@ _SC_CORR_DUCK = _sc_corr(_SC_S_DUCK, _SC_L_DUCK, "//")
         "span 3) yields <input with sentinels, target spans> training "
         "pairs — map-only, engine-exact"
     ),
+    bench=True,
 )
 def span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Denoising-objective example generator (Raffel et al. 2020's span
