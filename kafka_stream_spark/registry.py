@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_deep,
         tpch_partsupp,
         semdedup,
+        unigram,
         sequence_stats,
         sketches_bloom,
         sketches_histogram,
