@@ -139,6 +139,28 @@ def unigram_tokenizer_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the oracle's row_number ordering.
     """
     (documents,) = load(spark, sf_dir, "documents")
+    pieces, scores = _segment_words(documents)
+    return (
+        pieces.join(scores.select(F.col("p").alias("piece"), "s"), "piece")
+        .groupBy("piece")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("usage"),
+            F.countDistinct("w").cast("bigint").alias("n_words"),
+            F.first("s").alias("score_micro"),
+        )
+        .orderBy(F.desc("usage"), "piece")
+        .limit(_UG_TOPK)
+    )
+
+
+def _segment_words(documents: DataFrame):
+    """Viterbi-segment every distinct word of the corpus.
+
+    Returns ``(pieces, scores)``: pieces is (w, cnt, piece, j) where j
+    counts pieces from the END of the word (the backtrack emit order —
+    the word is the j-DESC concatenation of its pieces); scores is the
+    (p, s) integer micro-log piece table.
+    """
     words = (
         documents.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") > 0)
@@ -216,7 +238,7 @@ def unigram_tokenizer_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     # backtrack: consume the chosen piece ending at pos until pos = 0
     states = words.select("w", "cnt", F.length("w").cast("int").alias("pos"))
     pieces = None
-    for _ in range(_UG_MAX_WL):
+    for j in range(_UG_MAX_WL):
         cur = (
             states.where(F.col("pos") > 0)
             .join(vall, ["w"])
@@ -228,17 +250,7 @@ def unigram_tokenizer_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("pos") - F.col("bk")).alias("npos"),
             )
         )
-        p = cur.select("w", "cnt", "piece")
+        p = cur.select("w", "cnt", "piece", F.lit(j).alias("j"))
         pieces = p if pieces is None else pieces.unionByName(p)
         states = cur.select("w", "cnt", F.col("npos").cast("int").alias("pos"))
-    return (
-        pieces.join(scores.select(F.col("p").alias("piece"), "s"), "piece")
-        .groupBy("piece")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("usage"),
-            F.countDistinct("w").cast("bigint").alias("n_words"),
-            F.first("s").alias("score_micro"),
-        )
-        .orderBy(F.desc("usage"), "piece")
-        .limit(_UG_TOPK)
-    )
+    return pieces, scores
