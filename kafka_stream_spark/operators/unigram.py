@@ -40,17 +40,18 @@ _UG_MAX_WL = 8      # DP depth bound == max word length (fixture contract)
 _UG_TOPK = 30
 
 
-def _duck_forward(i: int) -> str:
+def _duck_forward(i: int, tag: str = "", sc: str = "sc") -> str:
     """One unrolled Viterbi round: best(i) over k in 1..min(4, i)."""
     branches = []
     for k in range(1, min(_UG_MAX_PIECE, i) + 1):
         branches.append(f"""
         SELECT p.w, p.cnt, p.best + s.s AS cand, {k} AS bk
-        FROM v{i - k} p JOIN sc s ON s.p = substr(p.w, {i - k + 1}, {k})
+        FROM v{tag}{i - k} p
+        JOIN {sc} s ON s.p = substr(p.w, {i - k + 1}, {k})
         WHERE len(p.w) >= {i}""")
     un = " UNION ALL ".join(branches)
     return f"""
-    v{i} AS MATERIALIZED (
+    v{tag}{i} AS MATERIALIZED (
       SELECT w, cnt, cand AS best, bk FROM (
         SELECT w, cnt, cand, bk,
                row_number() OVER (PARTITION BY w
@@ -60,29 +61,48 @@ def _duck_forward(i: int) -> str:
     )"""
 
 
-def _duck_backtrack(s: int) -> str:
+def _duck_backtrack(s: int, tag: str = "") -> str:
     """One backtrack hop: consume the chosen piece ending at pos."""
     return f"""
-    t{s} AS MATERIALIZED (
+    t{tag}{s} AS MATERIALIZED (
       SELECT t.w, t.cnt, t.pos - v.bk AS pos,
              substr(t.w, t.pos - v.bk + 1, v.bk) AS piece
-      FROM t{s - 1} t JOIN vall v ON v.w = t.w AND v.i = t.pos
+      FROM t{tag}{s - 1} t
+      JOIN vall{tag} v ON v.w = t.w AND v.i = t.pos
       WHERE t.pos > 0
     )"""
 
 
-_VALL = " UNION ALL ".join(
-    f"SELECT w, {i} AS i, bk FROM v{i}" for i in range(1, _UG_MAX_WL + 1)
-)
-_PIECES = " UNION ALL ".join(
-    f"SELECT w, cnt, piece FROM t{s}" for s in range(1, _UG_MAX_WL + 1)
-)
+def _duck_dp_chain(tag: str = "", sc: str = "sc") -> str:
+    """The full forward + backtrack CTE chain for one Viterbi pass.
+
+    Expects ``words`` to exist; defines v{tag}0..N, vall{tag},
+    t{tag}0..N and pieces{tag}.
+    """
+    fw = ",".join(
+        _duck_forward(i, tag, sc) for i in range(1, _UG_MAX_WL + 1)
+    )
+    vall = " UNION ALL ".join(
+        f"SELECT w, {i} AS i, bk FROM v{tag}{i}"
+        for i in range(1, _UG_MAX_WL + 1)
+    )
+    bt = ",".join(_duck_backtrack(s, tag) for s in range(1, _UG_MAX_WL + 1))
+    pieces = " UNION ALL ".join(
+        f"SELECT w, cnt, piece FROM t{tag}{s}"
+        for s in range(1, _UG_MAX_WL + 1)
+    )
+    return f"""
+    v{tag}0 AS (SELECT w, cnt, CAST(0 AS BIGINT) AS best FROM words),
+    {fw},
+    vall{tag} AS MATERIALIZED ({vall}),
+    t{tag}0 AS (SELECT w, cnt, len(w) AS pos FROM words),
+    {bt},
+    pieces{tag} AS ({pieces})"""
 
 
-@query(
-    "unigram_tokenizer_pieces",
-    oracle=f"""
-    WITH words AS MATERIALIZED (
+# shared corpus-side CTE prefix: distinct bounded words, substring
+# frequencies, seed micro-log scores
+_DUCK_PREFIX = f"""words AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> ''
@@ -105,13 +125,14 @@ _PIECES = " UNION ALL ".join(
     sc AS MATERIALIZED (
       SELECT p, CAST(round(1000000.0 * ln(f * 1.0 / t)) AS BIGINT) AS s
       FROM freq CROSS JOIN tot
-    ),
-    v0 AS (SELECT w, cnt, CAST(0 AS BIGINT) AS best FROM words),
-    {",".join(_duck_forward(i) for i in range(1, _UG_MAX_WL + 1))},
-    vall AS MATERIALIZED ({_VALL}),
-    t0 AS (SELECT w, cnt, len(w) AS pos FROM words),
-    {",".join(_duck_backtrack(s) for s in range(1, _UG_MAX_WL + 1))},
-    pieces AS ({_PIECES})
+    )"""
+
+
+@query(
+    "unigram_tokenizer_pieces",
+    oracle=f"""
+    WITH {_DUCK_PREFIX},
+    {_duck_dp_chain()}
     SELECT p.piece,
            CAST(sum(p.cnt) AS BIGINT) AS usage,
            CAST(count(DISTINCT p.w) AS BIGINT) AS n_words,
@@ -161,7 +182,13 @@ def _segment_words(documents: DataFrame):
     the word is the j-DESC concatenation of its pieces); scores is the
     (p, s) integer micro-log piece table.
     """
-    words = (
+    words = _word_table(documents)
+    scores = _seed_scores(words)
+    return _viterbi(words, scores), scores
+
+
+def _word_table(documents: DataFrame) -> DataFrame:
+    return (
         documents.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
@@ -169,6 +196,10 @@ def _segment_words(documents: DataFrame):
         .where(F.length("w") <= _UG_MAX_WL)
         .localCheckpoint()  # the distinct-word table every stage reuses
     )
+
+
+def _seed_scores(words: DataFrame) -> DataFrame:
+    """Integer micro-log score for every substring piece (length 1..4)."""
     freq = (
         words.select(
             "cnt",
@@ -185,7 +216,7 @@ def _segment_words(documents: DataFrame):
         .agg(F.sum("cnt").cast("bigint").alias("f"))
     )
     tot = freq.agg(F.sum("f").cast("bigint").alias("t"))
-    scores = (
+    return (
         freq.crossJoin(F.broadcast(tot))
         .select(
             "p",
@@ -195,6 +226,15 @@ def _segment_words(documents: DataFrame):
         )
         .localCheckpoint()  # piece-score table, joined by every DP round
     )
+
+
+def _viterbi(words: DataFrame, scores: DataFrame) -> DataFrame:
+    """One Viterbi segmentation pass against an arbitrary (p, s) vocab.
+
+    Every vocabulary must contain all single characters of the corpus
+    (the coverage anchor), or some position has no incoming piece and
+    the word silently drops out of the forward table.
+    """
     # forward Viterbi: best(0) = 0; best(i) = max over k of
     # best(i-k) + score(substr(i-k+1, k)), ties to the SMALLER k
     frontier = {
@@ -253,4 +293,108 @@ def _segment_words(documents: DataFrame):
         p = cur.select("w", "cnt", "piece", F.lit(j).alias("j"))
         pieces = p if pieces is None else pieces.unionByName(p)
         states = cur.select("w", "cnt", F.col("npos").cast("int").alias("pos"))
-    return pieces, scores
+    return pieces
+
+
+# ---------------------------------------------------------------------------
+# One full EM round: E-step usage -> re-estimated scores -> re-segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unigram_em_round",
+    oracle=f"""
+    WITH {_DUCK_PREFIX},
+    {_duck_dp_chain()},
+    u1 AS MATERIALIZED (
+      SELECT piece AS p, CAST(sum(cnt) AS BIGINT) AS u
+      FROM pieces GROUP BY piece
+    ),
+    numer AS MATERIALIZED (
+      SELECT s.p,
+             coalesce(u.u, 0)
+               + CASE WHEN len(s.p) = 1 THEN 1 ELSE 0 END AS m
+      FROM sc s LEFT JOIN u1 u ON u.p = s.p
+    ),
+    d2 AS (SELECT CAST(sum(m) AS BIGINT) AS d FROM numer WHERE m > 0),
+    sc2 AS MATERIALIZED (
+      SELECT p, CAST(round(1000000.0 * ln(m * 1.0 / d)) AS BIGINT) AS s
+      FROM numer CROSS JOIN d2 WHERE m > 0
+    ),
+    {_duck_dp_chain("e", "sc2")}
+    SELECT p2.piece,
+           CAST(sum(p2.cnt) AS BIGINT) AS usage_em,
+           CAST(count(DISTINCT p2.w) AS BIGINT) AS n_words,
+           CAST(any_value(coalesce(u1.u, 0)) AS BIGINT) AS usage_seed,
+           any_value(s2.s) AS score_micro
+    FROM piecese p2
+    JOIN sc2 s2 ON s2.p = p2.piece
+    LEFT JOIN u1 ON u1.p = p2.piece
+    GROUP BY p2.piece
+    ORDER BY usage_em DESC, p2.piece
+    LIMIT {_UG_TOPK}
+    """,
+    description=(
+        "One full unigram-LM EM round: seed Viterbi usage re-estimates "
+        "piece likelihoods (unused pieces pruned, single-char anchors "
+        "add-one smoothed), then the corpus re-segments against the "
+        "shrunk vocabulary — double-unrolled DP, engine-verified"
+    ),
+)
+def unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M-step + second E-step SentencePiece iterates: piece
+    probabilities re-estimated from observed Viterbi usage (maximum
+    likelihood over the hard assignments), the vocabulary pruned to
+    pieces that earned usage — with every single character kept as an
+    add-one-smoothed coverage anchor so re-segmentation stays total —
+    and the word table segmented again under the new scores.
+
+    Same scale shape as the seed pass run twice: corpus touched once
+    for word counts, every other stage is |distinct words| x |pieces|.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    words = _word_table(documents)
+    sc1 = _seed_scores(words)
+    usage1 = (
+        _viterbi(words, sc1)
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("u"))
+        .select(F.col("piece").alias("p"), "u")
+    )
+    numer = (
+        sc1.select("p")
+        .join(usage1, "p", "left")
+        .select(
+            "p",
+            (
+                F.coalesce(F.col("u"), F.lit(0))
+                + F.when(F.length("p") == 1, 1).otherwise(0)
+            ).alias("m"),
+        )
+        .where(F.col("m") > 0)
+    )
+    d2 = numer.agg(F.sum("m").cast("bigint").alias("d"))
+    sc2 = (
+        numer.crossJoin(F.broadcast(d2))
+        .select(
+            "p",
+            F.round(F.lit(1_000_000.0) * F.log(F.col("m") * 1.0 / F.col("d")))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )
+    p2 = _viterbi(words, sc2)
+    return (
+        p2.join(sc2.select(F.col("p").alias("piece"), "s"), "piece")
+        .join(usage1.select(F.col("p").alias("piece"), "u"), "piece", "left")
+        .groupBy("piece")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("usage_em"),
+            F.countDistinct("w").cast("bigint").alias("n_words"),
+            F.first(F.coalesce(F.col("u"), F.lit(0))).cast("bigint").alias("usage_seed"),
+            F.first("s").alias("score_micro"),
+        )
+        .orderBy(F.desc("usage_em"), "piece")
+        .limit(_UG_TOPK)
+    )
