@@ -1701,3 +1701,89 @@ def span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE element_at(toks, p + 1) END), ' ')"""
         ).alias("target_text"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Length-bucket padding efficiency — the batching-waste audit
+# ---------------------------------------------------------------------------
+
+_LB_CAPS = [16, 32, 64, 128, 256]  # power-of-two bucket capacities
+
+
+def _lb_case(col: str) -> str:
+    """CASE ladder mapping a token count onto its bucket capacity."""
+    whens = " ".join(
+        f"WHEN {col} <= {c} THEN {c}" for c in _LB_CAPS[:-1]
+    )
+    return f"CASE {whens} ELSE {_LB_CAPS[-1]} END"
+
+
+@query(
+    "length_bucket_padding_waste",
+    oracle=f"""
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) AS n FROM documents
+    ),
+    g AS (SELECT max(n) AS maxn FROM d),
+    b AS (
+      SELECT {_lb_case("n")} AS cap, n FROM d
+    )
+    SELECT CAST(cap AS INT) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) * cap AS BIGINT) AS padded_tokens,
+           CAST(count(*) * cap - sum(n) AS BIGINT) AS bucket_waste,
+           CAST(count(*) * any_value(g.maxn) - sum(n) AS BIGINT)
+             AS pad_to_max_waste,
+           round(sum(n) * 1.0 / (count(*) * cap), 6) AS efficiency
+    FROM b CROSS JOIN g
+    GROUP BY cap
+    ORDER BY cap
+    """,
+    description=(
+        "Batch-padding efficiency audit: token-length power-of-two "
+        "buckets vs pad-to-global-max — per-bucket doc counts, padded "
+        "vs real tokens, waste, and utilization"
+    ),
+)
+def length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies what length-bucketed batching saves over naive
+    pad-to-max (the standard pre-tokenization batching decision):
+    per-bucket utilization and both waste totals.
+
+    Map-only length computation into a 5-row aggregate plus one 1-row
+    broadcast (the global max) — zero corpus shuffle at any scale; the
+    CASE ladder keeps bucket assignment pure-integer and engine-exact."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = documents.select(F.size(F.split("text", " ")).alias("n"))
+    g = d.agg(F.max("n").alias("maxn"))
+    b = d.select(F.expr(_lb_case("n")).alias("cap"), "n").crossJoin(
+        F.broadcast(g)
+    )
+    return (
+        b.groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            (F.count(F.lit(1)) * F.col("cap")).cast("bigint").alias("padded_tokens"),
+            (F.count(F.lit(1)) * F.col("cap") - F.sum("n"))
+            .cast("bigint")
+            .alias("bucket_waste"),
+            (F.count(F.lit(1)) * F.first("maxn") - F.sum("n"))
+            .cast("bigint")
+            .alias("pad_to_max_waste"),
+            F.round(F.sum("n") * 1.0 / (F.count(F.lit(1)) * F.col("cap")), 6).alias(
+                "efficiency"
+            ),
+        )
+        .select(
+            F.col("cap").cast("int").alias("bucket_cap"),
+            "n_docs",
+            "n_tokens",
+            "padded_tokens",
+            "bucket_waste",
+            "pad_to_max_waste",
+            "efficiency",
+        )
+        .orderBy("bucket_cap")
+    )
