@@ -1787,3 +1787,102 @@ def length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_cap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch reshuffling — reproducible training-data order
+# ---------------------------------------------------------------------------
+
+_EP_SHARDS = 8
+_EP_EPOCHS = 2
+_EP_PRIME = 1_000_003  # doc-key mod for the order checksum
+
+
+@query(
+    "epoch_shuffle_shards",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    assigned AS (
+      SELECT e.epoch, d.doc_id, d.n_tok,
+             ('0x' || substr(md5('ep:' || e.epoch::VARCHAR || ':'
+                                 || d.doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM d CROSS JOIN (SELECT unnest(range(0, {_EP_EPOCHS})) AS epoch) e
+    ),
+    ordered AS (
+      SELECT epoch, h % {_EP_SHARDS} AS shard, doc_id, n_tok,
+             row_number() OVER (PARTITION BY epoch, h % {_EP_SHARDS}
+                                ORDER BY h, doc_id) AS pos
+      FROM assigned
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(pos * (doc_id % {_EP_PRIME})) AS BIGINT) AS order_checksum
+    FROM ordered
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """,
+    description=(
+        "Deterministic epoch reshuffling: md5(epoch, doc) shard "
+        "assignment + within-shard order, audited per (epoch, shard) "
+        "with an exact positional checksum — the reproducible "
+        "training-order primitive"
+    ),
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle per training epoch: every epoch draws
+    a fresh md5 permutation (seeded by epoch number), docs land in
+    shards by hash and in a hash-ranked order inside each shard — the
+    same (epoch, doc) always lands in the same place on any engine, any
+    run, any cluster size, which is what makes training runs resumable
+    and ablations comparable.
+
+    Scale shape: assignment is map-only; the within-shard ranking is
+    ONE shuffle per epoch partitioned by (epoch, shard) — exactly the
+    write path's natural partitioning, so the sort is the output sort.
+    The positional checksum (sum of pos x doc-key mod p, associative)
+    lets two engines agree on the FULL order while exchanging only one
+    row per shard."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    epochs = spark.range(_EP_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    assigned = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('ep:', cast(epoch as string), ':',"
+            " cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch", F.col("h") % _EP_SHARDS).orderBy("h", "doc_id")
+    ordered = assigned.select(
+        "epoch",
+        (F.col("h") % _EP_SHARDS).alias("shard"),
+        "doc_id",
+        "n_tok",
+        F.row_number().over(w).alias("pos"),
+    )
+    return (
+        ordered.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("pos") * (F.col("doc_id") % _EP_PRIME))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "order_checksum",
+        )
+        .orderBy("epoch", "shard")
+    )
