@@ -247,6 +247,88 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_decision_log",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                                 ' ')) AS fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT s.*, r.rn FROM scored s
+      LEFT JOIN (
+        SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored
+        WHERE n_tokens >= 40 AND distinct_ratio >= 0.3
+          AND lang IN ('en', 'de', 'es')
+      ) r ON r.doc_id = s.doc_id
+    )
+    SELECT doc_id, lang, source, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN n_tokens < 40 THEN 'short'
+                WHEN distinct_ratio < 0.3 THEN 'low_diversity'
+                WHEN lang NOT IN ('en', 'de', 'es') THEN 'lang'
+                WHEN rn > 1 THEN 'duplicate'
+                ELSE 'kept' END AS decision
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    description=(
+        "Per-document curation decision log: the first gate each doc "
+        "fails in the curation_pipeline flow (short / low_diversity / "
+        "lang / duplicate / kept) — the 'why was my doc dropped' audit"
+    ),
+)
+def curation_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance for curation_pipeline: same gates, same
+    thresholds, same dedup rank — but instead of aggregate stats it
+    emits each document's fate, which is what an operator debugging a
+    pipeline actually asks for. Same scale shape as the pipeline (one
+    fingerprint window over the gate survivors; everything else
+    map-only), so the log costs no more than the summary."""
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = (
+        scored.filter(
+            (F.col("n_tokens") >= 40)
+            & (F.col("distinct_ratio") >= 0.3)
+            & F.col("lang").isin("en", "de", "es")
+        )
+        .select("doc_id", F.row_number().over(w).alias("rn"))
+    )
+    return (
+        scored.join(ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.when(F.col("n_tokens") < 40, "short")
+            .when(F.col("distinct_ratio") < 0.3, "low_diversity")
+            .when(~F.col("lang").isin("en", "de", "es"), "lang")
+            .when(F.col("rn") > 1, "duplicate")
+            .otherwise("kept")
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "scalar_funcs_events",
     oracle="""
     SELECT event_id,
