@@ -907,3 +907,67 @@ def hash_reservoir_sampler(
     return grouped.applyInPandasWithState(
         fn, RESERVOIR_SCHEMA, _RESERVOIR_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Saturation tracker — streaming twin of dedup_saturation_curve
+# ---------------------------------------------------------------------------
+
+SATURATION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("est_distinct", DoubleType()),
+        StructField("yield_permille", LongType()),
+    ]
+)
+_SAT_STATE = "n LONG, hv ARRAY<LONG>"
+
+
+def saturation_tracker(grouped, key_col: str, id_col: str, k: int = 64) -> DataFrame:
+    """Per-key unique-yield monitor: how much of this source's stream is
+    still NEW content (the streaming twin of the batch
+    ``dedup_saturation_curve`` — same question, per trigger instead of
+    per decile). State per key is one counter plus a KMV min-k set —
+    O(k) regardless of stream length — so the yield dashboard runs
+    forever on bounded state. Hashing matches ``kmv_distinct_tracker``
+    ('kmv:'||id), so estimates snapshot-merge with the batch sketches.
+    yield_permille = round(1000 x est_distinct / n_seen): a source
+    whose permille trends toward 0 is saturated — more crawl is
+    re-reading the same content.
+    """
+    import hashlib
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, kept = state.get
+            minima = set(kept)
+        else:
+            n, minima = 0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf[id_col]:
+                minima.add(
+                    int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16)
+                )
+        kept = sorted(minima)[:k]
+        state.update((n, kept))
+        est = (
+            float(len(kept))
+            if len(kept) < k
+            else (k - 1) * _KMV_DOMAIN / kept[-1]
+        )
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_seen": [n],
+                "est_distinct": [round(est, 2)],
+                "yield_permille": [int(round(1000.0 * est / n)) if n else 0],
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, SATURATION_SCHEMA, _SAT_STATE, "update", GroupStateTimeout.NoTimeout
+    )
