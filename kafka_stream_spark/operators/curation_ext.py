@@ -1393,6 +1393,7 @@ _TMIX_W_SCALE = 1_000_000
         "micro-weights and exact-integer target split, md5-bucket keep "
         "decisions"
     ),
+    bench=True,
 )
 def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixing p_s ∝ share_s^alpha (alpha=0.3): the standard
@@ -1520,6 +1521,7 @@ _SAT_DECILES = 10
         "how many NEW unique contents each decile contributes — the "
         "marginal-value-of-more-crawl curve"
     ),
+    bench=True,
 )
 def dedup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Answers 'is more of this source still yielding new data?': the
@@ -1831,6 +1833,7 @@ _EP_PRIME = 1_000_003  # doc-key mod for the order checksum
         "with an exact positional checksum — the reproducible "
         "training-order primitive"
     ),
+    bench=True,
 )
 def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle per training epoch: every epoch draws

@@ -281,6 +281,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fails in the curation_pipeline flow (short / low_diversity / "
         "lang / duplicate / kept) — the 'why was my doc dropped' audit"
     ),
+    bench=True,
 )
 def curation_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level provenance for curation_pipeline: same gates, same
@@ -670,6 +671,7 @@ _CAL_SPAN = 100_001
         "hashed quality score vs the lang='en' label — per-bin counts, "
         "empirical positive rate, mean score (integer-exact binning)"
     ),
+    bench=True,
 )
 def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The threshold-picking companion to quality_classifier_score: bins
