@@ -67,3 +67,44 @@ def test_saturation_tracker_final_state_matches_exact(spark, batched_docs_dir):
         assert final[src]["yield_permille"] == permille
     # the stale source must read as saturated relative to the fresh one
     assert final["stale"]["yield_permille"] < final["fresh"]["yield_permille"]
+
+
+def test_saturation_tracker_state_survives_restart(spark, tmp_path):
+    """Run 1 sees ids 0..19, run 2 (fresh query, SAME checkpoint) sees
+    10..29: the final update must count n_seen=40 with 30 distinct —
+    impossible unless (n, minima) state was recovered."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(ids):
+        spark.createDataFrame(
+            [("s", u) for u in ids], DOC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+        res = saturation_tracker(
+            stream.groupBy("source"), "source", "content_id", k=_K
+        )
+        q = (
+            res.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(range(20))
+    run_once()
+    write_batch(range(10, 30))
+    run_once()
+
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r["n_seen"])
+    assert rows[-1]["n_seen"] == 40
+    est, permille = _expected(list(range(20)) + list(range(10, 30)))
+    assert rows[-1]["est_distinct"] == est
+    assert rows[-1]["yield_permille"] == permille
