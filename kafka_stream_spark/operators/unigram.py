@@ -25,6 +25,11 @@ frequencies; everything after runs over |distinct words| x |pieces|
 (the production shape — SentencePiece trainers also operate on word
 counts, not raw tokens). Each DP round localCheckpoints a tiny state
 table, keeping plans linear (sharp edge #10).
+
+Reference framing: the tokenizer family serves the reference's
+multilingual text feeds (sample-data/reddit.value.json:75-78) the way
+``bpe.py`` does — corpus-statistics training over the bulk text
+surface a downstream LLM pipeline consumes.
 """
 
 from __future__ import annotations
