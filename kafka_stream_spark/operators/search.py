@@ -320,3 +320,94 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hit.orderBy("doc_id", "pos").limit(_KWIC_LIMIT)
+
+
+# ---------------------------------------------------------------------------
+# nDCG@20 of the BM25 ranking — term-coverage graded relevance
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from kafka_stream_spark.registry import QUERIES as _QUERIES
+
+_NDCG20_K = 20
+_DCG_W20 = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG20_K + 1)]
+_W20_SQL = "[" + ", ".join(str(w) for w in _DCG_W20) + "]"
+_BM25_ORACLE = _QUERIES["bm25_search_documents"].oracle
+
+
+@query(
+    "bm25_ndcg_eval",
+    oracle=f"""
+    WITH ranked AS ({_BM25_ORACLE}),
+    g AS (
+      SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS grade FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id
+    ),
+    dcg AS (
+      SELECT CAST(sum(g.grade * ({_W20_SQL})[r.rank]) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n_ranked
+      FROM ranked r JOIN g USING (doc_id)
+    ),
+    ideal AS (
+      SELECT CAST(sum(grade * ({_W20_SQL})[rn]) AS BIGINT) AS i FROM (
+        SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id) AS rn
+        FROM g
+      ) WHERE rn <= {_NDCG20_K}
+    )
+    SELECT n_ranked, d AS dcg_micro, i AS idcg_micro,
+           round(d * 1.0 / i, 6) AS ndcg_at_20
+    FROM dcg CROSS JOIN ideal
+    """,
+    description=(
+        "nDCG@20 of the BM25 ranking against term-coverage graded "
+        "relevance (grade = distinct query terms present) — integer "
+        "micro-weight DCG vs the corpus-wide ideal ordering"
+    ),
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality readout for the lexical retriever: does BM25's
+    length/tf weighting put the docs covering MORE query terms first?
+    Graded relevance needs no labels — it is derived from term coverage,
+    so the metric runs as a standing data-quality probe on any corpus.
+    Composes bm25_search_documents verbatim; the grade table is the same
+    pre-shuffle term-restricted aggregate BM25 itself uses, and the DCG
+    weights are Python-minted integer literals in both engines (no
+    query-time transcendentals)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    ranked = bm25_search_documents(spark, sf_dir)
+    g = (
+        documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("bigint").alias("grade"))
+    )
+    warr = F.array(*[F.lit(x) for x in _DCG_W20])
+    dcg = ranked.join(g, "doc_id").agg(
+        F.sum(F.col("grade") * F.element_at(warr, F.col("rank")))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+    )
+    ideal = (
+        g.select(
+            "grade",
+            F.row_number()
+            .over(Window.orderBy(F.desc("grade"), "doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= _NDCG20_K)
+        .agg(
+            F.sum(F.col("grade") * F.element_at(warr, F.col("rn")))
+            .cast("bigint")
+            .alias("i")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        "n_ranked",
+        F.col("d").alias("dcg_micro"),
+        F.col("i").alias("idcg_micro"),
+        F.round(F.col("d") * 1.0 / F.col("i"), 6).alias("ndcg_at_20"),
+    )
