@@ -1889,3 +1889,120 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunk index build — chunks assigned to IVF buckets, posting stats
+# ---------------------------------------------------------------------------
+
+from kafka_stream_spark.registry import QUERIES as _REG
+
+
+def _de(a: str, b: str) -> str:
+    """JVM-side double-array dot product expression."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+@query(
+    "rag_chunk_index",
+    oracle=f"""
+    WITH chunks AS ({_REG["chunk_documents"].oracle}),
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    expl AS (
+      SELECT label, i, e[i] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    cent AS (
+      SELECT label, array_agg(cx ORDER BY i) AS c
+      FROM (SELECT label, i, avg(x) AS cx FROM expl GROUP BY label, i)
+      GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id AS doc_id, label AS bucket FROM (
+        SELECT v.vec_id, c.label,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 round(list_inner_product(v.e, c.c)
+                       / (sqrt(list_inner_product(v.e, v.e))
+                          * sqrt(list_inner_product(c.c, c.c))), 6) DESC,
+                 c.label) AS rn
+        FROM v CROSS JOIN cent c)
+      WHERE rn = 1
+    )
+    SELECT CAST(a.bucket AS INT) AS bucket,
+           CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.n_chunk_tokens) AS BIGINT) AS n_tokens
+    FROM chunks c JOIN assign a USING (doc_id)
+    GROUP BY a.bucket
+    ORDER BY bucket
+    """,
+    description=(
+        "RAG index build end-to-end: overlapping chunks + IVF coarse "
+        "assignment of each document's embedding -> per-bucket posting "
+        "stats (docs, chunks, tokens) — the retrieval-index shape audit"
+    ),
+)
+def rag_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval-index build as one plan: chunk_documents'
+    token windows joined to the IVF bucket each document's embedding
+    assigns to (argmax rounded centroid cosine — the same coarse
+    quantizer ann_ivf_topk probes), aggregated to per-bucket posting
+    statistics. This is the audit a retrieval team runs before
+    flipping an index live: bucket balance decides query fan-out.
+
+    Scale shape: centroids are k rows broadcast everywhere (assignment
+    is map-side dot products over the corpus); chunking is map-only;
+    the chunk-to-bucket join is on doc_id (co-partitioned with the
+    chunk write in production); the output is k rows."""
+    from kafka_stream_spark.operators._common import load as _load
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    expl = v.select("label", F.posexplode("e").alias("pos", "x"))
+    cent = (
+        expl.groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        )
+    )
+    cos = F.expr(
+        f"round({_de('e', 'c')} / (sqrt({_de('e', 'e')})"
+        f" * sqrt({_de('c', 'c')})), 6)"
+    )
+    assign = (
+        v.select("vec_id", "e")
+        .crossJoin(F.broadcast(cent.select(F.col("label").alias("bucket"), "c")))
+        .select(F.col("vec_id").alias("doc_id"), "bucket", cos.alias("cs"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("cs"), F.asc("bucket"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "bucket")
+    )
+    chunks = chunk_documents(spark, sf_dir)
+    return (
+        chunks.join(assign, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n_docs", "n_chunks", "n_tokens")
+        .orderBy("bucket")
+    )
