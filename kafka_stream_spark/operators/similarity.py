@@ -1742,3 +1742,104 @@ def train_ann_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
         "opq_rotation": rot,         # (i, r) — row i of the 64×64 R
         "opq_pq": opq_pq,            # (m, cid, c) — rotated-space codebooks
     }
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining — anchor / positive / hard negative + margin
+# ---------------------------------------------------------------------------
+
+_TRIP_NEGS = 2
+
+
+@query(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS gold, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, gold, vec_id, label,
+             round(list_inner_product(qe, e)
+                   / (sqrt(list_inner_product(qe, qe))
+                      * sqrt(list_inner_product(e, e))), 6) AS cosine
+      FROM q CROSS JOIN v
+      WHERE vec_id <> query_id
+    ),
+    pos AS (
+      SELECT query_id, vec_id AS pos_id, cosine AS pos_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored WHERE label = gold
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT query_id, CAST(rn AS INT) AS neg_rank,
+             vec_id AS neg_id, cosine AS neg_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored WHERE label <> gold
+      ) WHERE rn <= {_TRIP_NEGS}
+    )
+    SELECT p.query_id, p.pos_id, p.pos_cosine,
+           n.neg_rank, n.neg_id, n.neg_cosine,
+           round(p.pos_cosine - n.neg_cosine, 6) AS margin
+    FROM pos p JOIN neg n USING (query_id)
+    ORDER BY query_id, neg_rank
+    """,
+    description=(
+        "Contrastive triplet mining: per anchor, the nearest same-label "
+        "positive and the top hard wrong-label negatives with cosine "
+        "margins — the embedding-training pair generator"
+    ),
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard negative, margin) rows ready for a
+    triplet/InfoNCE loss — hard_negative_mining's output completed with
+    the positive side and the actual margin the loss would see (small
+    or negative margins are the pairs worth training on).
+
+    Same scale shape as the rest of the eval family: anchors broadcast,
+    corpus scanned once and never shuffled; the per-anchor argmax rows
+    ride the same window."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.expr(_to_double("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("gold"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "gold",
+            "vec_id",
+            "label",
+            F.round(F.expr(_cosine_expr("qe", "e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    pos = (
+        scored.where(F.col("label") == F.col("gold"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("pos_id"),
+                F.col("cosine").alias("pos_cosine"))
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("gold"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TRIP_NEGS)
+        .select("query_id", F.col("rn").cast("int").alias("neg_rank"),
+                F.col("vec_id").alias("neg_id"),
+                F.col("cosine").alias("neg_cosine"))
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id", "pos_id", "pos_cosine", "neg_rank", "neg_id",
+            "neg_cosine",
+            F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias("margin"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
