@@ -392,3 +392,108 @@ def pca2_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift by source — centroid shift monitoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_drift_by_source",
+    oracle="""
+    WITH v AS (
+      SELECT d.source, e.embedding::DOUBLE[] AS e
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    expl AS (
+      SELECT source, i, e[i] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    sc AS (
+      SELECT source, array_agg(cx ORDER BY i) AS c, any_value(n) AS n_vecs
+      FROM (SELECT source, i, avg(x) AS cx, count(*) AS n
+            FROM expl GROUP BY source, i)
+      GROUP BY source
+    ),
+    gc AS (
+      SELECT array_agg(cx ORDER BY i) AS g
+      FROM (SELECT i, avg(x) AS cx FROM expl GROUP BY i)
+    )
+    SELECT sc.source,
+           CAST(sc.n_vecs AS BIGINT) AS n_vecs,
+           round(list_inner_product(sc.c, gc.g)
+                 / (sqrt(list_inner_product(sc.c, sc.c))
+                    * sqrt(list_inner_product(gc.g, gc.g))), 6) AS cos_to_corpus,
+           round(sqrt(list_inner_product(
+                   list_transform(range(1, 65), i -> sc.c[i] - gc.g[i]),
+                   list_transform(range(1, 65), i -> sc.c[i] - gc.g[i]))), 6)
+             AS l2_dist
+    FROM sc CROSS JOIN gc
+    ORDER BY sc.source
+    """,
+    description=(
+        "Embedding-distribution drift monitor: per-source centroid vs "
+        "the corpus centroid (cosine + L2) — catches a source whose "
+        "embedding space shifted after a scraper or model change"
+    ),
+)
+def embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring twin of the PCA family: one groupBy builds each
+    source's mean vector (64 x |sources| rows after the map-side
+    combine), the corpus centroid is one more row, and the drift math
+    runs on centroids only — the corpus-sized work is a single scan
+    regardless of how many sources report. Drift in cos/L2 per source
+    is the standing data-quality alarm for embedding pipelines."""
+    emb, documents = load(spark, sf_dir, "embeddings", "documents")
+    v = emb.join(
+        documents.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    ).select(
+        "source", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    expl = v.select("source", F.posexplode("e").alias("pos", "x"))
+    sc = (
+        expl.groupBy("source", "pos")
+        .agg(F.avg("x").alias("cx"), F.count(F.lit(1)).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c"),
+            F.first("n").cast("bigint").alias("n_vecs"),
+        )
+    )
+    gc = (
+        expl.groupBy("pos")
+        .agg(F.avg("x").alias("cx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("g")
+        )
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    diff = "zip_with(c, g, (x, y) -> x - y)"
+    return (
+        sc.crossJoin(F.broadcast(gc))
+        .select(
+            "source",
+            "n_vecs",
+            F.round(
+                F.expr(
+                    f"{dot.format(a='c', b='g')} / (sqrt({dot.format(a='c', b='c')})"
+                    f" * sqrt({dot.format(a='g', b='g')}))"
+                ),
+                6,
+            ).alias("cos_to_corpus"),
+            F.round(
+                F.expr(f"sqrt({dot.format(a=diff, b=diff)})"), 6
+            ).alias("l2_dist"),
+        )
+        .orderBy("source")
+    )
