@@ -859,3 +859,91 @@ def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num * 1.0 / denx, 6).alias("zipf_slope"),
         F.round((num * 1.0 * num) / (denx * 1.0 * deny), 6).alias("r2"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage@V — tokenizer vocab-size sizing curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZES = [10, 25, 50, 100]
+
+
+@query(
+    "token_vocab_coverage",
+    oracle=f"""
+    WITH tc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, w) AS rnk,
+             CAST(sum(n) OVER (ORDER BY n DESC, w
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM tc
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_distinct FROM tc)
+    SELECT v.v AS vocab_size,
+           CAST(least(v.v, tot.n_distinct) AS BIGINT) AS n_vocab_used,
+           r.cum AS covered_occurrences,
+           tot.t AS total_occurrences,
+           round(r.cum * 1.0 / tot.t, 6) AS coverage
+    FROM (SELECT unnest(ARRAY{_VOCAB_SIZES}) AS v) v
+    CROSS JOIN tot
+    JOIN ranked r ON r.rnk = least(v.v, tot.n_distinct)
+    ORDER BY vocab_size
+    """,
+    description=(
+        "Tokenizer vocab sizing curve: share of all token occurrences "
+        "covered by the top-V vocabulary for V in "
+        f"{_VOCAB_SIZES} — the OOV-rate/vocab-size tradeoff readout"
+    ),
+)
+def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage@V: what fraction of the corpus token stream the top-V
+    most frequent tokens explain (1 - coverage is the OOV rate a
+    V-sized word vocab would eat). The corpus-sized work is one
+    map-side-combined token count; the ranking window runs over the
+    DISTINCT vocabulary — small relative to the corpus, and the global
+    order there is the point of the query."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tc = (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "w")
+    ranked = tc.select(
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    tot = tc.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    sizes = spark.createDataFrame([(v,) for v in _VOCAB_SIZES], "v INT")
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("v").alias("vocab_size"),
+            F.least(F.col("v").cast("bigint"), F.col("n_distinct")).alias(
+                "n_vocab_used"
+            ),
+            "t",
+        )
+        .join(ranked, F.col("n_vocab_used") == F.col("rnk"))
+        .select(
+            "vocab_size",
+            "n_vocab_used",
+            F.col("cum").alias("covered_occurrences"),
+            F.col("t").alias("total_occurrences"),
+            F.round(F.col("cum") * 1.0 / F.col("t"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
