@@ -493,3 +493,46 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node.orderBy(F.desc("n_triangles"), "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram — the dedup impact summary
+# ---------------------------------------------------------------------------
+
+from kafka_stream_spark.registry import QUERIES as _REG
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ({_REG["dedup_cluster_components"].oracle})
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    description=(
+        "Duplicate-cluster size distribution over the connected-"
+        "components closure: how much of the corpus sits in clusters "
+        "of each size — the dedup-savings estimate (docs minus "
+        "clusters = removable rows)"
+    ),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary a curation run reports after closure: cluster-size
+    histogram (size 1 = unique docs; Σ(n_docs - n_clusters) over
+    sizes > 1 = rows dedup would remove). Composes
+    dedup_cluster_components verbatim, so the histogram inherits the
+    O(log n)-round star closure; the aggregate itself is k rows."""
+    comps = dedup_cluster_components(spark, sf_dir)
+    return (
+        comps.groupBy("cluster_size")
+        .agg(
+            F.countDistinct("component").cast("bigint").alias("n_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                "n_clusters", "n_docs")
+        .orderBy("cluster_size")
+    )
