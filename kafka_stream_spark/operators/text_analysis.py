@@ -947,3 +947,70 @@ def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character entropy — the gibberish / encoding-noise signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, '') AS cs,
+             len(string_split(text, '')) AS n
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n, list_sort(list_distinct(cs)) AS dcs, cs FROM t
+    )
+    SELECT doc_id,
+           CAST(len(dcs) AS INT) AS n_distinct_chars,
+           round(-list_sum(list_transform(dcs, c ->
+               (len(list_filter(cs, x -> x = c)) * 1.0 / n)
+               * log2(len(list_filter(cs, x -> x = c)) * 1.0 / n))), 6)
+             AS entropy_bits
+    FROM d
+    ORDER BY doc_id
+    """,
+    description=(
+        "Per-document character-level Shannon entropy (bits/char "
+        "distribution): near-zero flags repeated-char junk, "
+        "abnormally-high flags random/encoded noise — the classic "
+        "gibberish screen"
+    ),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only quality signal: each doc's char histogram and entropy
+    computed inside one expression (distinct chars sorted FIRST so both
+    engines fold the identical float sequence; round-after-sum pins the
+    value). No shuffle, no UDF — runs at scan speed at any corpus size.
+    O(distinct-chars x len) per doc is bounded by the alphabet."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "doc_id",
+            F.expr(
+                """named_struct(
+                     'dcs', array_sort(array_distinct(split(text, ''))),
+                     'cs', split(text, ''),
+                     'n', size(split(text, '')))"""
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(s.dcs)").cast("int").alias("n_distinct_chars"),
+            F.round(
+                F.expr(
+                    """-aggregate(
+                         transform(s.dcs, c ->
+                           (size(filter(s.cs, x -> x = c)) * 1.0D / s.n)
+                           * log2(size(filter(s.cs, x -> x = c)) * 1.0D / s.n)),
+                         cast(0.0 as double), (acc, v) -> acc + v)"""
+                ),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
