@@ -1014,3 +1014,73 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source curation scorecard — per-source league table
+# ---------------------------------------------------------------------------
+
+
+from kafka_stream_spark.registry import QUERIES as _REGQ
+
+_LOG_ORACLE = _REGQ["curation_decision_log"].oracle
+
+
+@query(
+    "source_curation_scorecard",
+    oracle=f"""
+    WITH log AS ({_LOG_ORACLE}),
+    q AS (
+      SELECT doc_id,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    )
+    SELECT l.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE l.decision = 'kept') AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE l.decision = 'short') AS BIGINT) AS n_short,
+           CAST(count(*) FILTER (WHERE l.decision = 'duplicate') AS BIGINT)
+             AS n_duplicate,
+           round(count(*) FILTER (WHERE l.decision = 'kept') * 1.0
+                 / count(*), 6) AS keep_rate,
+           round(avg(q.distinct_ratio), 6) AS avg_distinct_ratio
+    FROM log l JOIN q USING (doc_id)
+    GROUP BY l.source
+    ORDER BY l.source
+    """,
+    description=(
+        "Per-source curation league table: keep / short / duplicate "
+        "counts, keep rate, and mean lexical diversity — the scorecard "
+        "that decides which feeds earn more crawl budget"
+    ),
+)
+def source_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolls curation_decision_log up to the per-source view an
+    acquisitions team actually reads. Composes the decision log
+    verbatim (same gates, thresholds, dedup rank) joined with the
+    diversity signal; the corpus-sized work is the log's own single
+    window pass — this rollup adds one k-row aggregate."""
+    (documents,) = load(spark, sf_dir, "documents")
+    log = curation_decision_log(spark, sf_dir)
+    toks = F.split("text", " ")
+    q = documents.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+    )
+    kept = F.when(F.col("decision") == "kept", 1).otherwise(0)
+    short = F.when(F.col("decision") == "short", 1).otherwise(0)
+    dup = F.when(F.col("decision") == "duplicate", 1).otherwise(0)
+    return (
+        log.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(short).cast("bigint").alias("n_short"),
+            F.sum(dup).cast("bigint").alias("n_duplicate"),
+            F.round(F.sum(kept) * 1.0 / F.count(F.lit(1)), 6).alias("keep_rate"),
+            F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        )
+        .orderBy("source")
+    )
