@@ -1084,3 +1084,85 @@ def source_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness — variance-to-mean dispersion of term usage
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 5
+_BURST_TOPK = 20
+
+
+@query(
+    "term_burstiness",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             CAST(sum(tf * tf) AS BIGINT) AS total_tf2
+      FROM tf GROUP BY term
+      HAVING count(*) >= {_BURST_MIN_DF}
+    ),
+    scored AS (
+      SELECT term, df, total_tf,
+             round((total_tf2 * 1.0 / n.n_docs
+                    - (total_tf * 1.0 / n.n_docs) * (total_tf * 1.0 / n.n_docs))
+                   / (total_tf * 1.0 / n.n_docs), 6) AS dispersion
+      FROM stats CROSS JOIN n
+    )
+    SELECT term, df, total_tf, dispersion
+    FROM scored
+    ORDER BY dispersion DESC, term
+    LIMIT {_BURST_TOPK}
+    """,
+    description=(
+        "Term burstiness: variance-to-mean dispersion of per-document "
+        "term counts (Poisson baseline = 1; bursty topical terms score "
+        "high, function words low) — top-20 most bursty terms"
+    ),
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness as a query: a term whose occurrences
+    clump into few documents (high variance-to-mean over the document
+    frequency distribution, zeros included) is topical; dispersion ~1
+    is Poisson background. All corpus-sized work is the (doc, term)
+    count with map-side combine; moments are exact integers until one
+    final rounded division, so the ranking is engine-stable."""
+    (documents,) = load(spark, sf_dir, "documents")
+    n = documents.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tf = (
+        documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("total_tf2"),
+        )
+        .where(F.col("df") >= _BURST_MIN_DF)
+    )
+    mean = F.col("total_tf") * 1.0 / F.col("n_docs")
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "total_tf",
+            F.round(
+                (F.col("total_tf2") * 1.0 / F.col("n_docs") - mean * mean) / mean, 6
+            ).alias("dispersion"),
+        )
+        .orderBy(F.desc("dispersion"), "term")
+        .limit(_BURST_TOPK)
+    )
