@@ -1,9 +1,18 @@
 """Headline benchmark: runs the bench-flagged queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+(default /root/testdata/sf0.1) and prints TWO JSON lines on stdout:
 
-Each query is fully materialized (count + a cheap checksum collect) so the
-measured time includes the whole plan, not just planning.
+1. the full record {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {per-query sec}, "sf": ...} — wide (60+ queries), and
+2. a COMPACT summary {"metric": ..., "value": ..., "unit": "sec",
+   "sf": ..., "n_queries": N} as the FINAL line.
+
+The compact line exists because the driver's tail-capture window is
+smaller than the wide line (BENCH_r03.json recorded "parsed": null when
+the 66-query map outgrew it — VERDICT r3, item 4): whichever direction
+the window truncates from, one complete, parseable JSON line survives.
+
+Each query is fully materialized (count) so the measured time includes
+the whole plan, not just planning.
 """
 
 from __future__ import annotations
@@ -61,6 +70,7 @@ def main() -> None:
         print(f"# {name}: {n} rows in {times[name]}s (min of {repeats})", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -68,8 +78,22 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    )
+    # compact final line — guaranteed to fit any tail-capture window
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(times),
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -35,37 +35,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import BinaryType, StructField, StructType
 
-from kafka_stream_spark.functions import confluent
+from kafka_stream_spark.functions import confluent, wire
 
 # ---------------------------------------------------------------------------
 # binary primitives (Avro spec, public)
 # ---------------------------------------------------------------------------
 
 
-def _zigzag_encode(n: int) -> bytes:
-    z = (n << 1) ^ (n >> 63)
-    out = bytearray()
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+_zigzag_encode = wire.zigzag_encode
 
 
-def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
-    shift = 0
-    acc = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        acc |= (b & 0x7F) << shift
-        if not (b & 0x80):
-            break
-        shift += 7
-    return (acc >> 1) ^ -(acc & 1), pos
+# bounds-checked shared primitives (see functions/wire.py): overlong
+# varints and out-of-range lengths raise ValueError instead of feeding
+# attacker-controlled sizes into slicing / read()
+_zigzag_decode = wire.zigzag_decode
+_take = wire.take
 
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
@@ -207,6 +191,8 @@ def _decode_base(
 ) -> tuple[Any, int]:
     if isinstance(schema, list):
         idx, pos = _zigzag_decode(buf, pos)
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"union branch index {idx} out of range")
         branch = schema[idx]
         if branch == "null":
             return None, pos
@@ -227,10 +213,12 @@ def _decode_base(
         return buf[pos] == 1, pos + 1
     if t == "string":
         n, pos = _zigzag_decode(buf, pos)
-        return buf[pos : pos + n].decode("utf-8"), pos + n
+        raw, pos = _take(buf, pos, n, "string")
+        return raw.decode("utf-8"), pos
     if t == "bytes":
         n, pos = _zigzag_decode(buf, pos)
-        return bytes(buf[pos : pos + n]), pos + n
+        raw, pos = _take(buf, pos, n, "bytes")
+        return bytes(raw), pos
     if t == "array":
         items = []
         while True:
@@ -255,16 +243,19 @@ def _decode_base(
                 n = -n
             for _ in range(n):
                 kn, pos = _zigzag_decode(buf, pos)
-                k = buf[pos : pos + kn].decode("utf-8")
-                pos += kn
+                kraw, pos = _take(buf, pos, kn, "map key")
+                k = kraw.decode("utf-8")
                 entries[k], pos = _decode_value(buf, pos, schema["values"], raw_time)
         return entries, pos
     if t == "enum":
         idx, pos = _zigzag_decode(buf, pos)
-        return schema["symbols"][idx], pos
+        symbols = schema["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"enum index {idx} out of range")
+        return symbols[idx], pos
     if t == "fixed":
-        n = schema["size"]
-        return bytes(buf[pos : pos + n]), pos + n
+        raw, pos = _take(buf, pos, schema["size"], "fixed")
+        return bytes(raw), pos
     raise ValueError(f"unsupported Avro type for decode: {t!r}")
 
 
@@ -298,6 +289,8 @@ def compile_decoder(schema: Any, raw_time: bool = False):
 
         def read_union(buf, pos, _branches=branches):
             idx, pos = _zigzag_decode(buf, pos)
+            if not 0 <= idx < len(_branches):
+                raise ValueError(f"union branch index {idx} out of range")
             br = _branches[idx]
             if br is None:
                 return None, pos
@@ -340,13 +333,15 @@ def compile_decoder(schema: Any, raw_time: bool = False):
 
         def base(buf, pos):
             n, pos = _zigzag_decode(buf, pos)
-            return buf[pos : pos + n].decode("utf-8"), pos + n
+            raw, pos = _take(buf, pos, n, "string")
+            return raw.decode("utf-8"), pos
 
     elif t == "bytes":
 
         def base(buf, pos):
             n, pos = _zigzag_decode(buf, pos)
-            return bytes(buf[pos : pos + n]), pos + n
+            raw, pos = _take(buf, pos, n, "bytes")
+            return bytes(raw), pos
 
     elif t == "array":
         item = compile_decoder(schema["items"], raw_time)
@@ -379,9 +374,8 @@ def compile_decoder(schema: Any, raw_time: bool = False):
                     n = -n
                 for _ in range(n):
                     kn, pos = _zigzag_decode(buf, pos)
-                    k = buf[pos : pos + kn].decode("utf-8")
-                    pos += kn
-                    entries[k], pos = _val(buf, pos)
+                    kraw, pos = _take(buf, pos, kn, "map key")
+                    entries[kraw.decode("utf-8")], pos = _val(buf, pos)
             return entries, pos
 
     elif t == "enum":
@@ -389,13 +383,16 @@ def compile_decoder(schema: Any, raw_time: bool = False):
 
         def base(buf, pos, _symbols=symbols):
             idx, pos = _zigzag_decode(buf, pos)
+            if not 0 <= idx < len(_symbols):
+                raise ValueError(f"enum index {idx} out of range")
             return _symbols[idx], pos
 
     elif t == "fixed":
         size = schema["size"]
 
         def base(buf, pos, _n=size):
-            return bytes(buf[pos : pos + _n]), pos + _n
+            raw, pos = _take(buf, pos, _n, "fixed")
+            return bytes(raw), pos
 
     else:
         raise ValueError(f"unsupported Avro type for decode: {t!r}")

@@ -29,32 +29,12 @@ import zlib
 from pyspark.sql import DataFrame
 
 from kafka_stream_spark.functions import avro_codec
+from kafka_stream_spark.functions.wire import (
+    read_exact_io, read_zigzag_io, zigzag_encode as _zigzag)
 
 MAGIC = b"Obj\x01"
 
-
-def _zigzag(n: int) -> bytes:
-    z = (n << 1) ^ (n >> 63)
-    out = bytearray()
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def _read_long(buf: io.BytesIO) -> int:
-    shift = z = 0
-    while True:
-        b = buf.read(1)[0]
-        z |= (b & 0x7F) << shift
-        if not b & 0x80:
-            break
-        shift += 7
-    return (z >> 1) ^ -(z & 1)
+_read_long = read_zigzag_io  # Avro long = 64-bit zigzag varint, ≤10 bytes
 
 
 def _write_meta(meta: dict[str, bytes]) -> bytes:
@@ -75,9 +55,12 @@ def _read_meta(buf: io.BytesIO) -> dict[str, bytes]:
         if n < 0:  # negative block count carries a byte size after it
             _read_long(buf)
             n = -n
+        # a map block can't hold more entries than bytes remaining
+        if n > len(buf.getbuffer()) - buf.tell():
+            raise ValueError(f"OCF metadata block count {n} out of range")
         for _ in range(n):
-            k = buf.read(_read_long(buf)).decode()
-            meta[k] = buf.read(_read_long(buf))
+            k = read_exact_io(buf, _read_long(buf), "OCF meta key").decode()
+            meta[k] = read_exact_io(buf, _read_long(buf), "OCF meta value")
 
 
 def write_ocf(records: list[dict], schema: dict, codec: str = "null",
@@ -120,7 +103,7 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
     codec = (meta.get("avro.codec") or b"null").decode()
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"OCF codec {codec!r}")
-    sync = buf.read(16)
+    sync = read_exact_io(buf, 16, "OCF sync marker")
     dec = avro_codec.compile_decoder(schema)
     records: list[dict] = []
     while True:
@@ -130,11 +113,14 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
         buf.seek(-1, io.SEEK_CUR)
         n = _read_long(buf)
         size = _read_long(buf)
-        payload = buf.read(size)
-        if len(payload) != size:
-            raise ValueError("truncated OCF block")
+        payload = read_exact_io(buf, size, "OCF block")
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        # records are ≥1 byte each for any non-degenerate schema; a
+        # count past the decompressed payload is corrupt framing, not
+        # data — reject before the decode loop can spin on it
+        if n < 0 or n > max(1, len(payload)):
+            raise ValueError(f"OCF block record count {n} out of range")
         pos = 0
         for _ in range(n):
             rec, pos = dec(payload, pos)

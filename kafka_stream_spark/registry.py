@@ -81,4 +81,19 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from kafka_stream_spark.plans import kcql_queries  # noqa: F401
 
+    # Interleave round-robin by defining module so that ANY prefix of
+    # the registry samples every operator family — the driver's
+    # correctness gate verifies only the first 50 entries, and a
+    # module-sequential order would leave whole families (tokenizers,
+    # curation, graph, multimodal, sketches) outside the verified
+    # window (VERDICT r3, next-round item 2).
+    by_mod: dict[str, list[str]] = {}
+    for name, spec in QUERIES.items():
+        by_mod.setdefault(spec.build.__module__, []).append(name)
+    lanes = list(by_mod.values())
+    width = max(len(lane) for lane in lanes)
+    order = [lane[i] for i in range(width) for lane in lanes if i < len(lane)]
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
     return QUERIES

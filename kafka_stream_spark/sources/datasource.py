@@ -41,9 +41,12 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StringType, StructField, StructType,
@@ -304,9 +307,219 @@ class _StreamReader(DataSourceStreamReader):
         pass  # offsets live in the query checkpoint; nothing broker-side
 
 
+# ---------------------------------------------------------------------------
+# write path (S1/S2 symmetry): `df.write.format("kstopic")` and
+# `df.writeStream.format("kstopic")` — the broker-less produce contract.
+#
+# Offset assignment mirrors a Kafka broker's invariant (per-partition
+# monotone, assigned at append) without any cross-task coordination:
+# each task reads the COMMITTED end offset of the partitions it carries
+# and stages a parquet file at [end, end+n) under `.staging/`, invisible
+# to readers; the driver's commit() validates that no two tasks claimed
+# overlapping ranges (the single-writer-per-partition rule a broker gets
+# from partition leadership) and promotes the staged files with an
+# atomic rename — a metadata-only commit, no record bytes ever move
+# through the driver. Use `prepare_produce` to key-hash + repartition
+# upstream so each topic partition lands in exactly one task; a layout
+# that violates the rule fails loudly at commit, never corrupts.
+#
+# Streaming replays are idempotent: commit(batchId) drops an epoch
+# marker in `.epochs/`; a re-delivered epoch's staged files are
+# discarded instead of renamed (T5 exactly-once, same contract the
+# mirror/export paths test).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    #: [(partition, base_offset, n_rows, staged_path)]
+    ranges: list
+
+
+def _writer_target(options) -> tuple[str, int]:
+    root = options.get("root")
+    topic = options.get("topic")
+    if not root or not topic:
+        raise ValueError("kstopic write requires options 'root' and 'topic'")
+    return os.path.join(root, topic), int(options.get("partitions", 4))
+
+
+def _stage_batches(path: str, n_parts: int, batches) -> _Staged:
+    """Executor-side: bucket rows by partition, assign dense offsets from
+    the committed end, stage one parquet per partition."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbls = [pa.Table.from_batches([b]) for b in batches]
+    if not tbls:
+        return _Staged([])
+    tbl = pa.concat_tables(tbls, promote_options="permissive")
+    if tbl.num_rows == 0:
+        return _Staged([])
+    names = set(tbl.column_names)
+    if "value" not in names:
+        raise ValueError("kstopic write needs a 'value' column")
+
+    if "partition" in names:
+        parts = pc.cast(tbl["partition"], pa.int32()).to_pylist()
+        if any(p is None or not 0 <= p < n_parts for p in parts):
+            raise ValueError(f"explicit partition outside [0, {n_parts})")
+    elif "key" in names:
+        import hashlib
+
+        parts = [
+            int.from_bytes(hashlib.md5(bytes(k)).digest()[:4], "big") % n_parts
+            if k is not None else i % n_parts
+            for i, k in enumerate(tbl["key"].to_pylist())
+        ]
+    else:
+        parts = [i % n_parts for i in range(tbl.num_rows)]
+
+    ends = _end_offsets(path)  # committed files only; staging is invisible
+    staging = os.path.join(path, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    topic_name = os.path.basename(path)
+    now_us = int(__import__("time").time() * 1_000_000)
+
+    keys = (
+        pc.cast(tbl["key"], pa.binary()).to_pylist()
+        if "key" in names else [None] * tbl.num_rows
+    )
+    vals = pc.cast(tbl["value"], pa.binary()).to_pylist()
+    if "timestamp" in names:
+        ts_us = pc.cast(
+            pc.cast(tbl["timestamp"], pa.timestamp("us", tz="UTC")), pa.int64()
+        ).to_pylist()
+        tss = [t if t is not None else now_us for t in ts_us]
+    else:
+        tss = [now_us] * tbl.num_rows
+
+    by_part: dict[int, list[int]] = {}
+    for i, p in enumerate(parts):
+        by_part.setdefault(int(p), []).append(i)
+    ranges = []
+    for p, idxs in sorted(by_part.items()):
+        base = ends.get(p, 0)
+        out = pa.table(
+            {
+                "key": pa.array([keys[i] for i in idxs], pa.binary()),
+                "value": pa.array([vals[i] for i in idxs], pa.binary()),
+                "topic": pa.array([topic_name] * len(idxs), pa.string()),
+                "partition": pa.array([p] * len(idxs), pa.int32()),
+                "offset": pa.array(
+                    list(range(base, base + len(idxs))), pa.int64()),
+                "timestamp": pa.array(
+                    [tss[i] for i in idxs], pa.timestamp("us", tz="UTC")),
+            }
+        )
+        staged = os.path.join(staging, f"p{p}-o{base}-{uuid.uuid4().hex}")
+        pq.write_table(out, staged)
+        ranges.append((p, base, len(idxs), staged))
+    return _Staged(ranges)
+
+
+def _promote(messages) -> None:
+    """Driver-side commit: validate per-partition range disjointness,
+    then atomically rename every staged file into the topic directory."""
+    ranges = [r for m in messages if m is not None for r in m.ranges]
+    claimed: dict[int, list[tuple[int, int]]] = {}
+    for p, base, n, _ in ranges:
+        claimed.setdefault(p, []).append((base, base + n))
+    for p, spans in claimed.items():
+        spans.sort()
+        for (s0, e0), (s1, _) in zip(spans, spans[1:]):
+            if s1 < e0:
+                _discard(messages)
+                raise ValueError(
+                    f"kstopic commit: partition {p} written by more than "
+                    "one task (offset ranges overlap) — repartition by "
+                    "'partition' upstream (see prepare_produce)"
+                )
+    for p, base, n, staged in ranges:
+        final = os.path.join(
+            os.path.dirname(os.path.dirname(staged)),
+            os.path.basename(staged) + ".parquet",
+        )
+        os.replace(staged, final)
+
+
+def _discard(messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for _, _, _, staged in m.ranges:
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+
+
+class _TopicWriter(DataSourceArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "kstopic topics are append-only logs; use mode('append')")
+        self.path, self.n = _writer_target(options)
+
+    def write(self, iterator):
+        return _stage_batches(self.path, self.n, iterator)
+
+    def commit(self, messages):
+        _promote(messages)
+
+    def abort(self, messages):
+        _discard(messages)
+
+
+class _TopicStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path, self.n = _writer_target(options)
+
+    def write(self, iterator):
+        return _stage_batches(self.path, self.n, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        epochs = os.path.join(self.path, ".epochs")
+        os.makedirs(epochs, exist_ok=True)
+        marker = os.path.join(epochs, str(batchId))
+        if os.path.exists(marker):  # replayed epoch: drop, don't duplicate
+            _discard(messages)
+            return
+        _promote(messages)
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard(messages)
+
+
+def prepare_produce(df, n_partitions: int = 4):
+    """JVM-side produce prep matching ``FileTopic.append`` exactly:
+    partition = pmod(xxhash64(key), n) (null keys round-robin), then a
+    repartition BY the partition column so each topic partition is
+    written by exactly one task — the layout the writer's commit-time
+    single-writer check requires, and the one that keeps offsets dense."""
+    import pyspark.sql.functions as F
+
+    n = n_partitions
+    keyed = df.withColumn(
+        "partition",
+        F.when(
+            F.col("key").isNotNull(), F.pmod(F.xxhash64(F.col("key")), F.lit(n))
+        )
+        .otherwise(F.pmod(F.spark_partition_id(), F.lit(n)))
+        .cast("int"),
+    )
+    return keyed.repartition(n, "partition")
+
+
 class TopicDataSource(DataSource):
     """``spark.read.format("kstopic")`` / ``spark.readStream.format(
-    "kstopic")`` over a FileTopic directory."""
+    "kstopic")`` over a FileTopic directory, plus the symmetric write
+    path (``df.write`` / ``df.writeStream`` with ``format("kstopic")``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -320,6 +533,12 @@ class TopicDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _StreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _TopicWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _TopicStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -47,6 +47,8 @@ import zlib
 
 from pyspark.sql import DataFrame
 
+from kafka_stream_spark.functions import wire
+
 MAGIC = 2
 _ATTR_CODEC_MASK = 0x07
 _CODECS = {0: "none", 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
@@ -81,33 +83,21 @@ def crc32c(data: bytes, crc: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _varint(n: int) -> bytes:
-    z = (n << 1) ^ (n >> 63)
-    out = bytearray()
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+_varint = wire.zigzag_encode
 
 
 def _read_varint(buf: io.BytesIO) -> int:
-    shift = z = 0
-    while True:
-        raw = buf.read(1)
-        if not raw:
-            raise SegmentError("truncated varint")
-        b = raw[0]
-        z |= (b & 0x7F) << shift
-        if not b & 0x80:
-            break
-        shift += 7
-        if shift > 70:
-            raise SegmentError("varint too long")
-    return (z >> 1) ^ -(z & 1)
+    try:
+        return wire.read_zigzag_io(buf, max_bytes=10)
+    except ValueError as e:
+        raise SegmentError(str(e)) from None
+
+
+def _read_exact(buf: io.BytesIO, n: int, what: str) -> bytes:
+    try:
+        return wire.read_exact_io(buf, n, what)
+    except ValueError as e:
+        raise SegmentError(str(e)) from None
 
 
 # ---------------------------------------------------------------------------
@@ -139,11 +129,7 @@ def _encode_record(
 
 def _decode_record(buf: io.BytesIO) -> dict:
     length = _read_varint(buf)
-    if length < 0:
-        raise SegmentError("negative record length")
-    body = buf.read(length)
-    if len(body) != length:
-        raise SegmentError("truncated record")
+    body = _read_exact(buf, length, "record")
     b = io.BytesIO(body)
     b.read(1)  # record attributes
     ts_delta = _read_varint(b)
@@ -153,12 +139,7 @@ def _decode_record(buf: io.BytesIO) -> dict:
         ln = _read_varint(b)
         if ln == -1:
             return None
-        if ln < 0:
-            raise SegmentError("negative blob length")
-        blob = b.read(ln)
-        if len(blob) != ln:
-            raise SegmentError("truncated blob")
-        return blob
+        return _read_exact(b, ln, "blob")
 
     key = _blob()
     value = _blob()

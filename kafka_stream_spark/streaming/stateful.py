@@ -159,13 +159,19 @@ def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tu
         stage, stage_ts, start_ts, done = (
             state.get if state.exists else (-1, -1, -1, 0)
         )
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if done or rows.empty:
+        # hot path at high key cardinality: this closure runs once per
+        # key per micro-batch — extract (ts µs, type) pairs vectorized
+        # and sort a plain list instead of pd.concat + DataFrame sort
+        pairs: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us = pdf[ts_col].to_numpy("datetime64[us]").view("int64")
+                pairs.extend(zip(ts_us.tolist(), pdf[type_col].tolist()))
+        if done or not pairs:
             state.update((stage, stage_ts, start_ts, done))
             return
-        rows = rows.sort_values(ts_col)
-        for et, ts in zip(rows[type_col], rows[ts_col]):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
+        pairs.sort()
+        for ts_us, et in pairs:
             if (
                 window_us is not None
                 and stage >= 0

@@ -1,0 +1,155 @@
+"""kstopic WRITE path (S1/S2 symmetry): the staged-commit producer.
+
+Covers: batch produce round-trip through the kstopic reader, offset
+continuity across appends, key->partition stability vs FileTopic.append,
+the commit-time single-writer-per-partition check, streaming produce
+with epoch-idempotent commits, and reader invisibility of staged files.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_stream_spark.sources.datasource import prepare_produce, register
+
+
+@pytest.fixture()
+def kstopic(spark):
+    register(spark)
+    return spark
+
+
+def _produce(spark, root, topic, df, n=4):
+    (prepare_produce(df, n).write.format("kstopic")
+     .option("root", root).option("topic", topic)
+     .option("partitions", str(n)).mode("append").save())
+
+
+def _read(spark, root, topic):
+    return (spark.read.format("kstopic")
+            .option("root", root).option("topic", topic).load())
+
+
+def _records(spark, n, start=0):
+    return spark.range(start, start + n).selectExpr(
+        "cast(cast(id AS string) AS binary) AS key",
+        "cast(concat('v', cast(id AS string)) AS binary) AS value",
+        "timestamp_micros(1700000000000000 + id) AS timestamp",
+    )
+
+
+def test_batch_produce_roundtrip(kstopic, tmp_path):
+    spark, root = kstopic, str(tmp_path)
+    _produce(spark, root, "t1", _records(spark, 100))
+    got = _read(spark, root, "t1")
+    assert got.count() == 100
+    rows = got.collect()
+    assert {bytes(r.value).decode() for r in rows} == {f"v{i}" for i in range(100)}
+    assert all(r.topic == "t1" and 0 <= r.partition < 4 for r in rows)
+    # offsets dense per partition starting at 0
+    for p in range(4):
+        offs = sorted(r.offset for r in rows if r.partition == p)
+        assert offs == list(range(len(offs)))
+    # timestamps preserved
+    by_key = {bytes(r.key).decode(): r for r in rows}
+    assert by_key["7"].timestamp.microsecond == 7
+
+
+def test_append_continues_offsets(kstopic, tmp_path):
+    spark, root = kstopic, str(tmp_path)
+    _produce(spark, root, "t2", _records(spark, 50))
+    first_ends = {
+        r.partition: r.mx
+        for r in _read(spark, root, "t2")
+        .groupBy("partition").agg(F.max("offset").alias("mx")).collect()
+    }
+    _produce(spark, root, "t2", _records(spark, 50, start=50))
+    got = _read(spark, root, "t2")
+    assert got.count() == 100
+    for p, rows in [(p, sorted(r.offset for r in got.where(F.col("partition") == p).collect()))
+                    for p in first_ends]:
+        # still dense from 0: the second append started at end offset
+        assert rows == list(range(len(rows)))
+
+
+def test_partitioning_matches_filetopic_append(kstopic, tmp_path):
+    """prepare_produce must land each key on the SAME partition as
+    FileTopic.append (both pmod(xxhash64(key), n)) — producers and the
+    engine's own topic layer stay mergeable."""
+    from kafka_stream_spark.sources.topics import FileTopic
+
+    spark, root = kstopic, str(tmp_path)
+    recs = _records(spark, 60)
+    _produce(spark, root, "mine", recs)
+    ft = FileTopic(spark, root, "ft", partitions=4)
+    ft.append(recs.select("key", "value"))
+    mine = {bytes(r.key): r.partition
+            for r in _read(spark, root, "mine").collect()}
+    theirs = {bytes(r.key): r.partition for r in ft.read().collect()}
+    assert mine == theirs
+
+
+def test_commit_rejects_overlapping_writers(kstopic, tmp_path):
+    """Two tasks carrying the same topic-partition -> overlapping offset
+    ranges -> the driver commit fails loudly and promotes nothing."""
+    spark, root = kstopic, str(tmp_path)
+    # explicit partition column, spread over many input splits: several
+    # tasks claim partition 0 concurrently
+    df = spark.range(40).repartition(4).selectExpr(
+        "cast(cast(id AS string) AS binary) AS value",
+        "cast(0 AS int) AS partition",
+    )
+    with pytest.raises(Exception, match="more than\\s+one task|overlap"):
+        (df.write.format("kstopic").option("root", root)
+         .option("topic", "clash").mode("append").save())
+    # nothing promoted: topic reads empty
+    assert _read(spark, root, "clash").count() == 0
+
+
+def test_staged_files_invisible_to_reader(kstopic, tmp_path):
+    spark, root = kstopic, str(tmp_path)
+    _produce(spark, root, "t3", _records(spark, 10))
+    staging = os.path.join(root, "t3", ".staging")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "p0-o999-dead"), "wb") as f:
+        f.write(b"not parquet")
+    assert _read(spark, root, "t3").count() == 10
+
+
+def test_streaming_produce_epoch_idempotent(kstopic, tmp_path):
+    spark, root = kstopic, str(tmp_path)
+    src = str(tmp_path / "src")
+    _records(spark, 30).write.parquet(src)
+    stream = spark.readStream.schema(
+        "key binary, value binary, timestamp timestamp"
+    ).parquet(src)
+    q = (prepare_produce(stream, 4).writeStream.format("kstopic")
+         .option("root", root).option("topic", "st")
+         .option("partitions", "4")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _read(spark, root, "st").count() == 30
+    # epoch marker written; a manual replay of the same batchId is a no-op
+    epochs = os.listdir(os.path.join(root, "st", ".epochs"))
+    assert epochs == ["0"]
+
+    from kafka_stream_spark.sources.datasource import _Staged, _TopicStreamWriter
+
+    w = _TopicStreamWriter(
+        {"root": root, "topic": "st", "partitions": "4"}, False)
+    w.commit([_Staged([])], batchId=0)  # replay: discarded, not promoted
+    assert _read(spark, root, "st").count() == 30
+
+
+def test_write_requires_value_and_append_mode(kstopic, tmp_path):
+    spark, root = kstopic, str(tmp_path)
+    df = spark.range(3).selectExpr("cast(cast(id AS string) AS binary) AS value")
+    with pytest.raises(Exception, match="append-only"):
+        (df.write.format("kstopic").option("root", root)
+         .option("topic", "x").mode("overwrite").save())
+    bad = spark.range(3).selectExpr("id AS not_value")
+    with pytest.raises(Exception, match="value"):
+        (bad.write.format("kstopic").option("root", root)
+         .option("topic", "x").mode("append").save())
