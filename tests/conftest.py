@@ -5,7 +5,12 @@ from kafka_stream_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("kafka-stream-spark-tests", master="local[4]", shuffle_partitions=4)
+    # Master follows SPARK_GRAFT_CPUS (local[32] on the full node) so the
+    # state soaks measure the same topology bench.py and the reference's
+    # full-node floors use; shuffle partitions stay at 4 as the suite
+    # default — the many tiny streaming tests want few state partitions,
+    # and the soaks raise it per-query via the soak_partitions fixture.
+    s = get_spark("kafka-stream-spark-tests", shuffle_partitions=4)
     yield s
     s.stop()
 

@@ -39,9 +39,23 @@ def _state_bytes(checkpoint: str) -> int:
 
 @pytest.fixture()
 def rocksdb(spark):
+    """RocksDB state store + full-node parallelism for the soak queries.
+
+    The suite default of 4 shuffle partitions is right for the tiny
+    streaming tests but caps the stateful stage at 4 concurrent tasks;
+    the soaks measure the engine against the reference's FULL-NODE
+    replay floor, so they run their (fresh-checkpoint) queries with one
+    state partition per core. applyInPandasWithState cost is per KEY
+    per micro-batch, so task slots are the throughput lever at 1M keys.
+    """
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     enable_rocksdb_state(spark)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if prev is None:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     else:
@@ -249,7 +263,9 @@ def test_stream_stream_asof_1m_keys_flush_and_floor(rocksdb, tmp_path):
 
     stream = (
         spark.readStream.schema("user_id long, ts_us long, event_id long, side int")
-        .option("maxFilesPerTrigger", 1)
+        # b1 is a 32-part directory: take it as ONE micro-batch (buffer
+        # everything), then b2's sentinel alone advances the watermark
+        .option("maxFilesPerTrigger", 32)
         .parquet(str(src) + "/b*.parquet")
         .withColumn("ts", F.timestamp_micros("ts_us"))
         .withWatermark("ts", "1 hour")
@@ -301,7 +317,7 @@ def test_saturation_tracker_1m_ids_bounded_state_and_floor(rocksdb, tmp_path):
     spark.range(N_KEYS).selectExpr(
         "CASE id % 4 WHEN 0 THEN 'web' WHEN 1 THEN 'books'"
         " WHEN 2 THEN 'code' ELSE 'wiki' END AS source",
-        "CASE WHEN id % 4 = 0 THEN concat('dup', cast(id % 16 AS string))"
+        "CASE WHEN id % 4 = 0 THEN concat('dup', cast((id div 4) % 16 AS string))"
         " ELSE concat('doc', cast(id AS string)) END AS content_id",
     ).repartition(8).write.parquet(src)
 
