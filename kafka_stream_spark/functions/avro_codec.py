@@ -355,6 +355,15 @@ def compile_decoder(schema: Any, raw_time: bool = False):
                 if n < 0:
                     _, pos = _zigzag_decode(buf, pos)
                     n = -n
+                if n > len(buf) - pos:
+                    # zero-width items ("null", empty record) make a
+                    # crafted 2^63-ish block count a hang, not an
+                    # overrun — bound by bytes remaining like
+                    # avro_ocf._read_meta (fuzz contract, ADVICE r4)
+                    raise ValueError(
+                        f"avro array block count {n} exceeds remaining "
+                        f"bytes {len(buf) - pos}"
+                    )
                 for _ in range(n):
                     v, pos = _item(buf, pos)
                     items.append(v)
@@ -372,6 +381,11 @@ def compile_decoder(schema: Any, raw_time: bool = False):
                 if n < 0:
                     _, pos = _zigzag_decode(buf, pos)
                     n = -n
+                if n > len(buf) - pos:
+                    raise ValueError(
+                        f"avro map block count {n} exceeds remaining "
+                        f"bytes {len(buf) - pos}"
+                    )
                 for _ in range(n):
                     kn, pos = _zigzag_decode(buf, pos)
                     kraw, pos = _take(buf, pos, kn, "map key")

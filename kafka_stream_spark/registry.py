@@ -93,7 +93,44 @@ def load_all() -> dict[str, QuerySpec]:
     lanes = list(by_mod.values())
     width = max(len(lane) for lane in lanes)
     order = [lane[i] for i in range(width) for lane in lanes if i < len(lane)]
+
+    # Rotate the verification window across rounds: a STABLE order means
+    # the driver re-verifies the same 50 queries forever (VERDICT r4,
+    # next-round item 2). Queries already green in a committed
+    # CORRECTNESS_r*.json move behind the never-driver-verified ones
+    # (round-robin order preserved within each class), so each round's
+    # 50-query window covers new ground until every query has a green
+    # driver row. q1_pricing_summary stays first as the entry smoke.
+    seen = _driver_verified_names()
+    order.sort(key=lambda n: (n != "q1_pricing_summary", n in seen and n != "q1_pricing_summary"))
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()
     QUERIES.update(reordered)
     return QUERIES
+
+
+def _driver_verified_names() -> set[str]:
+    """Names with a fully-green row in any committed driver
+    CORRECTNESS_r*.json (repo root). Failed rows don't count as seen —
+    they should re-enter the window until green."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("err") is None
+                and r.get("hash_match") is not False
+            ):
+                seen.add(name)
+    return seen

@@ -344,6 +344,71 @@ def _writer_target(options) -> tuple[str, int]:
     return os.path.join(root, topic), int(options.get("partitions", 4))
 
 
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 (Collet's public algorithm), seed 42 — bit-identical to
+    Spark's ``F.xxhash64`` over a BINARY column, so the Python writer
+    fallback places keys on the same partition as the engine's JVM
+    partitioner (``prepare_produce`` / ``FileTopic.append``). Returns
+    the SIGNED int64 Spark reports. Parity is test-asserted against the
+    JVM expression (tests/test_datasource_write.py)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            v1 = (_rotl64((v1 + int.from_bytes(data[i:i + 8], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v2 = (_rotl64((v2 + int.from_bytes(data[i + 8:i + 16], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v3 = (_rotl64((v3 + int.from_bytes(data[i + 16:i + 24], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v4 = (_rotl64((v4 + int.from_bytes(data[i + 24:i + 32], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h ^= (_rotl64((k * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _key_partition(key: bytes, n_parts: int) -> int:
+    """pmod(xxhash64(key), n) — the engine's single key→partition rule."""
+    return _xxh64(key) % n_parts
+
+
 def _stage_batches(path: str, n_parts: int, batches) -> _Staged:
     """Executor-side: bucket rows by partition, assign dense offsets from
     the committed end, stage one parquet per partition."""
@@ -368,11 +433,12 @@ def _stage_batches(path: str, n_parts: int, batches) -> _Staged:
         if any(p is None or not 0 <= p < n_parts for p in parts):
             raise ValueError(f"explicit partition outside [0, {n_parts})")
     elif "key" in names:
-        import hashlib
-
+        # same rule as prepare_produce / FileTopic.append —
+        # pmod(xxhash64(key), n) — so a plain df.write with only a key
+        # column lands keys on the same partitions as the engine's JVM
+        # paths (one partitioner, ADVICE r4)
         parts = [
-            int.from_bytes(hashlib.md5(bytes(k)).digest()[:4], "big") % n_parts
-            if k is not None else i % n_parts
+            _key_partition(bytes(k), n_parts) if k is not None else i % n_parts
             for i, k in enumerate(tbl["key"].to_pylist())
         ]
     else:
@@ -421,13 +487,25 @@ def _stage_batches(path: str, n_parts: int, batches) -> _Staged:
     return _Staged(ranges)
 
 
-def _promote(messages) -> None:
-    """Driver-side commit: validate per-partition range disjointness,
-    then atomically rename every staged file into the topic directory."""
+def _validated_ranges(messages, path: str) -> list:
+    """Driver-side commit validation. Two invariants guard the
+    offset-addressed read contract (``_Slice`` ranges assume each
+    (partition, offset) exists exactly once):
+
+    - per-partition disjointness WITHIN this job (two tasks staging the
+      same partition collide at the same base — the single-writer rule),
+    - stale-base detection ACROSS writers (ADVICE r4): every staged
+      range must start exactly at the partition's CURRENT committed
+      end. If a concurrent writer (a batch write racing a streaming
+      sink) promoted files since ``_stage_batches`` read the ends, the
+      bases are stale and both writers would claim the same offsets —
+      fail this commit instead of silently double-counting rows.
+    """
     ranges = [r for m in messages if m is not None for r in m.ranges]
     claimed: dict[int, list[tuple[int, int]]] = {}
     for p, base, n, _ in ranges:
         claimed.setdefault(p, []).append((base, base + n))
+    ends = _end_offsets(path)
     for p, spans in claimed.items():
         spans.sort()
         for (s0, e0), (s1, _) in zip(spans, spans[1:]):
@@ -438,12 +516,30 @@ def _promote(messages) -> None:
                     "one task (offset ranges overlap) — repartition by "
                     "'partition' upstream (see prepare_produce)"
                 )
-    for p, base, n, staged in ranges:
-        final = os.path.join(
-            os.path.dirname(os.path.dirname(staged)),
-            os.path.basename(staged) + ".parquet",
-        )
-        os.replace(staged, final)
+        committed_end = ends.get(p, 0)
+        if spans[0][0] != committed_end:
+            _discard(messages)
+            raise ValueError(
+                f"kstopic commit: partition {p} staged from offset "
+                f"{spans[0][0]} but the committed end is {committed_end} "
+                "— a concurrent writer promoted into this topic between "
+                "staging and commit; retry the write"
+            )
+    return ranges
+
+
+def _final_name(staged: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(staged)),
+        os.path.basename(staged) + ".parquet",
+    )
+
+
+def _promote(messages, path: str) -> None:
+    """Batch commit: validate, then atomically rename every staged file
+    into the topic directory."""
+    for _, _, _, staged in _validated_ranges(messages, path):
+        os.replace(staged, _final_name(staged))
 
 
 def _discard(messages) -> None:
@@ -468,29 +564,71 @@ class _TopicWriter(DataSourceArrowWriter):
         return _stage_batches(self.path, self.n, iterator)
 
     def commit(self, messages):
-        _promote(messages)
+        _promote(messages, self.path)
 
     def abort(self, messages):
         _discard(messages)
 
 
+def _finish_marker(marker: str) -> None:
+    """Idempotently apply a committed epoch's rename plan. Each entry is
+    (staged, final): final already present → done earlier; staged still
+    present → finish the rename; neither → the plan entry was applied
+    and the final later compacted/removed out-of-band — nothing to do
+    (legacy 'committed' text markers carry no plan and are complete by
+    definition)."""
+    try:
+        with open(marker) as f:
+            plan = json.loads(f.read())
+    except ValueError:
+        return  # pre-plan marker format: epoch fully committed
+    for staged, final in plan:
+        if os.path.exists(final):
+            continue
+        if os.path.exists(staged):
+            os.replace(staged, final)
+
+
 class _TopicStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, overwrite: bool):
+        if overwrite:
+            # complete/truncate output modes would silently append;
+            # topics are append-only logs (mirrors _TopicWriter)
+            raise ValueError(
+                "kstopic topics are append-only logs; use outputMode("
+                "'append') or 'update'")
         self.path, self.n = _writer_target(options)
 
     def write(self, iterator):
         return _stage_batches(self.path, self.n, iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        """Exactly-once promotion with a crash-recoverable commit point
+        (ADVICE r4): the rename plan is fsynced into the epoch marker
+        BEFORE any staged file is promoted — the atomic marker rename IS
+        the commit (same idea as the file-sink's _spark_metadata log). A
+        crash after the marker but mid-promote is finished from the plan
+        on replay; a crash before the marker leaves only invisible
+        .staging files, and the replayed epoch re-stages and commits
+        fresh."""
         epochs = os.path.join(self.path, ".epochs")
         os.makedirs(epochs, exist_ok=True)
         marker = os.path.join(epochs, str(batchId))
-        if os.path.exists(marker):  # replayed epoch: drop, don't duplicate
+        if os.path.exists(marker):
+            # replayed epoch: finish the recorded plan if the crashed
+            # attempt left renames pending, drop this attempt's files
+            _finish_marker(marker)
             _discard(messages)
             return
-        _promote(messages)
-        with open(marker, "w") as f:
-            f.write("committed")
+        ranges = _validated_ranges(messages, self.path)
+        plan = [(staged, _final_name(staged)) for _, _, _, staged in ranges]
+        tmp = marker + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(plan))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)  # commit point
+        _finish_marker(marker)
 
     def abort(self, messages, batchId: int) -> None:
         _discard(messages)

@@ -173,3 +173,30 @@ def test_ftp_and_avro_decode_terminate(data):
               "fields": [{"name": "a", "type": "string"},
                          {"name": "b", "type": "long"}]}
     _check(lambda d: avro_codec.decode_record(d, schema), data)
+
+
+def test_avro_zero_width_array_block_bounded():
+    """A crafted block count near 2^63 over a zero-width item schema
+    (empty record) must raise promptly instead of looping that many
+    no-op iterations (ADVICE r4: the OCF metadata path got this bound,
+    the codec array/map paths did not)."""
+    import pytest
+
+    from kafka_stream_spark.functions.avro_codec import (
+        _zigzag_encode,
+        compile_decoder,
+    )
+
+    empty_rec = {"type": "record", "name": "e", "fields": []}
+    dec = compile_decoder({"type": "array", "items": empty_rec}, False)
+    with pytest.raises(ValueError, match="block count"):
+        dec(_zigzag_encode(2**40), 0)
+    dec_map = compile_decoder({"type": "map", "values": empty_rec}, False)
+    with pytest.raises(ValueError, match="block count"):
+        dec_map(_zigzag_encode(2**40), 0)
+    # sane blocks still decode: the bound must not reject items that
+    # fit the remaining bytes
+    items, pos = compile_decoder(
+        {"type": "array", "items": {"type": "int"}}, False
+    )(_zigzag_encode(2) + _zigzag_encode(7) + _zigzag_encode(9) + _zigzag_encode(0), 0)
+    assert items == [7, 9]
