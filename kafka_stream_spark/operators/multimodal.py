@@ -533,16 +533,98 @@ REAL_FEATURE_SCHEMA = StructType(
 )
 
 
+# MPEG audio frame-header tables (public ISO/IEC 11172-3 layout).
+# bitrate kbps by (version_group, layer); version_group 1 = MPEG1,
+# 2 = MPEG2/2.5 (which share Layer II/III tables).
+_MP3_BITRATE = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# sample rate by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+_MP3_RATE = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_headers(content: bytes) -> dict:
+    """Header-only MPEG audio (MP3) parse → sample_rate, channels,
+    n_frames (decoded sample frames), duration_s; ``rms`` is None —
+    sample decoding needs a codec library, and a real one drops into
+    ``decode_audio``'s dispatch without touching the plan. Walks the
+    frame chain (sync + version/layer/bitrate/padding → frame length),
+    skips a leading ID3v2 tag and a trailing ID3v1 block."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        size = 0
+        for b in content[6:10]:  # syncsafe 28-bit length
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    frames = 0
+    total_samples = 0
+    rate = channels = None
+    while pos + 4 <= len(content):
+        if content[pos:pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        h = int.from_bytes(content[pos:pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            if frames:
+                break  # trailing junk after a valid chain
+            raise ValueError(f"mp3: lost frame sync at byte {pos}")
+        ver = (h >> 19) & 3       # 3=MPEG1 2=MPEG2 0=MPEG2.5
+        layer = 4 - ((h >> 17) & 3)  # 1..3
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        if ver == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("mp3: reserved/free-format header field")
+        vgroup = 1 if ver == 3 else 2
+        tbl_layer = 2 if (vgroup == 2 and layer == 3) else layer  # MPEG2 LII==LIII
+        bitrate = _MP3_BITRATE[(vgroup, tbl_layer)][br_idx - 1] * 1000
+        f_rate = _MP3_RATE[ver][sr_idx]
+        if layer == 1:
+            samples, flen = 384, (12 * bitrate // f_rate + padding) * 4
+        elif layer == 2:
+            samples, flen = 1152, 144 * bitrate // f_rate + padding
+        else:
+            samples = 1152 if vgroup == 1 else 576
+            flen = samples // 8 * bitrate // f_rate + padding
+        if flen <= 4:
+            raise ValueError("mp3: degenerate frame length")
+        rate = rate or f_rate
+        channels = channels or (1 if mode == 3 else 2)
+        frames += 1
+        total_samples += samples
+        pos += flen
+    if not frames:
+        raise ValueError("mp3: no audio frames")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": 0,
+        "n_frames": total_samples,
+        "duration_s": round(total_samples / rate, 6),
+        "rms": None,
+    }
+
+
 def decode_audio(content: bytes) -> dict:
     """Decode a RIFF/WAVE PCM payload → sample_rate, channels, bits,
     n_frames, duration_s, rms. Dependency-free: the RIFF container and
-    PCM sample layout are the public WAVE format spec. Non-PCM codecs
-    (MP3/AAC/…) need a codec library and raise ``NotImplementedError``.
+    PCM sample layout are the public WAVE format spec. MPEG audio (MP3)
+    dispatches to the header-only parser (metadata, rms=None); other
+    codecs (AAC/…) need a codec library and raise
+    ``NotImplementedError``.
     """
     import struct as _struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
-        raise NotImplementedError("not a RIFF/WAVE payload")
+        if content[:3] == b"ID3" or (
+            len(content) >= 2 and content[0] == 0xFF and content[1] & 0xE0 == 0xE0
+        ):
+            return parse_mp3_headers(content)
+        raise NotImplementedError("not a RIFF/WAVE or MPEG-audio payload")
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]

@@ -120,7 +120,24 @@ def test_real_wav_decode():
     f8 = decode_audio(_wav(16000, 2, 8, [(0, 0)] * 160))
     assert f8["channels"] == 2 and f8["n_frames"] == 160 and f8["rms"] == 0.0
     with pytest.raises(NotImplementedError):
-        decode_audio(b"ID3\x03...")  # mp3 needs a codec library
+        decode_audio(b"\x00\x00\x00\x20ftypM4A ")  # AAC needs a codec library
+
+
+def test_mp3_header_parse_dispatch():
+    """MPEG audio dispatches to the header-only parser: frame-chain
+    metadata (rate/channels/duration) without sample decode (rms None).
+    MPEG1 L3 128kbps@44100 frames are 417 bytes / 1152 samples each."""
+    from kafka_stream_spark.operators.multimodal import decode_audio
+
+    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (9 << 12) | (0 << 10)
+    frame = hdr.to_bytes(4, "big") + b"\x00" * (1152 // 8 * 128000 // 44100 - 4)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    f = decode_audio(id3 + frame * 20 + b"TAG" + b"\x00" * 125)
+    assert (f["sample_rate"], f["channels"]) == (44100, 2)
+    assert f["n_frames"] == 20 * 1152 and f["rms"] is None
+    assert abs(f["duration_s"] - 20 * 1152 / 44100) < 1e-6
+    with pytest.raises(ValueError, match="mp3"):
+        decode_audio(bytes([0xFF, 0xE2]) + b"\x00" * 40)  # sync then junk
 
 
 def test_real_wav_through_extract_audio_features(spark):
