@@ -88,10 +88,15 @@ def test_unsupported_and_corrupt():
     good = encode_jpeg(img)
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"notajpeg")
-    # progressive SOF2 refused by name
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(JpegError, match="baseline"):
-        decode_jpeg(prog)
+    # extended sequential SOF1 refused by name
+    ext = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    with pytest.raises(JpegError, match="SOF0"):
+        decode_jpeg(ext)
+    # a baseline stream RELABELED as SOF2 is malformed progressive
+    # (its sequential SOS header claims a DC scan with Se=63)
+    mislabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(JpegError):
+        decode_jpeg(mislabeled)
     with pytest.raises(JpegError):
         decode_jpeg(good[:40])  # truncated
     # corrupt a Huffman-coded byte region: typed error or wrong-but-
@@ -137,3 +142,80 @@ def test_dispatch_and_extract_features(spark):
     r = rows[0]
     assert (r.width, r.height, r.channels) == (40, 24, 3)
     assert abs(r.mean_lum - img.mean()) < 4
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_decodes_exactly_like_baseline(sub):
+    """Same quantizer, all magnitude bits transmitted across the scan
+    script -> progressive reconstruction is BIT-IDENTICAL to baseline."""
+    img = _grad(23, 37)
+    base = encode_jpeg(img, subsampling=sub)
+    prog = encode_jpeg(img, subsampling=sub, progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") >= 6  # multi-scan script
+    _, _, pb = decode_jpeg_pixels(base)
+    _, _, pp = decode_jpeg_pixels(prog)
+    assert (pb == pp).all()
+
+
+def test_progressive_grayscale_and_adversarial_content():
+    """Flat (pure EOB bands), isolated spikes (ZRL in first AND
+    refinement passes), checkerboard (band-edge energy), dense noise
+    (correction-bit heavy) all round-trip bit-identically."""
+    rng = np.random.default_rng(7)
+    flat = np.full((32, 32, 3), 128.0)
+    sp = np.full((40, 48), 128.0)
+    for y, x in [(3, 5), (3, 6), (17, 40), (33, 2), (39, 47)]:
+        sp[y, x] = 255
+    cb = (np.indices((24, 24)).sum(0) % 2) * 255.0
+    cases = [
+        flat,
+        np.stack([sp, sp, sp], -1),
+        np.stack([cb, 255 - cb, cb], -1),
+        rng.integers(0, 256, (33, 31, 3)).astype(float),
+    ]
+    for px in cases:
+        b = encode_jpeg(px)
+        p = encode_jpeg(px, progressive=True)
+        assert (decode_jpeg_pixels(b)[2] == decode_jpeg_pixels(p)[2]).all()
+    g = _grad(17, 19)[..., 0]
+    b = encode_jpeg(g, grayscale=True)
+    p = encode_jpeg(g, grayscale=True, progressive=True)
+    assert (decode_jpeg_pixels(b)[2] == decode_jpeg_pixels(p)[2]).all()
+
+
+def test_progressive_stats_dispatch():
+    img = _grad(20, 28)
+    stats = decode_jpeg(encode_jpeg(img, progressive=True))
+    assert (stats["width"], stats["height"], stats["channels"]) == (28, 20, 3)
+    base = decode_jpeg(encode_jpeg(img))
+    assert stats["mean_lum"] == base["mean_lum"]
+
+
+def test_progressive_truncation_is_typed_error():
+    prog = encode_jpeg(_grad(16, 16), progressive=True)
+    for cut in (len(prog) // 3, len(prog) // 2, len(prog) - 3):
+        try:
+            decode_jpeg(prog[:cut])
+        except JpegError:
+            pass  # typed error or (for late cuts) partial-scan decode
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_progressive_fuzz_corrupt_entropy(seed):
+    """Flipping bytes inside a progressive stream never crashes with
+    anything but JpegError (or decodes to wrong-but-valid pixels)."""
+    prog = bytearray(encode_jpeg(_grad(16, 16), progressive=True))
+    rng = np.random.default_rng(seed)
+    i = int(rng.integers(2, len(prog) - 2))
+    prog[i] ^= int(rng.integers(1, 256))
+    try:
+        decode_jpeg(bytes(prog))
+    except JpegError:
+        pass
