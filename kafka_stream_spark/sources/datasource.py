@@ -634,6 +634,55 @@ class _TopicStreamWriter(DataSourceStreamArrowWriter):
         _discard(messages)
 
 
+def vacuum_staging(topic_dir: str, min_age_s: float = 3600.0) -> dict:
+    """GC the write path's crash debris. Staged files whose attempt died
+    BEFORE its epoch marker are invisible forever (correct) but leak
+    disk; ones referenced by a committed marker should have been
+    promoted. For every ``.staging`` file older than ``min_age_s``:
+    finish the rename if a marker plan references it, else delete it.
+    Age-gating keeps in-flight writes safe — a live attempt stages then
+    commits within one job/trigger, not hours. Returns counts
+    ``{"promoted": n, "removed": n, "kept": n}``."""
+    import time
+
+    staging = os.path.join(topic_dir, ".staging")
+    if not os.path.isdir(staging):
+        return {"promoted": 0, "removed": 0, "kept": 0}
+    planned: dict[str, str] = {}
+    epochs = os.path.join(topic_dir, ".epochs")
+    if os.path.isdir(epochs):
+        for name in os.listdir(epochs):
+            if name.endswith(".tmp") or ".tmp-" in name:
+                continue
+            try:
+                with open(os.path.join(epochs, name)) as f:
+                    for staged, final in json.loads(f.read()):
+                        planned[staged] = final
+            except (OSError, ValueError):
+                continue  # legacy text marker: carries no plan
+    cutoff = time.time() - min_age_s
+    stats = {"promoted": 0, "removed": 0, "kept": 0}
+    for name in os.listdir(staging):
+        path = os.path.join(staging, name)
+        try:
+            if os.path.getmtime(path) > cutoff:
+                stats["kept"] += 1
+                continue
+            if path in planned:
+                if not os.path.exists(planned[path]):
+                    os.replace(path, planned[path])
+                    stats["promoted"] += 1
+                else:
+                    os.remove(path)
+                    stats["removed"] += 1
+            else:
+                os.remove(path)
+                stats["removed"] += 1
+        except OSError:
+            stats["kept"] += 1
+    return stats
+
+
 def prepare_produce(df, n_partitions: int = 4):
     """JVM-side produce prep matching ``FileTopic.append`` exactly:
     partition = pmod(xxhash64(key), n) (null keys round-robin), then a

@@ -272,3 +272,35 @@ def test_write_requires_value_and_append_mode(kstopic, tmp_path):
     with pytest.raises(Exception, match="value"):
         (bad.write.format("kstopic").option("root", root)
          .option("topic", "x").mode("append").save())
+
+
+def test_vacuum_staging(kstopic, tmp_path):
+    """Orphaned staged files (attempt died before its marker) are
+    removed once old; marker-referenced stragglers are promoted;
+    fresh files are left alone."""
+    import json
+    import time
+
+    from kafka_stream_spark.sources.datasource import vacuum_staging
+
+    spark, root = kstopic, str(tmp_path)
+    _produce(spark, root, "gc", _records(spark, 10))
+    tdir = os.path.join(root, "gc")
+    orphan = _stage_fake(root, "gc", p=0, base=90, n=2, tag="orphan")
+    straggler = _stage_fake(root, "gc", p=1, base=80, n=3, tag="strag")
+    fresh = _stage_fake(root, "gc", p=2, base=70, n=1, tag="fresh")
+    final = straggler.replace(".staging" + os.sep, "") + ".parquet"
+    epochs = os.path.join(tdir, ".epochs")
+    os.makedirs(epochs, exist_ok=True)
+    with open(os.path.join(epochs, "7"), "w") as f:
+        f.write(json.dumps([[straggler, final]]))
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(straggler, (old, old))
+    stats = vacuum_staging(tdir, min_age_s=3600)
+    assert stats == {"promoted": 1, "removed": 1, "kept": 1}
+    assert not os.path.exists(orphan) and os.path.exists(fresh)
+    assert os.path.exists(final)
+    # idempotent; second run keeps only the fresh file
+    assert vacuum_staging(tdir, min_age_s=3600) == {
+        "promoted": 0, "removed": 0, "kept": 1}
