@@ -53,15 +53,22 @@ def normalize(rows: list[tuple], cols: list[str]):
     return sorted(out), [cols[i] for i in order]
 
 
-def main(only: list[str]) -> int:
+def main(argv: list[str]) -> int:
     from __spark_entry__ import oracle_sql, queries
     from kafka_stream_spark.session import get_spark
 
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = argv
     spark = get_spark("verify-local")
     con = duck_connection()
     qs, oracles = queries(), oracle_sql()
     names = only or sorted(qs)
     failures = []
+    results = {}
     for name in names:
         t0 = time.time()
         try:
@@ -70,9 +77,11 @@ def main(only: list[str]) -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows": None, "match": False, "err": f"spark: {type(e).__name__}"}
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            results[name] = {"rows": len(srows), "match": None, "err": None}
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
@@ -81,14 +90,17 @@ def main(only: list[str]) -> int:
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows": len(srows), "match": False, "err": f"duckdb: {type(e).__name__}"}
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
+            results[name] = {"rows": len(srows), "match": False, "err": "columns"}
             print(f"FAIL {name}: columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
+            results[name] = {"rows": len(srows), "match": False, "err": "rowcount"}
             print(f"FAIL {name}: row count: spark={len(srows)} duck={len(drows)}")
             continue
         sn, _ = normalize(srows, scols)
@@ -96,12 +108,19 @@ def main(only: list[str]) -> int:
         if sn != dn:
             bad = next(i for i, (a, b) in enumerate(zip(sn, dn)) if a != b)
             failures.append(name)
+            results[name] = {"rows": len(srows), "match": False, "err": "values"}
             print(f"FAIL {name}: values differ at sorted-row {bad}:")
             print(f"  spark: {sn[bad]}")
             print(f"  duck : {dn[bad]}")
             continue
+        results[name] = {"rows": len(srows), "match": True, "err": None}
         print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(results, f, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
