@@ -288,3 +288,33 @@ def test_subscribe_pattern_picks_up_new_topic(spark, tmp_path):
         d = json.loads(d)
     assert all(":" in k for k in d)
     assert {k.split(":")[0] for k in d} == {"logs_a", "logs_b"}
+
+
+def test_end_offsets_footer_stats_and_fallback(tmp_path):
+    """_end_offsets must agree whether a file's footer statistics are
+    usable (single-partition staged files — the metadata-only fast
+    path) or not (mixed-partition files fall back to a column read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_stream_spark.sources.datasource import _end_offsets
+
+    d = str(tmp_path)
+    for p, base, n in [(0, 0, 5), (0, 5, 3), (1, 0, 7)]:
+        t = pa.table(
+            {
+                "partition": pa.array([p] * n, pa.int32()),
+                "offset": pa.array(range(base, base + n), pa.int64()),
+                "value": pa.array([b"x"] * n, pa.binary()),
+            }
+        )
+        pq.write_table(t, f"{d}/p{p}-o{base}.parquet")
+    t = pa.table(
+        {
+            "partition": pa.array([2, 3, 2, 3], pa.int32()),
+            "offset": pa.array([0, 0, 1, 1], pa.int64()),
+            "value": pa.array([b"x"] * 4, pa.binary()),
+        }
+    )
+    pq.write_table(t, f"{d}/mixed.parquet")
+    assert _end_offsets(d) == {0: 8, 1: 7, 2: 2, 3: 2}
