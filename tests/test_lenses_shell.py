@@ -29,11 +29,15 @@ def test_describe_topic(spark):
 
 
 def test_set_statement(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     sh = _shell(spark)
-    sh.execute("SET 'spark.sql.shuffle.partitions' = '17';")
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
-    sh.execute("SET spark.sql.shuffle.partitions=32")
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    try:
+        sh.execute("SET 'spark.sql.shuffle.partitions' = '17';")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+        sh.execute("SET spark.sql.shuffle.partitions=32")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    finally:  # don't leak the SET into the rest of the shared session
+        sh.execute(f"SET spark.sql.shuffle.partitions={prev}")
 
 
 def test_plain_sql_passthrough(spark):
