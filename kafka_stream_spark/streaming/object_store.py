@@ -1,0 +1,256 @@
+"""Object-store / HDFS export sink with the Confluent connector's file
+contract (SURVEY.md §2.1 S11/S12 — the ``kafka-connect-hdfs`` /
+``kafka-connect-s3`` family bundled with the reference's Confluent 3.3
+distribution; its plugin path is wired at ``Dockerfile:52``).
+
+The reference ships these connectors as JARs; what a replacement engine
+must reproduce is their PUBLIC on-store contract (Confluent connector
+docs + connector source), which is what downstream consumers and the
+connectors' own recovery depend on:
+
+- **File naming**: every committed object is
+  ``<topic>+<kafkaPartition>+<startOffset>+<endOffset>.<ext>`` with
+  offsets zero-padded to ``filename.offset.zero.pad.width`` digits
+  (default 10) — offsets are the Kafka offsets of the first/last record
+  in the file.
+- **Partitioners** (``partitioner.class``): Default
+  (``<topic>/partition=<p>/``), FieldPartitioner
+  (``<topic>/<field>=<value>/``), TimeBasedPartitioner
+  (``<topic>/<path.format>/`` rendered from the RECORD timestamp — the
+  deterministic ``timestamp.extractor=Record`` mode; wall-clock
+  extraction would break replay idempotence and is deliberately not
+  offered).
+- **Rotation**: ``flush.size`` records per file within an encoded
+  partition directory.
+- **Exactly-once**: the connectors recover the committed position by
+  reading the END offset encoded in committed filenames and resume
+  after it; files become visible only by atomic rename of a completed
+  temp file. Deterministic names + atomic rename make a replayed batch
+  rewrite identical bytes to identical names instead of duplicating.
+
+Spark-first shape: one ``applyInPandas`` over ``(partition, dir)`` —
+a single hash exchange; each task streams its group in offset order and
+cuts a file every ``flush_size`` records, exactly the connector's
+single-writer-per-topic-partition topology. Micro-batch size is bounded
+upstream by ``maxOffsetsPerTrigger`` admission control (T7), which is
+what bounds per-task group size at 100 TB the same way the connector's
+``offset.flush`` cadence does.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_stream_spark.sources.topics import FileTopic
+
+#: committed-file pattern: topic+partition+start+end.ext (topic may
+#: itself contain '+', so partition/offsets bind from the right)
+_FILE_RE = re.compile(r"^(?P<topic>.+)\+(?P<part>\d+)\+(?P<start>\d+)\+(?P<end>\d+)\.(?P<ext>[a-z]+)$")
+
+_EXT = {"parquet": "parquet", "json": "json", "avro": "avro"}
+
+
+def default_partitioner(topic: str):
+    """``<topic>/partition=<p>`` — the connector's DefaultPartitioner."""
+    return F.concat(F.lit(f"{topic}/partition="), F.col("partition").cast("string"))
+
+
+def field_partitioner(topic: str, field: str):
+    """``<topic>/<field>=<value>`` — FieldPartitioner on a record column."""
+    return F.concat(F.lit(f"{topic}/{field}="), F.col(field).cast("string"))
+
+
+def time_based_partitioner(
+    topic: str,
+    ts_col: str = "timestamp",
+    path_format: str = "'year'=yyyy/'month'=MM/'day'=dd",
+):
+    """``<topic>/<path.format>`` rendered from the record timestamp —
+    TimeBasedPartitioner with ``timestamp.extractor=Record`` (the only
+    extractor whose output is a pure function of the record, hence the
+    only one compatible with replay-idempotent exactly-once)."""
+    return F.concat(F.lit(f"{topic}/"), F.date_format(F.col(ts_col), path_format))
+
+
+def committed_offsets(out_dir: str, topic: str) -> dict[int, int]:
+    """Recover the committed END offset per Kafka partition by scanning
+    committed filenames — the connector's restart rule. Temp files
+    (dot-prefixed) are invisible, exactly like the connector's
+    ``.tmp`` working files."""
+    ends: dict[int, int] = {}
+    if not os.path.isdir(out_dir):
+        return ends
+    for root, _dirs, files in os.walk(out_dir):
+        for name in files:
+            if name.startswith("."):
+                continue
+            m = _FILE_RE.match(name)
+            if not m or m.group("topic") != topic:
+                continue
+            p, end = int(m.group("part")), int(m.group("end"))
+            ends[p] = max(ends.get(p, -1), end)
+    return ends
+
+
+def export_files(
+    df: DataFrame,
+    out_dir: str,
+    topic: str,
+    fmt: str = "parquet",
+    flush_size: int = 1000,
+    partitioner=None,
+    pad_width: int = 10,
+) -> DataFrame:
+    """Export topic records to offset-named files; returns the commit
+    manifest (one row per file written). Lazy — the caller triggers it
+    (the streaming sink collects the manifest, which is one small row
+    per committed object).
+
+    Records at or below each partition's recovered committed end are
+    dropped before writing, so calling this twice over the same input —
+    or replaying a half-committed batch — never duplicates a record on
+    the store, with or without a Spark checkpoint. That is the
+    connector's own exactly-once story (offsets live in filenames, not
+    in the consumer group), reproduced mechanism-for-mechanism.
+    """
+    if fmt not in _EXT:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_EXT)}")
+    ext = _EXT[fmt]
+    part_expr = partitioner if partitioner is not None else default_partitioner(topic)
+
+    ends = committed_offsets(out_dir, topic)
+    if ends:
+        lookup = df.sparkSession.createDataFrame(
+            list(ends.items()), "partition int, _committed_end bigint"
+        )
+        df = (
+            df.join(F.broadcast(lookup), "partition", "left")
+            .where(F.col("_committed_end").isNull() | (F.col("offset") > F.col("_committed_end")))
+            .drop("_committed_end")
+        )
+
+    staged = df.withColumn("_dir", part_expr)
+    data_cols = [c for c in staged.columns if c != "_dir"]
+
+    def write_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("offset").reset_index(drop=True)
+        p = int(pdf["partition"].iloc[0])
+        rel_dir = str(pdf["_dir"].iloc[0])
+        dir_path = os.path.join(out_dir, rel_dir)
+        os.makedirs(dir_path, exist_ok=True)
+        body = pdf[data_cols]
+        out_rows = []
+        for lo in range(0, len(body), flush_size):
+            chunk = body.iloc[lo : lo + flush_size]
+            start = int(chunk["offset"].iloc[0])
+            end = int(chunk["offset"].iloc[-1])
+            name = f"{topic}+{p}+{start:0{pad_width}d}+{end:0{pad_width}d}.{ext}"
+            final = os.path.join(dir_path, name)
+            tmp = os.path.join(dir_path, f".{name}.tmp")
+            _write_chunk(chunk, tmp, fmt)
+            os.replace(tmp, final)  # atomic visibility, idempotent replay
+            out_rows.append(
+                {
+                    "dir": rel_dir,
+                    "file": name,
+                    "kafka_partition": p,
+                    "start_offset": start,
+                    "end_offset": end,
+                    "records": len(chunk),
+                }
+            )
+        return pd.DataFrame(out_rows)
+
+    return (
+        staged.groupBy("partition", "_dir")
+        .applyInPandas(
+            write_group,
+            schema=(
+                "dir string, file string, kafka_partition int, "
+                "start_offset bigint, end_offset bigint, records bigint"
+            ),
+        )
+    )
+
+
+def _write_chunk(chunk, path: str, fmt: str) -> None:
+    if fmt == "parquet":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # pandas timestamps arrive as ns; Spark's parquet reader rejects
+        # TIMESTAMP(NANOS), so coerce to the µs the connectors wrote
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False), path,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    elif fmt == "json":
+        chunk = chunk.copy()
+        for c in chunk.columns:
+            if chunk[c].dtype == object:
+                chunk[c] = chunk[c].map(
+                    lambda v: v.decode("utf-8", "replace")
+                    if isinstance(v, (bytes, bytearray))
+                    else v
+                )
+        chunk.to_json(path, orient="records", lines=True, default_handler=str)
+    else:  # avro: the Camus-era record shape over wire-true OCF
+        from kafka_stream_spark.functions.avro_ocf import (
+            TOPIC_EXPORT_SCHEMA,
+            write_ocf,
+        )
+
+        def as_bytes(v):
+            if v is None:
+                return None
+            return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+        recs = [
+            {
+                "key": as_bytes(r.get("key")),
+                "value": as_bytes(r.get("value")) or b"",
+                "offset": int(r["offset"]),
+            }
+            for r in chunk.to_dict("records")
+        ]
+        with open(path, "wb") as f:
+            f.write(write_ocf(recs, TOPIC_EXPORT_SCHEMA, codec="deflate"))
+
+
+def object_store_sink(
+    src: FileTopic,
+    out_dir: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    flush_size: int = 1000,
+    partitioner=None,
+    pad_width: int = 10,
+) -> StreamingQuery:
+    """Streaming topic → object-store export (the connector's running
+    mode). Exactly-once holds even if the checkpoint is lost: the
+    filename-recovery filter inside :func:`export_files` drops anything
+    already committed, so a from-scratch replay appends nothing."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest = export_files(
+            batch_df, out_dir, src.name, fmt=fmt, flush_size=flush_size,
+            partitioner=partitioner, pad_width=pad_width,
+        )
+        manifest.collect()  # one row per committed file; forces the write
+
+    return (
+        src.read_stream()
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

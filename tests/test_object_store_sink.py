@@ -1,0 +1,204 @@
+"""Confluent HDFS/S3-connector file-contract tests (S11/S12):
+offset-encoded names, partitioner layouts, flush rotation, and the
+filename-recovery exactly-once rule — with and without a checkpoint."""
+
+import os
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_stream_spark.functions.avro_ocf import read_ocf
+from kafka_stream_spark.sources.topics import FileTopic
+from kafka_stream_spark.streaming.object_store import (
+    committed_offsets,
+    default_partitioner,
+    export_files,
+    field_partitioner,
+    object_store_sink,
+    time_based_partitioner,
+)
+
+NAME_RE = re.compile(r"^events\+(\d+)\+(\d{10})\+(\d{10})\.(parquet|json|avro)$")
+
+
+def _topic(spark, tmp_path, rows=40, partitions=3):
+    t = FileTopic(spark, str(tmp_path), "events", partitions=partitions)
+    df = spark.range(rows).select(
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("key"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("value"),
+    )
+    t.append(df)
+    return t
+
+
+def _committed_files(out_dir):
+    found = []
+    for root, _d, files in os.walk(out_dir):
+        for f in files:
+            if not f.startswith("."):
+                found.append((os.path.relpath(root, out_dir), f))
+    return sorted(found)
+
+
+def test_filenames_offsets_and_fidelity(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics")
+    out = str(tmp_path / "store")
+    manifest = export_files(t.read(), out, "events", flush_size=8).collect()
+
+    files = _committed_files(out)
+    assert files and all(NAME_RE.match(f) for _, f in files)
+    # per partition: files tile the offset range contiguously from 0
+    per_part = {}
+    for d, f in files:
+        m = NAME_RE.match(f)
+        p, start, end = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        assert d == f"events/partition={p}"  # DefaultPartitioner layout
+        per_part.setdefault(p, []).append((start, end))
+    for p, ranges in per_part.items():
+        ranges.sort()
+        assert ranges[0][0] == 0
+        for (s1, e1), (s2, _e2) in zip(ranges, ranges[1:]):
+            assert s2 == e1 + 1
+    # manifest rows describe exactly the committed files
+    assert sorted(r["file"] for r in manifest) == sorted(f for _, f in files)
+    # read-back fidelity: the union of files equals the topic
+    back = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(out, "events"))
+    src = t.read()
+    assert back.count() == src.count()
+    assert (
+        back.select(F.col("value").cast("string")).exceptAll(
+            src.select(F.col("value").cast("string"))
+        ).count()
+        == 0
+    )
+
+
+def test_flush_size_rotation(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics", rows=50)
+    out = str(tmp_path / "store")
+    manifest = export_files(t.read(), out, "events", flush_size=4).collect()
+    assert all(r["records"] <= 4 for r in manifest)
+    # every file's record count equals its offset span (dense offsets)
+    assert all(
+        r["records"] == r["end_offset"] - r["start_offset"] + 1 for r in manifest
+    )
+
+
+def test_field_and_time_partitioners(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics")
+    out_f = str(tmp_path / "by_field")
+    export_files(
+        t.read().withColumn("key", F.col("key").cast("string")),
+        out_f, "events", partitioner=field_partitioner("events", "key"),
+    ).collect()
+    dirs = {d for d, _ in _committed_files(out_f)}
+    assert dirs and all(re.match(r"^events/key=k\d$", d) for d in dirs)
+
+    out_t = str(tmp_path / "by_time")
+    export_files(
+        t.read(), out_t, "events",
+        partitioner=time_based_partitioner("events"),
+    ).collect()
+    dirs = {d for d, _ in _committed_files(out_t)}
+    assert dirs and all(
+        re.match(r"^events/year=\d{4}/month=\d{2}/day=\d{2}$", d) for d in dirs
+    )
+
+
+def test_exactly_once_replay_and_resume(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics", rows=30)
+    out = str(tmp_path / "store")
+    export_files(t.read(), out, "events", flush_size=8).collect()
+    first = _committed_files(out)
+    total = t.read().count()
+
+    # full replay over the same input (checkpoint lost): nothing new
+    replay = export_files(t.read(), out, "events", flush_size=8).collect()
+    assert replay == []
+    assert _committed_files(out) == first
+
+    # new appends: only offsets past the committed ends are written
+    ends_before = committed_offsets(out, "events")
+    t.append(
+        spark.range(10).select(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("key"),
+            F.concat(F.lit("new"), F.col("id").cast("string")).alias("value"),
+        )
+    )
+    manifest = export_files(t.read(), out, "events", flush_size=8).collect()
+    assert sum(r["records"] for r in manifest) == t.read().count() - total
+    assert all(
+        r["start_offset"] > ends_before.get(r["kafka_partition"], -1)
+        for r in manifest
+    )
+    back = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(out, "events"))
+    assert back.count() == t.read().count()
+    assert back.select("partition", "offset").distinct().count() == back.count()
+
+
+def test_no_temp_files_survive_commit(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics")
+    out = str(tmp_path / "store")
+    export_files(t.read(), out, "events").collect()
+    for root, _d, files in os.walk(out):
+        assert not [f for f in files if f.startswith(".")]
+
+
+def test_json_and_avro_formats_round_trip(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics", rows=12, partitions=2)
+    src_values = {
+        r["value"] for r in
+        t.read().select(F.col("value").cast("string").alias("value")).collect()
+    }
+
+    out_j = str(tmp_path / "json_store")
+    export_files(t.read(), out_j, "events", fmt="json").collect()
+    got = set()
+    for d, f in _committed_files(out_j):
+        assert f.endswith(".json")
+        with open(os.path.join(out_j, d, f)) as fh:
+            import json
+
+            for line in fh:
+                got.add(json.loads(line)["value"])
+    assert got == src_values
+
+    out_a = str(tmp_path / "avro_store")
+    export_files(t.read(), out_a, "events", fmt="avro").collect()
+    got = set()
+    for d, f in _committed_files(out_a):
+        assert f.endswith(".avro")
+        with open(os.path.join(out_a, d, f), "rb") as fh:
+            _schema, recs = read_ocf(fh.read())
+        got.update(r["value"].decode() for r in recs)
+        assert all(isinstance(r["offset"], int) for r in recs)
+    assert got == src_values
+
+
+def test_streaming_sink_checkpoint_loss_is_exactly_once(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics", rows=25)
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = object_store_sink(t, out, ckpt, flush_size=6)
+    q.awaitTermination(120)
+    total = t.read().count()
+    back = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(out, "events"))
+    assert back.count() == total
+
+    # wipe the checkpoint and re-run from scratch: filename recovery
+    # must keep the store duplicate-free (the connector's guarantee)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q = object_store_sink(t, out, str(tmp_path / "ckpt2"), flush_size=6)
+    q.awaitTermination(120)
+    back = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(out, "events"))
+    assert back.count() == total
+    assert back.select("partition", "offset").distinct().count() == total
+
+
+def test_bad_format_rejected(spark, tmp_path):
+    t = _topic(spark, tmp_path / "topics", rows=5)
+    with pytest.raises(ValueError, match="unsupported format"):
+        export_files(t.read(), str(tmp_path / "x"), "events", fmt="orc")
