@@ -497,3 +497,122 @@ def embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "embedding_cluster_silhouette",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    expl AS (
+      SELECT label, i, e[i] AS x
+      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    cent AS (
+      SELECT label, list(cx ORDER BY i) AS c
+      FROM (SELECT label, i, round(avg(x), 6) AS cx FROM expl GROUP BY label, i)
+      GROUP BY label
+    ),
+    d AS (
+      SELECT v.vec_id, v.label, cent.label AS clabel,
+             round(sqrt(list_sum(list_transform(generate_series(1, 64),
+                   i -> (v.e[i] - cent.c[i]) * (v.e[i] - cent.c[i])))), 6) AS dist
+      FROM v CROSS JOIN cent
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN dist END) AS a,
+             min(CASE WHEN clabel <> label THEN dist END) AS b
+      FROM d GROUP BY vec_id, label
+    ),
+    u AS (  -- 6dp micro-units: integer sums are order-independent
+      SELECT label,
+             CAST(round(round((b - a) / greatest(a, b), 6) * 1000000) AS BIGINT) AS su,
+             CAST(round(a * 1000000) AS BIGINT) AS au,
+             CAST(round(b * 1000000) AS BIGINT) AS bu
+      FROM ab
+    )
+    SELECT label, count(*) AS n,
+           round(sum(su) / count(*) / 1000000, 6) AS avg_silhouette,
+           round(sum(au) / count(*) / 1000000, 6) AS avg_intra,
+           round(sum(bu) / count(*) / 1000000, 6) AS avg_inter
+    FROM u GROUP BY label ORDER BY label
+    """,
+    description=(
+        "Simplified (centroid-based) silhouette per cluster — the "
+        "clustering-quality readout for an embedding space (Rousseeuw "
+        "1987's s=(b-a)/max(a,b) with centroid distances; the O(n*k) "
+        "form used at corpus scale instead of O(n^2) pairwise)"
+    ),
+    bench=True,
+)
+def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster silhouette on label centroids (k=|labels| centroids).
+
+    Scale shape: the k centroids collapse to ONE collect_list row that
+    broadcasts onto the corpus, so a(x)/b(x) are pure map-side array
+    math over each vector — the corpus never shuffles; the only
+    exchanges are the centroid aggregate and the final per-label
+    aggregate (both k-bounded). Reference framing: the reference's
+    multilingual feeds imply embedding-space curation; silhouette is
+    the standard accept/reject gate on a clustering before it is used
+    for IVF bucketing or SemDeDup pruning.
+    """
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
+    )
+    expl = v.select("label", F.posexplode("e").alias("pos", "x"))
+    cent = (
+        expl.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        )
+    )
+    cents = cent.agg(
+        F.collect_list(F.struct(F.col("label").alias("clabel"), "c")).alias("cs")
+    )
+    d2 = "aggregate(zip_with(e, s.c, (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
+    scored = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "ds",
+            F.expr(
+                f"transform(cs, s -> struct(s.clabel AS clabel, round(sqrt({d2}), 6) AS dist))"
+            ),
+        )
+        .select(
+            "label",
+            F.expr("filter(ds, s -> s.clabel = label)[0].dist").alias("a"),
+            F.expr(
+                "array_min(transform(filter(ds, s -> s.clabel <> label), s -> s.dist))"
+            ).alias("b"),
+        )
+    )
+    # 6dp micro-unit BIGINTs before the average: integer sums are
+    # associative, so the cross-engine value is partition-order-proof
+    # (the repo's standard float-determinism move, NOTES.md rule 3)
+    u = scored.select(
+        "label",
+        F.round(F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6) * 1e6)
+        .cast("bigint")
+        .alias("su"),
+        F.round(F.col("a") * 1e6).cast("bigint").alias("au"),
+        F.round(F.col("b") * 1e6).cast("bigint").alias("bu"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        u.groupBy("label")
+        .agg(
+            n.alias("n"),
+            F.round(F.sum("su") / n / 1e6, 6).alias("avg_silhouette"),
+            F.round(F.sum("au") / n / 1e6, 6).alias("avg_intra"),
+            F.round(F.sum("bu") / n / 1e6, 6).alias("avg_inter"),
+        )
+        .orderBy("label")
+    )
