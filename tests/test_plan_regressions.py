@@ -544,3 +544,20 @@ def test_pca_corpus_never_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in p
     # final plan: per-label partial agg + the broadcast var crossJoin
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_silhouette_corpus_is_map_side(spark, sf_dir):
+    # the k centroids collapse to one broadcast row; a(x)/b(x) are pure
+    # map-side array math — no CartesianProduct, no corpus-keyed join
+    p = plan_of(spark, sf_dir, "embedding_cluster_silhouette")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_edit_distance_dedup_is_candidate_bounded(spark, sf_dir):
+    # verification joins candidates to the 256-char window projection by
+    # doc id — equi-joins only, never an all-pairs comparison
+    p = plan_of(spark, sf_dir, "dedup_edit_distance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
