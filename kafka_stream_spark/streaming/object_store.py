@@ -254,3 +254,35 @@ def object_store_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def register_export_table(
+    spark,
+    out_dir: str,
+    topic: str,
+    table: str | None = None,
+) -> str:
+    """The connector's ``hive.integration=true`` analog: expose an
+    export as a SQL-queryable table the moment files commit.
+
+    Metadata-only (no data copied): the view reads the committed
+    parquet objects under the topic prefix; dot-prefixed temp files and
+    non-parquet formats are excluded by the glob, and recursive lookup
+    (rather than Hive-style inference) is deliberate — the partitioner
+    directories re-encode columns that already live IN the files, which
+    directory-partition inference would reject as duplicates. Filters
+    on the partitioner field still prune via parquet row-group stats.
+    Re-calling after further exports refreshes the file listing.
+    Returns the registered table name; parquet exports only (the same
+    restriction the connector's Hive mode has).
+    """
+    name = table or f"{topic}_export"
+    path = os.path.join(out_dir, topic)
+    spark.sql(f"DROP VIEW IF EXISTS {name}")
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+    )
+    df.createOrReplaceTempView(name)
+    return name

@@ -202,3 +202,19 @@ def test_bad_format_rejected(spark, tmp_path):
     t = _topic(spark, tmp_path / "topics", rows=5)
     with pytest.raises(ValueError, match="unsupported format"):
         export_files(t.read(), str(tmp_path / "x"), "events", fmt="orc")
+
+
+def test_register_export_table_queryable(spark, tmp_path):
+    from kafka_stream_spark.streaming.object_store import register_export_table
+
+    t = _topic(spark, tmp_path / "topics", rows=20)
+    out = str(tmp_path / "store")
+    export_files(t.read(), out, "events", flush_size=6).collect()
+    name = register_export_table(spark, out, "events")
+    got = spark.sql(f"SELECT count(*) AS n FROM {name}").first().n
+    assert got == 20
+    # refresh after a further export picks up the new files
+    t.append(t.read().selectExpr("cast(key AS string) AS key", "cast(value AS string) AS value").limit(5))
+    export_files(t.read(), out, "events", flush_size=6).collect()
+    register_export_table(spark, out, "events")
+    assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 25
