@@ -150,7 +150,11 @@ def publish_segments(
 def used_segments(out_dir: str, datasource: str) -> list[dict]:
     """The coordinator's 'used segments' view: per interval, every shard
     of the HIGHEST version (lower versions are overshadowed); only
-    descriptor-bearing dirs count (torn publishes are invisible)."""
+    descriptor-bearing dirs count (torn publishes are invisible).
+
+    Versions compare lexicographically — Druid's own versions are ISO
+    timestamps, which sort that way; callers here use zero-padded
+    counters with the same property."""
     base = os.path.join(out_dir, datasource)
     if not os.path.isdir(base):
         return []
