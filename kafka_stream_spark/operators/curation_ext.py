@@ -2006,3 +2006,82 @@ def rag_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("int").alias("bucket"), "n_docs", "n_chunks", "n_tokens")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy governance gate)
+# ---------------------------------------------------------------------------
+
+_KANON_KS = (2, 5, 10, 20)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS grp,
+             count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS l_div
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT sum(grp) AS n_rows, min(l_div) AS min_l FROM g),
+    ks AS (SELECT unnest(ARRAY{list(_KANON_KS)}) AS k)
+    SELECT k,
+           count(CASE WHEN grp < k THEN 1 END) AS groups_below,
+           coalesce(sum(CASE WHEN grp < k THEN grp END), 0) AS rows_below,
+           round(coalesce(sum(CASE WHEN grp < k THEN grp END), 0) * 1.0
+                 / max(tot.n_rows), 6) AS pct_rows_below,
+           max(tot.min_l) AS min_l_diversity
+    FROM ks CROSS JOIN g CROSS JOIN tot
+    GROUP BY k ORDER BY k
+    """,
+    description=(
+        "k-anonymity audit over quasi-identifiers (nation, segment): per "
+        "k threshold, how many equivalence groups / rows fall below k, "
+        "plus worst-group l-diversity of the sensitive flag — the privacy "
+        "governance gate a training corpus passes before release "
+        "(Sweeney 2002; Machanavajjhala 2007)"
+    ),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier equivalence-class risk profile.
+
+    Scale shape: one groupBy over the quasi-identifier tuple (partial
+    aggregation map-side) collapses the corpus to |QI-combinations|
+    rows; the per-k readout is a tiny literal-array explode against
+    that aggregate — no second corpus pass, no row-level retention of
+    identifiers. The sensitive attribute only ever appears as a
+    distinct-count inside each class (the l-diversity bound), never
+    joined back to rows.
+    """
+    (customer,) = load(spark, sf_dir, "customer")
+    g = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp"),
+        F.countDistinct(
+            F.when(F.col("c_acctbal") < 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("l_div"),
+    )
+    ks = F.array(*[F.lit(k) for k in _KANON_KS])
+    return (
+        g.crossJoin(
+            g.agg(
+                F.sum("grp").alias("n_rows"), F.min("l_div").alias("min_l")
+            )
+        )
+        .select("*", F.explode(ks).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("grp") < F.col("k"), 1)).alias("groups_below"),
+            F.coalesce(
+                F.sum(F.when(F.col("grp") < F.col("k"), F.col("grp"))), F.lit(0)
+            ).alias("rows_below"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("grp") < F.col("k"), F.col("grp"))), F.lit(0)
+                )
+                / F.max("n_rows"),
+                6,
+            ).alias("pct_rows_below"),
+            F.max("min_l").alias("min_l_diversity"),
+        )
+        .orderBy("k")
+    )
