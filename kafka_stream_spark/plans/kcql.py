@@ -35,6 +35,7 @@ _KCQL_RE = re.compile(
     \s+FROM\s+(?P<source>\S+)
     (?:\s+IGNORE\s+(?P<ignore>[\w\s,]+?))?
     (?:\s+PK\s+(?P<pk>[\w\s,]+?))?
+    (?:\s+PARTITIONBY\s+(?P<partitionby>[\w\s,]+?))?
     (?:\s+DISTRIBUTEBY\s+(?P<distributeby>[\w\s,]+?)
         \s+INTO\s+(?P<buckets>\d+)\s+BUCKETS)?
     (?:\s+WITHWHERE\s+(?P<where>.+?))?
@@ -65,6 +66,9 @@ class KcqlStatement:
     #: Kudu-family hash partitioning: DISTRIBUTEBY cols INTO n BUCKETS
     distributeby: tuple[str, ...] = ()
     buckets: int | None = None
+    #: storage-family directory layout: PARTITIONBY f1 [, f2] (S3/HDFS
+    #: connectors' FieldPartitioner selection)
+    partitionby: tuple[str, ...] = ()
 
     @property
     def is_star(self) -> bool:
@@ -99,6 +103,7 @@ def parse(statement: str) -> KcqlStatement:
         write_mode=m.group("mode").lower(),
         distributeby=split_list(m.group("distributeby")),
         buckets=int(m.group("buckets")) if m.group("buckets") else None,
+        partitionby=split_list(m.group("partitionby")),
     )
 
 

@@ -208,4 +208,44 @@ def kcql_connector_sink(
             elastic_sink(df, stmt.target, transport, id_col=pk[0] if pk else None)
             .option("checkpointLocation", checkpoint)
         )
+    if system in ("hdfs", "s3"):
+        # storage families: the "connection" IS a base path (transport,
+        # a str); the KCQL target is the bucket/container prefix under
+        # it; PARTITIONBY selects the FieldPartitioner layout; STOREAS/
+        # WITHFORMAT picks parquet/json/avro (the connectors' format set)
+        from kafka_stream_spark.streaming.object_store import (
+            field_partitioner,
+            object_store_stream_sink,
+        )
+
+        if not isinstance(transport, str):
+            raise ValueError(f"{system} sink transport must be a base path")
+        fmt = (stmt.withformat or stmt.storeas or "parquet").lower()
+        part = (
+            field_partitioner(stmt.source, stmt.partitionby[0])
+            if stmt.partitionby
+            else None
+        )
+        out_dir = f"{transport.rstrip('/')}/{stmt.target}"
+        # the file contract needs (partition, offset) bookkeeping even
+        # when the KCQL projection narrows the record — re-project from
+        # the stream with them retained (the connectors do the same:
+        # offsets ride the SinkRecord, not the projected value)
+        out_cols = {a or n for n, a in stmt.projections}
+        if not stmt.is_star and not {"partition", "offset"} <= out_cols:
+            import pyspark.sql.functions as F
+
+            keep = [
+                F.col(n).alias(a) if a else F.col(n)
+                for n, a in stmt.projections
+                if n not in stmt.ignore
+            ]
+            extra = [
+                F.col(c) for c in ("partition", "offset") if c not in out_cols
+            ]
+            df = stream.filter(stmt.where) if stmt.where else stream
+            df = df.select(*keep, *extra)
+        return object_store_stream_sink(
+            df, out_dir, stmt.source, checkpoint, fmt=fmt, partitioner=part
+        )
     raise ValueError(f"unknown connector system: {system}")

@@ -224,6 +224,36 @@ def _write_chunk(chunk, path: str, fmt: str) -> None:
             f.write(write_ocf(recs, TOPIC_EXPORT_SCHEMA, codec="deflate"))
 
 
+def object_store_stream_sink(
+    stream: DataFrame,
+    out_dir: str,
+    topic: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    flush_size: int = 1000,
+    partitioner=None,
+    pad_width: int = 10,
+):
+    """foreachBatch writer over an already-built topic stream (columns
+    must include ``partition``/``offset``). Returns the un-started
+    DataStreamWriter — the KCQL-routed entry point and tests choose
+    their own trigger."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest = export_files(
+            batch_df, out_dir, topic, fmt=fmt, flush_size=flush_size,
+            partitioner=partitioner, pad_width=pad_width,
+        )
+        manifest.collect()  # one row per committed file; forces the write
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def object_store_sink(
     src: FileTopic,
     out_dir: str,
@@ -237,20 +267,12 @@ def object_store_sink(
     mode). Exactly-once holds even if the checkpoint is lost: the
     filename-recovery filter inside :func:`export_files` drops anything
     already committed, so a from-scratch replay appends nothing."""
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        manifest = export_files(
-            batch_df, out_dir, src.name, fmt=fmt, flush_size=flush_size,
+    return (
+        object_store_stream_sink(
+            src.read_stream(), out_dir, src.name, checkpoint,
+            fmt=fmt, flush_size=flush_size,
             partitioner=partitioner, pad_width=pad_width,
         )
-        manifest.collect()  # one row per committed file; forces the write
-
-    return (
-        src.read_stream()
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

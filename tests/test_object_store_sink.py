@@ -218,3 +218,39 @@ def test_register_export_table_queryable(spark, tmp_path):
     export_files(t.read(), out, "events", flush_size=6).collect()
     register_export_table(spark, out, "events")
     assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 25
+
+
+def test_kcql_routed_s3_sink(spark, tmp_path):
+    """INSERT INTO bucket SELECT ... FROM topic PARTITIONBY key STOREAS JSON
+    routes to the object-store writer with the FieldPartitioner layout,
+    keeping (partition, offset) bookkeeping despite the narrowed SELECT."""
+    import json
+
+    from kafka_stream_spark.streaming.connector_sinks import kcql_connector_sink
+
+    t = _topic(spark, tmp_path / "topics", rows=15)
+    stream = t.read_stream().selectExpr(
+        "cast(key AS string) AS key", "cast(value AS string) AS value",
+        "partition", "offset", "timestamp",
+    )
+    base = str(tmp_path / "cloud")
+    q = kcql_connector_sink(
+        stream,
+        "INSERT INTO backups SELECT key, value FROM events PARTITIONBY key STOREAS JSON",
+        system="s3",
+        transport=base,
+        checkpoint=str(tmp_path / "ck"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    files = _committed_files(os.path.join(base, "backups"))
+    assert files and all(f.endswith(".json") for _, f in files)
+    assert all(re.match(r"^events/key=k\d$", d) for d, _ in files)
+    got = set()
+    for d, f in files:
+        with open(os.path.join(base, "backups", d, f)) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                got.add(rec["value"])
+                assert {"key", "value", "partition", "offset"} <= rec.keys()
+    assert len(got) == 15
