@@ -1166,3 +1166,78 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dispersion"), "term")
         .limit(_BURST_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus language diversity (mixture audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lang_diversity_by_source",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, sum(n) AS nd, count(*) AS nl, sum(n * (n - 1)) AS ss
+      FROM cnt GROUP BY source
+    ),
+    sh AS (  -- per-lang Shannon terms in 6dp micro-units (order-proof sum)
+      SELECT c.source,
+             CAST(round(-(c.n * 1.0 / t.nd) * ln(c.n * 1.0 / t.nd) * 1000000)
+                  AS BIGINT) AS hu
+      FROM cnt c JOIN tot t USING (source)
+    )
+    SELECT t.source, t.nd AS n_docs, t.nl AS n_langs,
+           round(t.ss * 1.0 / (t.nd * (t.nd - 1)), 6) AS simpson,
+           round(sum(sh.hu) / 1000000.0, 6) AS shannon,
+           round(sum(sh.hu) / 1000000.0 / ln(t.nl), 6) AS evenness
+    FROM tot t JOIN sh USING (source)
+    GROUP BY t.source, t.nd, t.nl, t.ss
+    ORDER BY t.source
+    """,
+    description=(
+        "Language-diversity audit per source: Simpson index (exact "
+        "integer rational), Shannon entropy and Pielou evenness — the "
+        "multilingual-mixture balance check run before setting sampling "
+        "temperatures"
+    ),
+)
+def lang_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson / Shannon / evenness per source.
+
+    Scale shape: one (source, lang) count (map-side combined), one
+    k-bounded source aggregate, and a broadcast of the per-source
+    totals back onto the tiny count table — the corpus is touched once.
+    Shannon terms sum as 6dp micro-unit BIGINTs (order-independent);
+    Simpson is a pure integer rational so it is exact cross-engine.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    cnt = documents.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("n").alias("nd"),
+        F.count(F.lit(1)).alias("nl"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("ss"),
+    )
+    p = F.col("n") / F.col("nd")
+    sh = (
+        cnt.join(F.broadcast(tot), "source")
+        .select(
+            "source", "nd", "nl", "ss",
+            F.round(-p * F.log(p) * 1e6).cast("bigint").alias("hu"),
+        )
+    )
+    return (
+        sh.groupBy("source", "nd", "nl", "ss")
+        .agg(F.sum("hu").alias("husum"))
+        .select(
+            "source",
+            F.col("nd").alias("n_docs"),
+            F.col("nl").alias("n_langs"),
+            F.round(F.col("ss") / (F.col("nd") * (F.col("nd") - 1)), 6).alias("simpson"),
+            F.round(F.col("husum") / 1e6, 6).alias("shannon"),
+            F.round(F.col("husum") / 1e6 / F.log(F.col("nl").cast("double")), 6).alias("evenness"),
+        )
+        .orderBy("source")
+    )

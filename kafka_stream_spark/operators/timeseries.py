@@ -1883,3 +1883,96 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function (seasonality diagnostic)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               // 100000 AS v
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+    pairs AS (
+      SELECT l.lag, a.v AS x, b.v AS y
+      FROM lags l CROSS JOIN daily a
+      JOIN daily b ON b.day = a.day - CAST(l.lag AS INTEGER)
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM s ORDER BY lag
+    """,
+    description=(
+        "Autocorrelation of daily revenue at lags 1-7 — the weekly-"
+        "seasonality diagnostic (pairwise-complete Pearson over the "
+        "lag-aligned daily series, all moments as exact BIGINTs)"
+    ),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF over the daily revenue series.
+
+    Determinism: daily revenue folds as exact integer cents, truncate-
+    divided to integer thousand-dollar units (Spark ``div`` == DuckDB
+    ``//``, NOTES.md), so every Pearson moment is a BIGINT and the one
+    float op (the final r) starts from identical integers in both
+    engines. Unit scaling keeps n*Sxx inside BIGINT through ~sf1; at
+    larger SFs raise the divisor a decade.
+
+    Scale shape: the corpus collapses to one row per day before any
+    lag work; the lag self-join runs on that tiny aggregate (7 lags x
+    |days| rows), never on raw orders.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+        )
+        .select("day", F.expr("cents div 100000").alias("v"))
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("day_a"), F.col("v").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("v").alias("y"))
+    pairs = (
+        lags.crossJoin(a)
+        .withColumn("day_b", F.date_sub(F.col("day_a"), F.col("lag")))
+        .join(b, "day_b")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        s.select(
+            "lag",
+            F.col("n").alias("n_pairs"),
+            F.round(num / F.sqrt(varx * vary), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
