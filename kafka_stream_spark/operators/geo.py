@@ -1,0 +1,167 @@
+"""Spatial near-join — grid-bucketed candidate generation + haversine
+verification (SURVEY.md §2.6 F4 context: the reference's AIS vessel
+feed, ``sample-data/ais*``, splits lat/lon precisely so downstream can
+do proximity analytics; this module supplies the distributed operator
+those analytics need).
+
+The 100 TB shape is the standard distributed spatial join: quantize
+each point to a ``grid_deg`` cell, explode each LEFT point to the fixed
+neighbor-cell window that covers the search radius, equi-join on the
+cell id, then verify candidates with the exact haversine distance — an
+all-JVM pipeline (no UDF, no cross join), cost proportional to
+candidate pairs, never |L|x|R|.
+
+Neighbor window correctness: a radius R km spans at most
+``R / 111.0`` degrees of latitude and ``R / (111.0 * cos(lat))``
+degrees of longitude. With |lat| bounded (parameter ``max_abs_lat``),
+``dy in [-ceil(Rdeg/g)] ..`` and a wider dx window cover every cell a
+true neighbor can occupy; the defaults (grid 5°, radius ≤ 500 km,
+|lat| ≤ 55°) give dy ∈ {-1,0,1}, dx ∈ {-2..2}. Points nearer the poles
+need a latitude-banded grid — out of scope here, as the synthetic
+corpus and AIS shipping lanes both live inside ±55°.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_spark.operators._common import load
+from kafka_stream_spark.registry import query
+
+_EARTH_KM = 6371.0
+
+
+def haversine_km_expr(lat1: str, lon1: str, lat2: str, lon2: str):
+    """Exact great-circle distance as a pure Column expression —
+    whole-stage codegen, no Python. The asin argument is clamped to 1.0
+    (fp rounding can push antipodal-ish sums a ulp over)."""
+    dphi = (F.radians(F.col(lat2)) - F.radians(F.col(lat1))) / 2
+    dlmb = (F.radians(F.col(lon2)) - F.radians(F.col(lon1))) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.col(lat1)))
+        * F.cos(F.radians(F.col(lat2)))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return 2 * _EARTH_KM * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def geo_near_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    grid_deg: float = 5.0,
+    lat: str = "lat",
+    lon: str = "lon",
+    dx_range: int = 2,
+    dy_range: int = 1,
+) -> DataFrame:
+    """All pairs (left, right) within ``radius_km``, with ``dist_km``.
+
+    Both inputs keep all their columns (name-disjoint apart from
+    lat/lon, which arrive suffixed ``_l``/``_r``)."""
+    cell_x = lambda c: F.floor((F.col(c) + 180.0) / grid_deg).cast("int")
+    cell_y = lambda c: F.floor((F.col(c) + 90.0) / grid_deg).cast("int")
+
+    offsets = F.expr(
+        f"flatten(transform(sequence({-dx_range}, {dx_range}), dx -> "
+        f"transform(sequence({-dy_range}, {dy_range}), dy -> struct(dx, dy))))"
+    )
+    l = (
+        left.withColumnRenamed(lat, "lat_l").withColumnRenamed(lon, "lon_l")
+        .withColumn("_o", F.explode(offsets))
+        .withColumn("_cx", cell_x("lon_l") + F.col("_o.dx"))
+        .withColumn("_cy", cell_y("lat_l") + F.col("_o.dy"))
+        .drop("_o")
+    )
+    r = (
+        right.withColumnRenamed(lat, "lat_r").withColumnRenamed(lon, "lon_r")
+        .withColumn("_cx", cell_x("lon_r"))
+        .withColumn("_cy", cell_y("lat_r"))
+    )
+    dist = haversine_km_expr("lat_l", "lon_l", "lat_r", "lon_r")
+    return (
+        l.join(r, ["_cx", "_cy"])
+        .withColumn("dist_km", F.round(dist, 6))
+        .filter(F.col("dist_km") <= radius_km)
+        .drop("_cx", "_cy")
+    )
+
+
+# md5-placed synthetic coordinates (both engines share md5, the repo's
+# standard determinism device): 6dp fixed-point in [-55, 55] / [-180, 180)
+def _coord_spark(prefix: str, key: str, mod: int, shift: float) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{prefix}', cast({key} as string))), 1, 12),"
+        f" 16, 10) as bigint) % {mod} / 1000000.0 - {shift}"
+    )
+
+
+def _coord_duck(prefix: str, key: str, mod: int, shift: float) -> str:
+    return (
+        f"(('0x' || substr(md5('{prefix}' || {key}::VARCHAR), 1, 12))::BIGINT"
+        f" % {mod}) / 1000000.0 - {shift}"
+    )
+
+
+_RADIUS_KM = 500.0
+_N_CUST = 500
+
+
+@query(
+    "geo_near_join_suppliers",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_coord_duck('lat:c', 'c_custkey', 110_000_000, 55.0)} AS lat_l,
+             {_coord_duck('lon:c', 'c_custkey', 360_000_000, 180.0)} AS lon_l
+      FROM customer WHERE c_custkey <= {_N_CUST}
+    ),
+    s AS (
+      SELECT s_suppkey,
+             {_coord_duck('lat:s', 's_suppkey', 110_000_000, 55.0)} AS lat_r,
+             {_coord_duck('lon:s', 's_suppkey', 360_000_000, 180.0)} AS lon_r
+      FROM supplier
+    ),
+    cand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round(2 * {_EARTH_KM} * asin(sqrt(least(1.0,
+               sin((radians(lat_r) - radians(lat_l)) / 2)
+                 * sin((radians(lat_r) - radians(lat_l)) / 2)
+               + cos(radians(lat_l)) * cos(radians(lat_r))
+                 * sin((radians(lon_r) - radians(lon_l)) / 2)
+                 * sin((radians(lon_r) - radians(lon_l)) / 2)))), 6) AS dist_km
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, dist_km
+    FROM cand WHERE dist_km <= {_RADIUS_KM}
+    ORDER BY c_custkey, s_suppkey
+    """,
+    description=(
+        "Spatial near-join: suppliers within 500 km of each (sampled) "
+        "customer — grid-bucketed candidates + exact haversine verify, "
+        "all JVM; coordinates md5-placed (the AIS proximity shape on "
+        "synthetic points). Oracle brute-forces the same pairs"
+    ),
+)
+def geo_near_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grid join must return EXACTLY the brute-force pair set — the
+    oracle is the O(n*m) cross join, so any candidate the neighbor
+    window misses fails the driver hash check, not just a unit test."""
+    customer, supplier = load(spark, sf_dir, "customer", "supplier")
+    c = customer.filter(F.col("c_custkey") <= _N_CUST).select(
+        "c_custkey",
+        F.expr(_coord_spark("lat:c", "c_custkey", 110_000_000, 55.0)).alias("lat"),
+        F.expr(_coord_spark("lon:c", "c_custkey", 360_000_000, 180.0)).alias("lon"),
+    )
+    s = supplier.select(
+        "s_suppkey",
+        F.expr(_coord_spark("lat:s", "s_suppkey", 110_000_000, 55.0)).alias("lat"),
+        F.expr(_coord_spark("lon:s", "s_suppkey", 360_000_000, 180.0)).alias("lon"),
+    )
+    return (
+        geo_near_join(c, s, _RADIUS_KM)
+        .select("c_custkey", "s_suppkey", "dist_km")
+        .orderBy("c_custkey", "s_suppkey")
+    )

@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         components,
         embedding_stats,
         entity_resolution,
+        geo,
         event_analytics,
         graph_rank,
         layout_audit,
