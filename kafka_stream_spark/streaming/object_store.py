@@ -77,23 +77,32 @@ def time_based_partitioner(
     return F.concat(F.lit(f"{topic}/"), F.date_format(F.col(ts_col), path_format))
 
 
-def committed_offsets(out_dir: str, topic: str) -> dict[int, int]:
-    """Recover the committed END offset per Kafka partition by scanning
-    committed filenames — the connector's restart rule. Temp files
-    (dot-prefixed) are invisible, exactly like the connector's
-    ``.tmp`` working files."""
-    ends: dict[int, int] = {}
+def committed_offsets(out_dir: str, topic: str) -> dict[tuple[str, int], int]:
+    """Recover the committed END offset per (encoded directory, Kafka
+    partition) by scanning committed filenames — the connector's
+    restart rule. Temp files (dot-prefixed) are invisible, exactly like
+    the connector's ``.tmp`` working files.
+
+    Per-DIRECTORY granularity matters with Field/Time partitioners: one
+    Kafka partition's offsets interleave across directories, so a crash
+    that committed directory A's file but not B's must only skip A's
+    records on replay. The partitioner is a pure function of the
+    record, so every record re-lands in its own directory and per-dir
+    ends are an exact replay filter — coarser per-partition recovery
+    would silently drop B's uncommitted records."""
+    ends: dict[tuple[str, int], int] = {}
     if not os.path.isdir(out_dir):
         return ends
     for root, _dirs, files in os.walk(out_dir):
+        rel = os.path.relpath(root, out_dir)
         for name in files:
             if name.startswith("."):
                 continue
             m = _FILE_RE.match(name)
             if not m or m.group("topic") != topic:
                 continue
-            p, end = int(m.group("part")), int(m.group("end"))
-            ends[p] = max(ends.get(p, -1), end)
+            key = (rel, int(m.group("part")))
+            ends[key] = max(ends.get(key, -1), int(m.group("end")))
     return ends
 
 
@@ -123,18 +132,18 @@ def export_files(
     ext = _EXT[fmt]
     part_expr = partitioner if partitioner is not None else default_partitioner(topic)
 
+    staged = df.withColumn("_dir", part_expr)
     ends = committed_offsets(out_dir, topic)
     if ends:
         lookup = df.sparkSession.createDataFrame(
-            list(ends.items()), "partition int, _committed_end bigint"
+            [(d, p, e) for (d, p), e in ends.items()],
+            "_dir string, partition int, _committed_end bigint",
         )
-        df = (
-            df.join(F.broadcast(lookup), "partition", "left")
+        staged = (
+            staged.join(F.broadcast(lookup), ["_dir", "partition"], "left")
             .where(F.col("_committed_end").isNull() | (F.col("offset") > F.col("_committed_end")))
             .drop("_committed_end")
         )
-
-    staged = df.withColumn("_dir", part_expr)
     data_cols = [c for c in staged.columns if c != "_dir"]
 
     def write_group(pdf):

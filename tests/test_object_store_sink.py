@@ -129,7 +129,7 @@ def test_exactly_once_replay_and_resume(spark, tmp_path):
     manifest = export_files(t.read(), out, "events", flush_size=8).collect()
     assert sum(r["records"] for r in manifest) == t.read().count() - total
     assert all(
-        r["start_offset"] > ends_before.get(r["kafka_partition"], -1)
+        r["start_offset"] > ends_before.get((r["dir"], r["kafka_partition"]), -1)
         for r in manifest
     )
     back = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(out, "events"))
@@ -254,3 +254,36 @@ def test_kcql_routed_s3_sink(spark, tmp_path):
                 got.add(rec["value"])
                 assert {"key", "value", "partition", "offset"} <= rec.keys()
     assert len(got) == 15
+
+
+def test_partial_commit_recovery_is_per_directory(spark, tmp_path):
+    """With a Field partitioner, one Kafka partition's offsets interleave
+    across directories. If a crash committed some directories' files but
+    not others, replay must re-land ONLY the uncommitted directories'
+    records — per-partition (rather than per-dir) recovery would drop
+    them because the committed dirs' end offsets run past them."""
+    import shutil
+
+    t = _topic(spark, tmp_path / "topics", rows=40)
+    out = str(tmp_path / "store")
+    keyed = t.read().withColumn("key", F.col("key").cast("string"))
+    part = field_partitioner("events", "key")
+    export_files(keyed, out, "events", partitioner=part).collect()
+    full = _committed_files(out)
+    total = t.read().count()
+
+    # simulate the crash: one directory's commit never happened
+    victims = sorted({d for d, _ in full})[:2]
+    for d in victims:
+        shutil.rmtree(os.path.join(out, d))
+    survivors = _committed_files(out)
+    assert len(survivors) < len(full)
+
+    # replay the whole batch: only the victims' records come back
+    manifest = export_files(keyed, out, "events", partitioner=part).collect()
+    assert {r["dir"] for r in manifest} == set(victims)
+    back = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(out, "events")
+    )
+    assert back.count() == total
+    assert back.select("partition", "offset").distinct().count() == total
