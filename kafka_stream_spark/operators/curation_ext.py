@@ -2027,7 +2027,8 @@ _KANON_KS = (2, 5, 10, 20)
     ks AS (SELECT unnest(ARRAY{list(_KANON_KS)}) AS k)
     SELECT k,
            count(CASE WHEN grp < k THEN 1 END) AS groups_below,
-           coalesce(sum(CASE WHEN grp < k THEN grp END), 0) AS rows_below,
+           CAST(coalesce(sum(CASE WHEN grp < k THEN grp END), 0) AS BIGINT)
+             AS rows_below,
            round(coalesce(sum(CASE WHEN grp < k THEN grp END), 0) * 1.0
                  / max(tot.n_rows), 6) AS pct_rows_below,
            max(tot.min_l) AS min_l_diversity

@@ -1189,7 +1189,7 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS hu
       FROM cnt c JOIN tot t USING (source)
     )
-    SELECT t.source, t.nd AS n_docs, t.nl AS n_langs,
+    SELECT t.source, CAST(t.nd AS BIGINT) AS n_docs, t.nl AS n_langs,
            round(t.ss * 1.0 / (t.nd * (t.nd - 1)), 6) AS simpson,
            round(sum(sh.hu) / 1000000.0, 6) AS shannon,
            round(sum(sh.hu) / 1000000.0 / ln(t.nl), 6) AS evenness
