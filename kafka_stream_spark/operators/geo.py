@@ -24,7 +24,7 @@ corpus and AIS shipping lanes both live inside ±55°.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kafka_stream_spark.operators._common import load
 from kafka_stream_spark.registry import query
@@ -164,4 +164,73 @@ def geo_near_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         geo_near_join(c, s, _RADIUS_KM)
         .select("c_custkey", "s_suppkey", "dist_km")
         .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+_DENSITY_GRID = 5.0
+_DENSITY_TOPN = 25
+
+
+@query(
+    "geo_cell_density",
+    oracle=f"""
+    WITH pts AS (
+      SELECT {_coord_duck('lat:c', 'c_custkey', 110_000_000, 55.0)} AS lat,
+             {_coord_duck('lon:c', 'c_custkey', 360_000_000, 180.0)} AS lon,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor((lon + 180.0) / {_DENSITY_GRID}) AS INTEGER) AS cell_x,
+             CAST(floor((lat + 90.0) / {_DENSITY_GRID}) AS INTEGER) AS cell_y,
+             count(*) AS n_points,
+             CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT cell_x, cell_y, n_points,
+           round(bal_cents / 100.0, 2) AS total_balance
+    FROM (SELECT *, row_number() OVER (ORDER BY n_points DESC, cell_x, cell_y)
+                 AS rnk FROM cells)
+    WHERE rnk <= {_DENSITY_TOPN}
+    ORDER BY n_points DESC, cell_x, cell_y
+    """,
+    description=(
+        "Spatial density heatmap: top grid cells by point count with an "
+        "exact aggregate — the AIS hot-zone readout (one map-side-"
+        "combined groupBy; top-N without a global sort of raw points)"
+    ),
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell density over the md5-placed customer coordinates.
+
+    Scale shape: the corpus collapses to |occupied cells| in one
+    partial-aggregated groupBy; the top-N ranks the tiny cell table
+    (TakeOrdered semantics), never the raw points. Balance folds as
+    exact integer cents so the aggregate is cross-engine exact.
+    """
+    (customer,) = load(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.expr(_coord_spark("lat:c", "c_custkey", 110_000_000, 55.0)).alias("lat"),
+        F.expr(_coord_spark("lon:c", "c_custkey", 360_000_000, 180.0)).alias("lon"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    cells = (
+        pts.groupBy(
+            F.floor((F.col("lon") + 180.0) / _DENSITY_GRID).cast("int").alias("cell_x"),
+            F.floor((F.col("lat") + 90.0) / _DENSITY_GRID).cast("int").alias("cell_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_points"), "cell_x", "cell_y")
+    return (
+        cells.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _DENSITY_TOPN)
+        .select(
+            "cell_x", "cell_y", "n_points",
+            F.round(F.col("bal_cents") / 100.0, 2).alias("total_balance"),
+        )
+        .orderBy(F.desc("n_points"), "cell_x", "cell_y")
     )

@@ -287,3 +287,44 @@ def test_partial_commit_recovery_is_per_directory(spark, tmp_path):
     )
     assert back.count() == total
     assert back.select("partition", "offset").distinct().count() == total
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_topic_names = st.text(
+    alphabet=list("abz09+._-"), min_size=1, max_size=12
+).filter(lambda s: not s.startswith(".") and not s.endswith("+"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    topic=_topic_names,
+    parts=st.dictionaries(
+        st.integers(0, 99),
+        st.lists(
+            st.tuples(st.integers(0, 10**9), st.integers(0, 10**9)),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_committed_offsets_parses_adversarial_names(tmp_path_factory, topic, parts):
+    """Filename recovery must bind partition/offsets from the RIGHT even
+    when the topic name itself contains '+' and digits — a mis-parse
+    here silently corrupts the exactly-once filter."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("store"))
+    d = os.path.join(out, "dir")
+    os.makedirs(d, exist_ok=True)
+    expect = {}
+    for p, ranges in parts.items():
+        for a, b in ranges:
+            start, end = min(a, b), max(a, b)
+            open(os.path.join(d, f"{topic}+{p}+{start:010d}+{end:010d}.parquet"), "w").close()
+            expect[("dir", p)] = max(expect.get(("dir", p), -1), end)
+    # decoys: temp files and a different topic must be invisible
+    open(os.path.join(d, f".{topic}+0+0+0.parquet.tmp"), "w").close()
+    open(os.path.join(d, f"{topic}x+0+0000000000+0000000009.parquet"), "w").close()
+    assert committed_offsets(out, topic) == expect
