@@ -7,8 +7,10 @@ an existing Camus consumer reads the engine's exports unchanged.
 Public spec: the Avro 1.x specification, "Object Container Files"
 section — magic ``Obj\\x01``, a file-metadata map carrying
 ``avro.schema``/``avro.codec``, a 16-byte sync marker, then blocks of
-``(count, byte-size, payload, sync)``. Codecs: ``null`` and
-``deflate`` (raw RFC-1951 via stdlib zlib). Per-record encode/decode
+``(count, byte-size, payload, sync)``. Codecs: ``null``, ``deflate``
+(raw RFC-1951 via stdlib zlib) and ``snappy`` (spec: snappy block
+followed by a 4-byte big-endian CRC32 of the UNCOMPRESSED data;
+compression via pyarrow's bundled snappy). Per-record encode/decode
 rides the repo's compiled pure-Python codec (``avro_codec``), so the
 whole path stays Arrow/stdlib-only.
 
@@ -30,9 +32,43 @@ from pyspark.sql import DataFrame
 
 from kafka_stream_spark.functions import avro_codec
 from kafka_stream_spark.functions.wire import (
-    read_exact_io, read_zigzag_io, zigzag_encode as _zigzag)
+    read_exact_io, read_uvarint, read_zigzag_io, zigzag_encode as _zigzag)
 
 MAGIC = b"Obj\x01"
+
+_CODECS = ("null", "deflate", "snappy")
+
+
+def _snappy_compress(raw: bytes) -> bytes:
+    import pyarrow as pa
+
+    body = pa.compress(raw, codec="snappy", asbytes=True)
+    return body + (zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "big")
+
+
+def _snappy_uncompressed_size(comp: bytes) -> int:
+    """Raw snappy streams lead with the uncompressed length as a plain
+    varint — pyarrow.decompress needs it passed explicitly."""
+    try:
+        size, _ = read_uvarint(comp, 0)
+    except ValueError as e:
+        raise ValueError(f"corrupt snappy preamble in OCF block: {e}") from e
+    return size
+
+
+def _snappy_decompress(payload: bytes) -> bytes:
+    import pyarrow as pa
+
+    if len(payload) < 5:
+        raise ValueError("OCF snappy block too short for CRC framing")
+    comp, crc = payload[:-4], payload[-4:]
+    n = _snappy_uncompressed_size(comp)
+    if n > max(1, len(payload)) * 200:  # snappy max ratio is well under this
+        raise ValueError("OCF snappy block length implausible")
+    raw = pa.decompress(comp, decompressed_size=n, codec="snappy", asbytes=True)
+    if (zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "big") != crc:
+        raise ValueError("OCF snappy block CRC mismatch")
+    return raw
 
 _read_long = read_zigzag_io  # Avro long = 64-bit zigzag varint, ≤10 bytes
 
@@ -69,7 +105,7 @@ def write_ocf(records: list[dict], schema: dict, codec: str = "null",
     deterministic marker derived from the schema (the spec only asks
     for 16 bytes consistent within the file; determinism keeps
     byte-exact tests honest)."""
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise NotImplementedError(f"OCF codec {codec!r}")
     schema_json = json.dumps(schema).encode()
     if sync is None:
@@ -89,6 +125,8 @@ def write_ocf(records: list[dict], schema: dict, codec: str = "null",
         )
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw RFC-1951 stream
+        elif codec == "snappy":
+            payload = _snappy_compress(payload)
         out += _zigzag(len(block)) + _zigzag(len(payload)) + payload + sync
     return bytes(out)
 
@@ -101,7 +139,7 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
     meta = _read_meta(buf)
     schema = json.loads(meta["avro.schema"])
     codec = (meta.get("avro.codec") or b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise NotImplementedError(f"OCF codec {codec!r}")
     sync = read_exact_io(buf, 16, "OCF sync marker")
     dec = avro_codec.compile_decoder(schema)
@@ -116,6 +154,8 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
         payload = read_exact_io(buf, size, "OCF block")
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "snappy":
+            payload = _snappy_decompress(payload)
         # records are ≥1 byte each for any non-degenerate schema; a
         # count past the decompressed payload is corrupt framing, not
         # data — reject before the decode loop can spin on it

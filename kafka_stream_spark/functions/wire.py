@@ -107,3 +107,20 @@ def read_exact_io(buf: io.BytesIO, n: int, what: str = "field") -> bytes:
             f"{what} length {n} exceeds remaining {remaining} bytes"
         )
     return buf.read(n)
+
+
+def read_uvarint(data: bytes, pos: int = 0, max_bytes: int = 10) -> tuple[int, int]:
+    """Plain (non-zigzag) little-endian base-128 varint → (value, next
+    pos). The snappy preamble's length encoding; bounded like the
+    zigzag reader so crafted streams can't spin it."""
+    acc, shift = 0, 0
+    stop = 7 * max_bytes
+    for i in range(pos, min(len(data), pos + max_bytes)):
+        b = data[i]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, i + 1
+        shift += 7
+        if shift >= stop:
+            break
+    raise ValueError("unterminated or oversized uvarint")

@@ -48,7 +48,7 @@ def test_corruption_detected():
     with pytest.raises(ValueError):
         read_ocf(b"PAR1not-avro")
     with pytest.raises(NotImplementedError):
-        write_ocf([], USER, codec="snappy")
+        write_ocf([], USER, codec="bzip2")  # snappy/deflate/null supported
 
 
 @given(st.lists(
@@ -146,3 +146,42 @@ def test_streaming_export_ocf(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = ocf_to_df(spark, out + "/batch-*").collect()
     assert len(got2) == 7
+
+
+def test_snappy_codec_round_trip():
+    from kafka_stream_spark.functions.avro_ocf import (
+        TOPIC_EXPORT_SCHEMA, read_ocf, write_ocf)
+
+    recs = [
+        {"key": f"k{i}".encode(), "value": (b"v%d" % i) * 50, "offset": i}
+        for i in range(500)
+    ]
+    blob = write_ocf(recs, TOPIC_EXPORT_SCHEMA, codec="snappy", block_size=128)
+    schema, back = read_ocf(blob)
+    assert back == recs
+    assert len(blob) < sum(len(r["value"]) for r in recs)  # actually compressed
+
+
+def test_snappy_crc_mismatch_detected():
+    import pytest
+
+    from kafka_stream_spark.functions.avro_ocf import (
+        TOPIC_EXPORT_SCHEMA, read_ocf, write_ocf)
+
+    recs = [{"key": b"k", "value": b"payload" * 30, "offset": 1}]
+    blob = bytearray(write_ocf(recs, TOPIC_EXPORT_SCHEMA, codec="snappy"))
+    # flip a bit in the stored CRC (last 4 bytes before the trailing sync)
+    blob[-17] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch|snappy"):
+        read_ocf(bytes(blob))
+
+
+def test_snappy_crafted_giant_preamble_rejected():
+    import pytest
+
+    from kafka_stream_spark.functions.avro_ocf import _snappy_decompress
+
+    # preamble claims ~2^35 uncompressed bytes in a 10-byte block
+    evil = b"\xff\xff\xff\xff\x7f" + b"\x00" + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="implausible"):
+        _snappy_decompress(evil)
