@@ -1047,3 +1047,73 @@ def discount_elasticity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num * 1.0 / denx, 6).alias("qty_per_discount_pt"),
         F.round((num * 1.0 * num) / (denx * 1.0 * deny), 6).alias("r2"),
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog fold (Debezium-shape current table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_latest_state_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+             'c' AS _op, o_orderkey * 10 AS _lsn FROM base
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'P', price_cents + 1000,
+             'u', o_orderkey * 10 + 5 FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+             'd', o_orderkey * 10 + 9 FROM base WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY _lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+    FROM latest WHERE rn = 1 AND _op <> 'd'
+    ORDER BY o_orderkey
+    """,
+    description=(
+        "CDC changelog fold: a synthesized Debezium-shape create/update/"
+        "delete stream over orders collapses to the current table — "
+        "lsn-ordered arg-max per key, deletes as tombstones (the "
+        "log-compaction rule; functions/cdc.py is the envelope decoder "
+        "this fold sits behind)"
+    ),
+)
+def cdc_latest_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives ``functions.cdc.fold_latest_state`` through the driver
+    gate on a deterministic changelog: every order creates, every third
+    updates (status 'P', +10.00), every seventh deletes — update lsn
+    outranks create, delete outranks both. One max_by shuffle."""
+    from kafka_stream_spark.functions.cdc import fold_latest_state
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+    creates = base.select(
+        "*", F.lit("c").alias("_op"), (F.col("o_orderkey") * 10).alias("_lsn")
+    )
+    updates = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("price_cents") + 1000).alias("price_cents"),
+        F.lit("u").alias("_op"), (F.col("o_orderkey") * 10 + 5).alias("_lsn"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "*", F.lit("d").alias("_op"), (F.col("o_orderkey") * 10 + 9).alias("_lsn")
+    )
+    changes = creates.unionByName(updates).unionByName(deletes).withColumn(
+        "_ts_ms", F.col("_lsn")
+    )
+    return fold_latest_state(changes, ["o_orderkey"]).orderBy("o_orderkey")
