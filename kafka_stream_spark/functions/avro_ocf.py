@@ -7,10 +7,12 @@ an existing Camus consumer reads the engine's exports unchanged.
 Public spec: the Avro 1.x specification, "Object Container Files"
 section — magic ``Obj\\x01``, a file-metadata map carrying
 ``avro.schema``/``avro.codec``, a 16-byte sync marker, then blocks of
-``(count, byte-size, payload, sync)``. Codecs: ``null``, ``deflate``
-(raw RFC-1951 via stdlib zlib) and ``snappy`` (spec: snappy block
-followed by a 4-byte big-endian CRC32 of the UNCOMPRESSED data;
-compression via pyarrow's bundled snappy). Per-record encode/decode
+``(count, byte-size, payload, sync)``. The FULL spec codec set:
+``null``, ``deflate`` (raw RFC-1951, stdlib zlib), ``snappy`` (snappy
+block + 4-byte big-endian CRC32 of the uncompressed data, pyarrow's
+bundled snappy), ``bzip2`` (stdlib bz2), ``xz`` (stdlib lzma, .xz
+container) and ``zstandard`` (zstd frames, pyarrow's streaming
+codec). Per-record encode/decode
 rides the repo's compiled pure-Python codec (``avro_codec``), so the
 whole path stays Arrow/stdlib-only.
 
@@ -23,8 +25,10 @@ topic's own partitioning.
 
 from __future__ import annotations
 
+import bz2
 import io
 import json
+import lzma
 import os
 import zlib
 
@@ -36,7 +40,24 @@ from kafka_stream_spark.functions.wire import (
 
 MAGIC = b"Obj\x01"
 
-_CODECS = ("null", "deflate", "snappy")
+_CODECS = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")
+
+
+def _zstd_compress(raw: bytes) -> bytes:
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as f:
+        f.write(raw)
+    return sink.getvalue().to_pybytes()
+
+
+def _zstd_decompress(comp: bytes) -> bytes:
+    import pyarrow as pa
+
+    # zstd frames are streamable — no explicit size needed (unlike the
+    # snappy path, whose raw format needs the preamble varint)
+    return pa.CompressedInputStream(pa.BufferReader(comp), "zstd").read()
 
 
 def _snappy_compress(raw: bytes) -> bytes:
@@ -127,6 +148,12 @@ def write_ocf(records: list[dict], schema: dict, codec: str = "null",
             payload = zlib.compress(payload)[2:-4]  # raw RFC-1951 stream
         elif codec == "snappy":
             payload = _snappy_compress(payload)
+        elif codec == "bzip2":
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            payload = _zstd_compress(payload)
         out += _zigzag(len(block)) + _zigzag(len(payload)) + payload + sync
     return bytes(out)
 
@@ -156,6 +183,12 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
             payload = zlib.decompress(payload, wbits=-15)
         elif codec == "snappy":
             payload = _snappy_decompress(payload)
+        elif codec == "bzip2":
+            payload = bz2.decompress(payload)
+        elif codec == "xz":
+            payload = lzma.decompress(payload, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            payload = _zstd_decompress(payload)
         # records are ≥1 byte each for any non-degenerate schema; a
         # count past the decompressed payload is corrupt framing, not
         # data — reject before the decode loop can spin on it

@@ -58,8 +58,10 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_ppm(content: bytes) -> dict:
-    """Netpbm PPM decoder (P6 binary / P3 ASCII, maxval ≤ 255) — the
-    format spec is public (netpbm.sourceforge.net/doc/ppm.html)."""
+    """Netpbm PPM decoder (P6 binary / P3 ASCII; 1- and 2-byte samples
+    per the maxval rule) — the format spec is public
+    (netpbm.sourceforge.net/doc/ppm.html). ``mean_lum`` is the mean of
+    the RAW sample values at the file's own depth."""
     magic = content[:2]
     pos = 2
     fields: list[int] = []
@@ -75,17 +77,24 @@ def _decode_ppm(content: bytes) -> dict:
             pos += 1
         fields.append(int(content[start:pos]))
     width, height, maxval = fields
-    if maxval > 255:
-        raise NotImplementedError("PPM maxval > 255 (2-byte samples)")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} out of spec range")
     if width <= 0 or height <= 0:
         raise ValueError("PPM with zero dimension")
+    wide = maxval > 255  # spec: maxval 256-65535 → 2-byte big-endian samples
     n = width * height * 3
     if magic == b"P6":
         pos += 1  # exactly one whitespace byte after maxval
-        pix = content[pos : pos + n]
-        if len(pix) != n:
+        nbytes = n * (2 if wide else 1)
+        pix = content[pos : pos + nbytes]
+        if len(pix) != nbytes:
             raise ValueError("truncated PPM pixel data")
-        total = sum(pix)
+        if wide:
+            import struct as _struct
+
+            total = sum(_struct.unpack(f">{n}H", pix))
+        else:
+            total = sum(pix)
     else:  # P3: ASCII sample values
         vals = content[pos:].split()
         if len(vals) < n:

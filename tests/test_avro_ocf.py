@@ -48,7 +48,7 @@ def test_corruption_detected():
     with pytest.raises(ValueError):
         read_ocf(b"PAR1not-avro")
     with pytest.raises(NotImplementedError):
-        write_ocf([], USER, codec="bzip2")  # snappy/deflate/null supported
+        write_ocf([], USER, codec="brotli")  # not an Avro-spec codec
 
 
 @given(st.lists(
@@ -185,3 +185,20 @@ def test_snappy_crafted_giant_preamble_rejected():
     evil = b"\xff\xff\xff\xff\x7f" + b"\x00" + b"\x00\x00\x00\x00"
     with pytest.raises(ValueError, match="implausible"):
         _snappy_decompress(evil)
+
+
+def test_all_standard_codecs_round_trip():
+    from kafka_stream_spark.functions.avro_ocf import (
+        TOPIC_EXPORT_SCHEMA, read_ocf, write_ocf)
+
+    recs = [
+        {"key": f"k{i}".encode(), "value": (b"payload%d " % i) * 20, "offset": i}
+        for i in range(200)
+    ]
+    raw_len = sum(len(r["value"]) for r in recs)
+    for codec in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
+        blob = write_ocf(recs, TOPIC_EXPORT_SCHEMA, codec=codec, block_size=64)
+        schema, back = read_ocf(blob)
+        assert back == recs, codec
+        if codec != "null":
+            assert len(blob) < raw_len, codec  # actually compressed

@@ -765,3 +765,21 @@ def test_png_adam7_property(width, height, data):
     total = sum(v for r in rows for px in r for v in px)
     assert (f["width"], f["height"]) == (width, height)
     assert f["mean_lum"] == round(total / (width * height * 3), 6)
+
+
+def test_ppm_16bit_samples_decode():
+    """maxval > 255 → 2-byte big-endian samples (netpbm spec rule)."""
+    import struct
+
+    vals = [65535, 0, 256, 512, 1024, 4096]  # 1x2 RGB image, 6 samples
+    blob = b"P6\n2 1\n65535\n" + struct.pack(">6H", *vals)
+    f = decode_image(blob)
+    assert (f["width"], f["height"], f["channels"]) == (2, 1, 3)
+    assert f["mean_lum"] == round(sum(vals) / 6, 6)
+    # P3 ASCII with the same maxval agrees
+    p3 = b"P3\n2 1\n65535\n" + " ".join(map(str, vals)).encode()
+    assert decode_image(p3) == f
+    # truncated 16-bit payload is detected
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="truncated"):
+        decode_image(blob[:-1])
