@@ -83,44 +83,99 @@ def fold_latest_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     return latest.filter(F.col("_op") != "d").drop("_op", "_lsn", "_ts_ms")
 
 
+_POINTER = "_CURRENT"
+
+
+def _current_state_dir(path: str) -> str | None:
+    """Resolve the committed state generation via the pointer file; a
+    generation without a pointer flip (torn publish) is invisible."""
+    import os
+
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        gen = f.read().strip()
+    d = os.path.join(path, gen)
+    return d if os.path.isdir(d) else None
+
+
 def cdc_table_sink(
     stream: DataFrame,
     row_schema: StructType,
     key_cols: list[str],
     path: str,
     checkpoint: str,
+    tombstone_retention_ms: int | None = None,
 ):
     """Streaming CDC topic → continuously-maintained current table.
 
     Each micro-batch folds its own changes, merges with the stored
-    state by the same arg-max-lsn rule, and applies tombstones LAST —
-    so a delete arriving in a later batch than the insert it kills
-    still wins, and a stale pre-image arriving late still loses.
-    Idempotent per batch (pure function of state ∪ batch)."""
+    state by the same arg-max-lsn rule, and PERSISTS tombstones in the
+    state — a delete keeps out-ranking stale pre-images that arrive in
+    LATER batches (broker compaction's ``delete.retention.ms`` design),
+    and they are hidden only at read time (:func:`read_current_table`).
+    ``tombstone_retention_ms`` optionally GCs tombstones older than the
+    horizon behind the state's own max ``_ts_ms`` (event-time, so replay
+    deterministic) — unset keeps them forever.
+
+    Crash safety: each batch lands as a NEW generation directory under
+    ``path`` and becomes visible only by an atomic pointer-file swap —
+    the live state is never deleted before its replacement is fully
+    committed, so a crash mid-write (or a lost executor recomputing
+    lineage) leaves the previous generation intact. Generation name is
+    a pure function of batch_id, so a checkpoint-replayed batch rewrites
+    its own slot: idempotent."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import os
+        import shutil
 
         spark = batch_df.sparkSession
         changes = decode_envelopes(batch_df, row_schema)
-        # keep tombstones in the merge state: a delete must be able to
-        # out-rank rows already in the table, so fold only AFTER merge
+        # keep tombstones in the merge state: a delete must out-rank
+        # rows already in the table AND stale rows in future batches,
+        # so fold after merge and keep the winners — deletes included
         ord_key = F.struct(F.col("_lsn"))
         others = [c for c in changes.columns if c not in key_cols]
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            merged = spark.read.parquet(path).unionByName(changes)
-        else:
-            merged = changes
+        prev = _current_state_dir(path)
+        merged = (
+            spark.read.parquet(prev).unionByName(changes) if prev else changes
+        )
         latest = merged.groupBy(*key_cols).agg(
             *[F.max_by(c, ord_key).alias(c) for c in others]
         )
-        latest = latest.filter(F.col("_op") != "d")
-        latest.cache()
-        latest.count()  # materialize before overwriting the input path
-        latest.write.mode("overwrite").parquet(path)
-        latest.unpersist()
+        if tombstone_retention_ms is not None:
+            # horizon trails the state's own max event time — no wall
+            # clock, so a replayed batch GCs identically
+            hi = latest.agg(F.max("_ts_ms").alias("_hi"))
+            latest = (
+                latest.join(F.broadcast(hi))
+                .filter(
+                    (F.col("_op") != "d")
+                    | (F.col("_ts_ms") >= F.col("_hi") - tombstone_retention_ms)
+                )
+                .drop("_hi")
+            )
+        gen = f"state-{batch_id:020d}"
+        if prev is not None and os.path.basename(prev) == gen:
+            # replayed batch whose pointer already flipped: write the
+            # alternate slot — never read and overwrite the same dir
+            gen += "b"
+        gen_dir = os.path.join(path, gen)
+        latest.write.mode("overwrite").parquet(gen_dir)
+        tmp = os.path.join(path, f".{_POINTER}.tmp")
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.replace(tmp, os.path.join(path, _POINTER))  # atomic visibility
+        # GC: keep current + previous (in-flight readers); older gens go
+        for entry in os.listdir(path):
+            if (
+                entry.startswith("state-")
+                and entry != gen
+                and (prev is None or entry != os.path.basename(prev))
+            ):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(upsert)
@@ -129,6 +184,13 @@ def cdc_table_sink(
 
 
 def read_current_table(spark, path: str, drop_meta: bool = True) -> DataFrame:
-    """The maintained table, without the CDC bookkeeping columns."""
-    df = spark.read.parquet(path)
-    return df.drop("_op", "_lsn", "_ts_ms") if drop_meta else df
+    """The maintained table: committed generation resolved through the
+    pointer file (falling back to a flat parquet dir for tables written
+    by a plain batch fold), tombstones hidden, bookkeeping columns
+    dropped unless asked for."""
+    df = spark.read.parquet(_current_state_dir(path) or path)
+    if not drop_meta:
+        return df  # raw state, tombstones included (introspection)
+    if "_op" in df.columns:
+        df = df.filter(F.col("_op") != "d")
+    return df.drop("_op", "_lsn", "_ts_ms")

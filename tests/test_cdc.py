@@ -97,6 +97,163 @@ def test_streaming_table_maintenance_across_batches(spark, tmp_path):
     } == got
 
 
+def _run_batches(spark, tmp_path, batches, name="t", **sink_kw):
+    src = str(tmp_path / f"{name}_topic")
+    for i, evs in enumerate(batches):
+        spark.createDataFrame([(e,) for e in evs], ["value"]).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    table = str(tmp_path / f"{name}_table")
+    q = (
+        cdc_table_sink(stream, ROW, ["id"], table, str(tmp_path / f"{name}_ck"), **sink_kw)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return table
+
+
+def test_stale_preimage_after_delete_stays_dead(spark, tmp_path):
+    # insert(lsn 5) -> delete(lsn 10) -> STALE update(lsn 7), each in its
+    # own micro-batch: the persisted tombstone must keep out-ranking the
+    # late pre-image, so the key stays ABSENT (VERDICT r5 item 1)
+    batches = [
+        [_env("c", 5, {"id": 9, "name": "zed", "qty": 1})],
+        [_env("d", 10, before={"id": 9, "name": "zed", "qty": 1})],
+        [_env("u", 7, {"id": 9, "name": "zed", "qty": 3})],
+    ]
+    table = _run_batches(spark, tmp_path, batches, name="stale")
+    assert read_current_table(spark, table).count() == 0
+    # the tombstone IS retained in the raw state (op 'd', lsn 10 wins)
+    raw = read_current_table(spark, table, drop_meta=False).collect()
+    assert [(r.id, r._op, r._lsn) for r in raw] == [(9, "d", 10)]
+
+
+def test_tombstone_retention_gc(spark, tmp_path):
+    # with a retention horizon, a tombstone far older than the state's
+    # max event time is compacted away (delete.retention.ms analog)
+    batches = [
+        [_env("c", 5, {"id": 1, "name": "old", "qty": 1})],
+        [_env("d", 10, before={"id": 1, "name": "old", "qty": 1})],
+        # much-later event advances the horizon past the tombstone
+        [_env("c", 9_000_000, {"id": 2, "name": "new", "qty": 4})],
+    ]
+    table = _run_batches(
+        spark, tmp_path, batches, name="gc", tombstone_retention_ms=1_000_000
+    )
+    raw = read_current_table(spark, table, drop_meta=False)
+    assert raw.filter(F.col("_op") == "d").count() == 0  # GC'd
+    got = {r.id: r.name for r in read_current_table(spark, table).collect()}
+    assert got == {2: "new"}
+
+
+def test_crash_mid_write_preserves_prior_state(spark, tmp_path):
+    # batch 1 commits; batch 2's state write blows up mid-job — the
+    # previous generation must remain the committed, readable state
+    # (ADVICE r5 high: the old overwrite-in-place destroyed it)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "crash_topic")
+    spark.createDataFrame(
+        [(_env("c", 1, {"id": 1, "name": "ale", "qty": 5}),)], ["value"]
+    ).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    table = str(tmp_path / "crash_table")
+    ck = str(tmp_path / "crash_ck")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = cdc_table_sink(stream, ROW, ["id"], table, ck).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    before = {r.id: (r.name, r.qty) for r in read_current_table(spark, table).collect()}
+    assert before == {1: ("ale", 5)}
+
+    # crash batch 2's state write mid-job: the foreachBatch closure
+    # runs in this driver process, so patch DataFrameWriter.parquet to
+    # leave a TORN generation dir (partial file, no pointer flip) and
+    # raise — simulating an executor/job failure during the publish
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    spark.createDataFrame(
+        [(_env("u", 2, {"id": 1, "name": "ale", "qty": 9}),)], ["value"]
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    gen_dir = os.path.join(table, f"state-{1:020d}")
+    real_parquet = DataFrameWriter.parquet
+
+    def torn_write(self, wpath, *a, **kw):
+        if wpath == gen_dir:
+            os.makedirs(wpath, exist_ok=True)
+            with open(os.path.join(wpath, "part-torn.parquet"), "wb") as f:
+                f.write(b"not parquet")
+            raise RuntimeError("injected mid-publish crash")
+        return real_parquet(self, wpath, *a, **kw)
+
+    DataFrameWriter.parquet = torn_write
+    try:
+        q = cdc_table_sink(stream, ROW, ["id"], table, ck).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(120)
+            crashed = False
+        except StreamingQueryException:
+            crashed = True
+    finally:
+        DataFrameWriter.parquet = real_parquet
+    assert crashed
+    # prior committed state survives the failed publish: the torn
+    # generation has no pointer, so readers never see it
+    assert {
+        r.id: (r.name, r.qty) for r in read_current_table(spark, table).collect()
+    } == before
+
+    # restart on the same checkpoint: the batch replays over the torn
+    # dir (overwrite mode clears it) and the table converges
+    q = cdc_table_sink(stream, ROW, ["id"], table, ck).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert {
+        r.id: (r.name, r.qty) for r in read_current_table(spark, table).collect()
+    } == {1: ("ale", 9)}
+
+
+def test_replay_never_overwrites_the_generation_it_reads(spark, tmp_path):
+    # pointer already flipped for batch 0, then batch 0 replays (fresh
+    # checkpoint over the same source): the sink must write the
+    # ALTERNATE slot, never read + overwrite one directory
+    from kafka_stream_spark.functions.cdc import _current_state_dir
+
+    table = _run_batches(
+        spark,
+        tmp_path,
+        [[_env("c", 1, {"id": 1, "name": "ale", "qty": 5})]],
+        name="slot",
+    )
+    prev = _current_state_dir(table)
+    assert prev and prev.endswith(f"state-{0:020d}")
+
+    src = str(tmp_path / "slot_topic")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cdc_table_sink(stream, ROW, ["id"], table, str(tmp_path / "slot_ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cur = _current_state_dir(table)
+    assert cur and cur.endswith("b"), cur  # alternate slot used
+    assert {
+        r.id: (r.name, r.qty) for r in read_current_table(spark, table).collect()
+    } == {1: ("ale", 5)}
+
+
 def test_decode_is_jvm_side(spark):
     df = spark.createDataFrame([(EVENTS[0],)], ["value"])
     plan = decode_envelopes(df, ROW)._jdf.queryExecution().executedPlan().toString()
