@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 
@@ -53,6 +54,13 @@ _AGGS = {
     "doubleMin": lambda c: F.min(F.col(c).cast("double")),
     "doubleMax": lambda c: F.max(F.col(c).cast("double")),
 }
+#: accepted segment versions: 10-digit zero-padded counter, or the
+#: ISO-like timestamps Druid itself uses — both fixed-width and
+#: underscore-free, so lexicographic max IS the intended order
+_VERSION_RE = re.compile(
+    r"[0-9]{10}|\d{4}-\d{2}-\d{2}T\d{2}[.:]\d{2}[.:]\d{2}(\.\d+)?Z?"
+)
+
 #: how each aggregator re-combines across segment shards at query time
 _COMBINE = {
     "longSum": F.sum, "doubleSum": F.sum, "count": F.sum,
@@ -107,7 +115,21 @@ def publish_segments(
     holding the shard's parquet plus ``descriptor.json`` (written last —
     the commit marker). Re-publishing the same (version, partitionNum)
     replaces the slot in place, which is what makes a replayed
-    micro-batch or a re-run batch publish idempotent."""
+    micro-batch or a re-run batch publish idempotent.
+
+    ``version`` must be a zero-padded counter or an ISO-like timestamp —
+    fixed-width and underscore-free — because :func:`used_segments`
+    parses segment dir names by underscore and picks the top version
+    LEXICOGRAPHICALLY (Druid's own rule; its versions are ISO
+    timestamps). A free-form version ('2' vs '10', or one containing
+    '_') would silently overshadow the wrong shards, so it is rejected
+    here instead."""
+    if not _VERSION_RE.fullmatch(version):
+        raise ValueError(
+            f"version {version!r} must be a zero-padded digit counter or "
+            "an ISO-like timestamp (fixed-width, no underscores) so "
+            "lexicographic overshadowing order is the numeric/time order"
+        )
     staging = os.path.join(out_dir, f".staging-{spec.datasource}-{version}-{partition_num}")
     shutil.rmtree(staging, ignore_errors=True)
     staged = rolled.withColumn("__interval", _interval_str(

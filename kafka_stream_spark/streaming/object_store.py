@@ -114,6 +114,7 @@ def export_files(
     flush_size: int = 1000,
     partitioner=None,
     pad_width: int = 10,
+    committed_ends: dict[tuple[str, int], int] | None = None,
 ) -> DataFrame:
     """Export topic records to offset-named files; returns the commit
     manifest (one row per file written). Lazy — the caller triggers it
@@ -126,6 +127,11 @@ def export_files(
     the store, with or without a Spark checkpoint. That is the
     connector's own exactly-once story (offsets live in filenames, not
     in the consumer group), reproduced mechanism-for-mechanism.
+
+    ``committed_ends`` lets a long-lived caller (the streaming sink)
+    supply the recovered ends itself instead of re-walking the committed
+    object tree — O(objects) driver work per call at 100 TB otherwise;
+    ``None`` scans, the connectors' cold-start behavior.
     """
     if fmt not in _EXT:
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_EXT)}")
@@ -133,7 +139,10 @@ def export_files(
     part_expr = partitioner if partitioner is not None else default_partitioner(topic)
 
     staged = df.withColumn("_dir", part_expr)
-    ends = committed_offsets(out_dir, topic)
+    ends = (
+        committed_ends if committed_ends is not None
+        else committed_offsets(out_dir, topic)
+    )
     if ends:
         lookup = df.sparkSession.createDataFrame(
             [(d, p, e) for (d, p), e in ends.items()],
@@ -246,16 +255,31 @@ def object_store_stream_sink(
     """foreachBatch writer over an already-built topic stream (columns
     must include ``partition``/``offset``). Returns the un-started
     DataStreamWriter — the KCQL-routed entry point and tests choose
-    their own trigger."""
+    their own trigger.
+
+    The committed-end recovery tree walk runs ONCE, at the first batch;
+    afterwards each batch's own commit manifest folds into the in-driver
+    map (restart naturally rescans — the recovery path proper). Two
+    concurrent exporters to one prefix still race the recovery scan,
+    exactly like the connector (documented in SCALING.md)."""
+    ends_cache: dict[tuple[str, int], int] | None = None
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal ends_cache
         if batch_df.isEmpty():
             return
+        if ends_cache is None:
+            ends_cache = committed_offsets(out_dir, topic)
         manifest = export_files(
             batch_df, out_dir, topic, fmt=fmt, flush_size=flush_size,
             partitioner=partitioner, pad_width=pad_width,
+            committed_ends=ends_cache,
         )
-        manifest.collect()  # one row per committed file; forces the write
+        # one row per committed file; collecting forces the write and
+        # feeds the cache so the next batch skips the tree walk
+        for row in manifest.collect():
+            key = (row["dir"], row["kafka_partition"])
+            ends_cache[key] = max(ends_cache.get(key, -1), row["end_offset"])
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -138,3 +138,16 @@ def test_torn_publish_is_invisible(spark, raw, tmp_path):
 def test_bad_aggregator_rejected():
     with pytest.raises(ValueError, match="unsupported aggregator"):
         IngestionSpec("x", "ts", ("d",), {"m": ("avg", "v")})
+
+def test_version_pattern_enforced(spark, raw, tmp_path):
+    # used_segments picks the top version lexicographically; free-form
+    # versions ('2' vs '10', underscores) would overshadow the wrong
+    # shards, so publish rejects them up front (ADVICE r5)
+    rolled = rollup(raw, SPEC)
+    out = str(tmp_path / "druid")
+    for bad in ["2", "10", "v_1", "0001_0002", "release-1"]:
+        with pytest.raises(ValueError, match="zero-padded"):
+            publish_segments(rolled, SPEC, out, version=bad)
+    # the two sanctioned families pass validation
+    publish_segments(rolled, SPEC, out, version="0000000003")
+    publish_segments(rolled, SPEC, out, version="2026-08-15T12.30.00")

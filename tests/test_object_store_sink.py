@@ -328,3 +328,58 @@ def test_committed_offsets_parses_adversarial_names(tmp_path_factory, topic, par
     open(os.path.join(d, f".{topic}+0+0+0.parquet.tmp"), "w").close()
     open(os.path.join(d, f"{topic}x+0+0000000000+0000000009.parquet"), "w").close()
     assert committed_offsets(out, topic) == expect
+
+def test_recovery_scan_runs_once_across_batches(spark, tmp_path):
+    # the committed-file tree walk is O(objects) driver work: the
+    # streaming sink must scan once at the first batch and fold each
+    # batch's own manifest afterwards (VERDICT r5 item 3); a restart
+    # (fresh closure) rescans — that is the recovery path proper
+    import kafka_stream_spark.streaming.object_store as mod
+    from kafka_stream_spark.streaming.object_store import object_store_stream_sink
+
+    src = str(tmp_path / "batches")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).select(
+            (F.col("id") % 2).cast("int").alias("partition"),
+            F.col("id").alias("offset"),
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("value"),
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+
+    real = mod.committed_offsets
+    calls = []
+
+    def counting(out_dir, topic):
+        calls.append(out_dir)
+        return real(out_dir, topic)
+
+    out = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("partition int, offset bigint, key string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    mod.committed_offsets = counting
+    try:
+        q = (
+            object_store_stream_sink(stream, out, "events", str(tmp_path / "ck"), flush_size=4)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(calls) == 1, calls  # three batches, ONE tree walk
+
+        # restart on a fresh checkpoint: records replay, the rescan runs
+        # once more, and filename recovery keeps the store dup-free
+        q = (
+            object_store_stream_sink(stream, out, "events", str(tmp_path / "ck2"), flush_size=4)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(calls) == 2, calls
+    finally:
+        mod.committed_offsets = real
+    back = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(out, "events"))
+    assert back.count() == 30
+    assert back.select("partition", "offset").distinct().count() == 30
