@@ -165,10 +165,15 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _png_unfilter_image(raw: bytes, offset: int, width: int, height: int,
-                        spp: int, color_spp: int) -> tuple[int, int]:
+                        spp: int, color_spp: int,
+                        sample_bytes: int = 1) -> tuple[int, int]:
     """Unfilter one (sub-)image of ``height`` scanlines starting at
-    ``offset``; returns (color-sample sum, next offset)."""
-    stride = width * spp
+    ``offset``; returns (color-sample sum, next offset). PNG filters
+    operate on BYTES with the left-neighbor at ``bpp = spp·depth/8``
+    bytes back (RFC 2083 §6.2), so 16-bit images reuse the same filter
+    code with a wider stride; samples recombine big-endian afterwards."""
+    bpp = spp * sample_bytes
+    stride = width * bpp
     has_alpha = color_spp != spp
     prev = bytearray(stride)
     total = 0
@@ -178,25 +183,30 @@ def _png_unfilter_image(raw: bytes, offset: int, width: int, height: int,
         ftype = raw[offset]
         line = bytearray(raw[offset + 1 : offset + 1 + stride])
         if ftype == 1:  # Sub
-            for i in range(spp, stride):
-                line[i] = (line[i] + line[i - spp]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - spp] if i >= spp else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = line[i - spp] if i >= spp else 0
-                ul = prev[i - spp] if i >= spp else 0
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"PNG filter type {ftype}")
-        if has_alpha:
+        if sample_bytes == 2:
             for px in range(width):
-                total += sum(line[px * spp : px * spp + color_spp])
+                base = px * bpp
+                for s in range(color_spp):
+                    total += (line[base + 2 * s] << 8) | line[base + 2 * s + 1]
+        elif has_alpha:
+            for px in range(width):
+                total += sum(line[px * bpp : px * bpp + color_spp])
         else:
             total += sum(line)
         prev = line
@@ -205,14 +215,15 @@ def _png_unfilter_image(raw: bytes, offset: int, width: int, height: int,
 
 
 def _decode_png(content: bytes) -> dict:
-    """PNG decoder (RFC 2083) on nothing but stdlib zlib: 8-bit
+    """PNG decoder (RFC 2083) on nothing but stdlib zlib: 8- and 16-bit
     greyscale (type 0), RGB (2), grey+alpha (4) and RGBA (6), all five
     scanline filters (None/Sub/Up/Average/Paeth), IDAT split across
     any number of chunks, and Adam7 interlacing (each pass is its own
     filtered sub-image; the passes partition the pixels, so summing
     per pass gives exact whole-image stats). mean_lum averages the
-    color samples, alpha excluded; ``channels`` reports samples per
-    pixel as stored (so RGBA = 4)."""
+    color samples AT THE FILE'S OWN DEPTH (the PPM convention), alpha
+    excluded; ``channels`` reports samples per pixel as stored (so
+    RGBA = 4)."""
     import struct as _struct
     import zlib as _zlib
 
@@ -228,7 +239,7 @@ def _decode_png(content: bytes) -> dict:
         if ctype == b"IHDR":
             width, height, depth, color, _comp, _filt, interlace = \
                 _struct.unpack(">IIBBBBB", body)
-            if depth != 8:
+            if depth not in (8, 16):
                 raise NotImplementedError(f"PNG bit depth {depth}")
             if color not in (0, 2, 4, 6):
                 raise NotImplementedError(f"PNG color type {color}")
@@ -246,6 +257,7 @@ def _decode_png(content: bytes) -> dict:
         raise ValueError("PNG missing IHDR")
     raw = _zlib.decompress(bytes(idat))
     color_spp = spp - (1 if spp in (2, 4) else 0)
+    sample_bytes = depth // 8
     total, off = 0, 0
     if interlace:
         for (x0, y0, dx, dy) in _ADAM7:
@@ -253,11 +265,12 @@ def _decode_png(content: bytes) -> dict:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:  # empty pass at small dimensions
                 continue
-            t, off = _png_unfilter_image(raw, off, pw, ph, spp, color_spp)
+            t, off = _png_unfilter_image(raw, off, pw, ph, spp, color_spp,
+                                         sample_bytes)
             total += t
     else:
         total, off = _png_unfilter_image(raw, off, width, height, spp,
-                                         color_spp)
+                                         color_spp, sample_bytes)
     if off != len(raw):
         raise ValueError("PNG pixel data length mismatch")
     n = width * height * color_spp
@@ -269,13 +282,17 @@ def _decode_png(content: bytes) -> dict:
     }
 
 
-def encode_png(pixels: list[list[tuple]], color_type: int = 2) -> bytes:
+def encode_png(pixels: list[list[tuple]], color_type: int = 2,
+               depth: int = 8) -> bytes:
     """Minimal PNG writer (filter 0 rows, one IDAT) so tests and demo
     corpora can synthesize REAL files for the decoder without an
-    imaging library. ``pixels`` is rows of per-pixel sample tuples."""
+    imaging library. ``pixels`` is rows of per-pixel sample tuples, at
+    the target ``depth`` (8 or 16 — 16-bit samples land big-endian)."""
     import struct as _struct
     import zlib as _zlib
 
+    if depth not in (8, 16):
+        raise ValueError(f"PNG depth {depth}")
     spp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     height, width = len(pixels), len(pixels[0])
 
@@ -283,12 +300,16 @@ def encode_png(pixels: list[list[tuple]], color_type: int = 2) -> bytes:
         return (_struct.pack(">I", len(body)) + ctype + body
                 + _struct.pack(">I", _zlib.crc32(ctype + body)))
 
-    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
     raw = bytearray()
     for row in pixels:
         raw.append(0)  # filter: None
         for px in row:
-            raw += bytes(px[:spp])
+            if depth == 8:
+                raw += bytes(px[:spp])
+            else:
+                for s in px[:spp]:
+                    raw += _struct.pack(">H", s)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", _zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))

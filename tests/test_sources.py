@@ -497,6 +497,49 @@ def test_png_all_five_filters_decode():
     assert f2b["mean_lum"] == round((sum(r0) + sum(r1)) / 12, 6)
 
 
+def test_png_16bit_depth_roundtrip():
+    # 16-bit samples: filters stay byte-oriented with a 2x stride, and
+    # mean_lum reports the file's own depth (the PPM convention)
+    from kafka_stream_spark.operators.multimodal import encode_png
+
+    rows = [[(1000, 20000, 65535), (4, 500, 60)],
+            [(70, 8000, 90), (10000, 11000, 12000)]]
+    f = decode_image(encode_png(rows, color_type=2, depth=16))
+    total = sum(v for r in rows for px in r for v in px)
+    assert f == {"width": 2, "height": 2, "channels": 3,
+                 "mean_lum": round(total / 12, 6)}
+    # greyscale and RGBA (alpha excluded) at 16-bit
+    g = decode_image(encode_png([[(300,), (70000 - 4465,)]], color_type=0,
+                                depth=16))
+    assert g["mean_lum"] == round((300 + 65535) / 2, 6)
+    rgba = decode_image(encode_png(
+        [[(10, 20, 30, 65535), (400, 500, 600, 0)]], color_type=6, depth=16))
+    assert rgba["channels"] == 4
+    assert rgba["mean_lum"] == round((10 + 20 + 30 + 400 + 500 + 600) / 6, 6)
+
+
+def test_png_16bit_sub_filter_uses_byte_offset():
+    # the Sub filter's left neighbor is bpp=6 BYTES back for 16-bit RGB
+    # (RFC 2083 §6.2) — regression for a stride-aware unfilter
+    import struct, zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    r0 = [258, 515, 772, 1286, 1543, 1800]  # two RGB px, 16-bit each
+    raw_bytes = b"".join(struct.pack(">H", v) for v in r0)
+    filt = bytearray(raw_bytes)
+    for i in range(len(filt) - 1, 5, -1):  # Sub-filter bytes in place
+        filt[i] = (filt[i] - raw_bytes[i - 6]) & 0xFF
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes([1]) + bytes(filt)))
+            + chunk(b"IEND", b""))
+    f = decode_image(blob)
+    assert f["mean_lum"] == round(sum(r0) / 6, 6)
+
+
 def test_png_multi_idat_chunks():
     import struct, zlib
 
@@ -526,7 +569,7 @@ def test_png_rejects_unsupported_shapes():
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
     deep = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)))
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)))
     with pytest.raises(NotImplementedError):
         decode_image(deep)
 
