@@ -102,7 +102,7 @@ def geo_near_join(
         if s >= 1.0:
             raise ValueError(
                 f"radius {radius_km} km at |lat| ≤ {max_abs_lat}° spans "
-                "every longitude — use a latitude-banded join"
+                "every longitude — use geo_near_join_banded"
             )
         lon_deg = math.degrees(math.asin(s))
         dx_range = int(lon_deg / grid_deg) + 1
@@ -110,8 +110,8 @@ def geo_near_join(
         raise ValueError(
             f"longitude window (±{dx_range} cells of {grid_deg}°) wraps "
             f"past half the globe for radius {radius_km} km at "
-            f"|lat| ≤ {max_abs_lat}° — use a coarser grid or a "
-            "latitude-banded join"
+            f"|lat| ≤ {max_abs_lat}° — use a coarser grid or "
+            "geo_near_join_banded"
         )
 
     def checked_lat(c: str):
@@ -157,6 +157,108 @@ def geo_near_join(
         .withColumn("dist_km", F.round(dist, 6))
         .filter(F.col("dist_km") <= radius_km)
         .drop("_cx", "_cy")
+    )
+
+
+def geo_near_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    grid_deg: float = 5.0,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Globally-complete spatial near-join: latitude-BANDED grid, valid
+    for every latitude including the poles (the fixed-window
+    :func:`geo_near_join` is tighter per-candidate inside ±55° but
+    raises outside its covered domain; this is the operator it points
+    callers at).
+
+    Design: latitude is banded into ``grid_deg`` rows; each band gets
+    its own longitude cell count ``nx ≈ 360·cos(band)/grid_deg`` so
+    cells keep roughly constant PHYSICAL width as the circumference
+    shrinks poleward. Per neighbor band, the longitude window is
+    derived from the spherical bound asin(sin(R/Re)/cos(band max
+    |lat|)); a band whose window would wrap collapses to a single cell
+    (the polar cap). Candidate cells per left row are enumerated as a
+    contiguous wrapped run of DISTINCT cells, so no pair is produced
+    twice. The whole pipeline is JVM expressions: explode to neighbor
+    bands, broadcast-join the tiny band table, explode the per-band
+    window, equi-join on (band, cell), haversine verify — cost is
+    candidate-proportional, never |L|×|R|."""
+    import math
+
+    if not 0 < grid_deg <= 90:
+        raise ValueError(f"grid_deg={grid_deg} out of range")
+    r = radius_km / _EARTH_KM
+    if r >= math.pi / 2:
+        raise ValueError(f"radius_km={radius_km} is not grid-joinable")
+    n_bands = int(math.ceil(180.0 / grid_deg))
+    dy_range = int((radius_km / 111.0) / grid_deg) + 1
+
+    # tiny driver-built band table: per band, its lon cell count and the
+    # half-width (in cells) of the window that covers the radius there
+    rows = []
+    for b in range(n_bands):
+        lo = b * grid_deg - 90.0
+        hi = min(lo + grid_deg, 90.0)
+        abs_max = max(abs(lo), abs(hi))
+        abs_min = min(abs(lo), abs(hi)) if lo * hi > 0 else 0.0
+        nx = max(1, int(360.0 * math.cos(math.radians(abs_min)) / grid_deg))
+        s = math.sin(r) / max(math.cos(math.radians(min(abs_max, 90.0))), 1e-12)
+        if s >= 1.0:
+            span = nx  # polar cap: every longitude is a candidate
+            dx_lo = 0
+        else:
+            width = 360.0 / nx
+            dxb = int(math.degrees(math.asin(s)) / width) + 1
+            span = min(2 * dxb + 1, nx)
+            dx_lo = -dxb if span < nx else 0
+        rows.append((b, nx, dx_lo, span))
+    spark = left.sparkSession
+    bands = spark.createDataFrame(
+        rows, "_band int, _nx int, _dx_lo int, _span int"
+    )
+
+    band_of = lambda c: F.least(
+        F.floor((F.col(c) + 90.0) / grid_deg).cast("int"), F.lit(n_bands - 1)
+    )
+    # cell index in a band's own resolution; normalizes any longitude
+    cx_in_band = lambda c: (
+        (F.floor((F.col(c) + 180.0) * F.col("_nx") / 360.0).cast("int")
+         % F.col("_nx")) + F.col("_nx")
+    ) % F.col("_nx")
+
+    l = (
+        left.withColumnRenamed(lat, "lat_l").withColumnRenamed(lon, "lon_l")
+        .withColumn("_dy", F.explode(F.expr(
+            f"sequence({-dy_range}, {dy_range})")))
+        .withColumn("_band", band_of("lat_l") + F.col("_dy"))
+        .filter(F.col("_band").between(0, n_bands - 1))
+        .drop("_dy")
+        .join(F.broadcast(bands), "_band")
+        # contiguous wrapped run of span DISTINCT cells around our own
+        .withColumn("_k", F.explode(F.expr("sequence(0, _span - 1)")))
+        .withColumn(
+            "_cx",
+            ((cx_in_band("lon_l") + F.col("_dx_lo") + F.col("_k"))
+             % F.col("_nx") + F.col("_nx")) % F.col("_nx"),
+        )
+        .drop("_k", "_dx_lo", "_span", "_nx")
+    )
+    rb = (
+        right.withColumnRenamed(lat, "lat_r").withColumnRenamed(lon, "lon_r")
+        .withColumn("_band", band_of("lat_r"))
+        .join(F.broadcast(bands), "_band")
+        .withColumn("_cx", cx_in_band("lon_r"))
+        .drop("_dx_lo", "_span", "_nx")
+    )
+    dist = haversine_km_expr("lat_l", "lon_l", "lat_r", "lon_r")
+    return (
+        l.join(rb, ["_band", "_cx"])
+        .withColumn("dist_km", F.round(dist, 6))
+        .filter(F.col("dist_km") <= radius_km)
+        .drop("_band", "_cx")
     )
 
 
@@ -233,6 +335,70 @@ def geo_near_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         geo_near_join(c, s, _RADIUS_KM)
+        .select("c_custkey", "s_suppkey", "dist_km")
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+_POLAR_RADIUS_KM = 900.0
+_N_CUST_POLAR = 400
+
+
+@query(
+    "geo_near_join_polar",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_coord_duck('plat:c', 'c_custkey', 178_000_000, 89.0)} AS lat_l,
+             {_coord_duck('plon:c', 'c_custkey', 360_000_000, 180.0)} AS lon_l
+      FROM customer WHERE c_custkey <= {_N_CUST_POLAR}
+    ),
+    s AS (
+      SELECT s_suppkey,
+             {_coord_duck('plat:s', 's_suppkey', 178_000_000, 89.0)} AS lat_r,
+             {_coord_duck('plon:s', 's_suppkey', 360_000_000, 180.0)} AS lon_r
+      FROM supplier
+    ),
+    cand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round(2 * {_EARTH_KM} * asin(sqrt(least(1.0,
+               sin((radians(lat_r) - radians(lat_l)) / 2)
+                 * sin((radians(lat_r) - radians(lat_l)) / 2)
+               + cos(radians(lat_l)) * cos(radians(lat_r))
+                 * sin((radians(lon_r) - radians(lon_l)) / 2)
+                 * sin((radians(lon_r) - radians(lon_l)) / 2)))), 6) AS dist_km
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, dist_km
+    FROM cand WHERE dist_km <= {_POLAR_RADIUS_KM}
+    ORDER BY c_custkey, s_suppkey
+    """,
+    description=(
+        "Globally-complete spatial near-join over full-range latitudes "
+        "(±89°): latitude-banded grid with per-band longitude cell "
+        "counts and windows, polar caps collapse to one cell — the "
+        "fixed-window grid cannot cover this domain. Oracle brute-"
+        "forces all pairs, so any band-window miss fails the hash"
+    ),
+)
+def geo_near_join_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives :func:`geo_near_join_banded` over md5-placed coordinates
+    spanning the whole globe (|lat| ≤ 89°, poles included). The exact
+    cross-join oracle makes the driver hash a completeness proof for
+    the banded windows, antimeridian wrap, and polar-cap collapse."""
+    customer, supplier = load(spark, sf_dir, "customer", "supplier")
+    c = customer.filter(F.col("c_custkey") <= _N_CUST_POLAR).select(
+        "c_custkey",
+        F.expr(_coord_spark("plat:c", "c_custkey", 178_000_000, 89.0)).alias("lat"),
+        F.expr(_coord_spark("plon:c", "c_custkey", 360_000_000, 180.0)).alias("lon"),
+    )
+    s = supplier.select(
+        "s_suppkey",
+        F.expr(_coord_spark("plat:s", "s_suppkey", 178_000_000, 89.0)).alias("lat"),
+        F.expr(_coord_spark("plon:s", "s_suppkey", 360_000_000, 180.0)).alias("lon"),
+    )
+    return (
+        geo_near_join_banded(c, s, _POLAR_RADIUS_KM)
         .select("c_custkey", "s_suppkey", "dist_km")
         .orderBy("c_custkey", "s_suppkey")
     )

@@ -114,5 +114,79 @@ def test_config_validation_raises(spark):
     R = spark.createDataFrame([(2, 0.0, 0.0)], ["rid", "lat", "lon"])
     with pytest.raises(ValueError, match="divide 360"):
         geo_near_join(L, R, 500.0, grid_deg=7.0)
-    with pytest.raises(ValueError, match="latitude-banded"):
+    with pytest.raises(ValueError, match="geo_near_join_banded"):
         geo_near_join(L, R, 500.0, max_abs_lat=89.5)
+
+def test_banded_join_matches_brute_force_globally(spark):
+    # full-globe md5-placed points PLUS planted polar / antimeridian
+    # clusters: the banded join must return exactly the brute-force
+    # pair set, with no duplicates, at multiple radii
+    import collections
+    import hashlib
+
+    from kafka_stream_spark.operators.geo import geo_near_join_banded
+
+    def coords(prefix, n):
+        rows = []
+        for i in range(n):
+            h = hashlib.md5(f"{prefix}{i}".encode()).hexdigest()
+            la = (int(h[:12], 16) % 178000000) / 1e6 - 89.0
+            lo = (int(h[12:24], 16) % 360000000) / 1e6 - 180.0
+            rows.append((i, la, lo))
+        extra = [
+            (n, 89.5, 10.0), (n + 1, 89.7, -170.0), (n + 2, 89.9, 120.0),
+            (n + 3, -89.5, 55.0), (n + 4, -89.8, -125.0),
+            (n + 5, 70.0, 179.9), (n + 6, 70.1, -179.8),
+            (n + 7, 0.0, 179.95), (n + 8, 0.05, -179.9),
+        ]
+        return rows + extra
+
+    L = spark.createDataFrame(coords("L", 150), ["lid", "lat", "lon"])
+    R = spark.createDataFrame(coords("R", 150), ["rid", "lat", "lon"])
+    brute_all = (
+        L.withColumnRenamed("lat", "lat_l").withColumnRenamed("lon", "lon_l")
+        .crossJoin(R.withColumnRenamed("lat", "lat_r").withColumnRenamed("lon", "lon_r"))
+        .withColumn("d", haversine_km_expr("lat_l", "lon_l", "lat_r", "lon_r"))
+    )
+    for radius in (200.0, 1500.0):
+        allp = [
+            (x.lid, x.rid)
+            for x in geo_near_join_banded(L, R, radius).collect()
+        ]
+        want = {
+            (x.lid, x.rid)
+            for x in brute_all.filter(F.col("d") <= radius).collect()
+        }
+        assert set(allp) == want
+        assert not [k for k, v in collections.Counter(allp).items() if v > 1]
+    # polar cluster actually pairs (sanity that the caps collapse)
+    polar = {
+        (x.lid, x.rid)
+        for x in geo_near_join_banded(L, R, 200.0).collect()
+        if x.lid >= 150 and x.rid >= 150
+    }
+    assert (150, 151) in polar or (151, 150) in polar or len(polar) > 0
+
+
+def test_banded_join_plan_is_equi_join(spark):
+    # band table joins broadcast; pair generation stays an equi-join —
+    # no cartesian/nested-loop anywhere
+    from kafka_stream_spark.operators.geo import geo_near_join_banded
+
+    L = spark.range(50).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 178 - 89.0).alias("lat"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+    )
+    R = spark.range(50).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 178 - 89.0).alias("lat"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+    )
+    plan = (
+        geo_near_join_banded(L, R, 500.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the tiny band table broadcasts
