@@ -29,8 +29,21 @@ zigzag-varint while its lengths are SIGNED with -1 = null):
 CRC is CRC-32C (Castagnoli, reflected poly 0x82F63B78) — NOT zlib's
 CRC-32; table-driven implementation below, checked against the
 canonical "123456789" -> 0xE3069283 vector in tests. Compression
-codecs: none (0) and gzip (1) from the attributes bits; snappy/lz4/zstd
-raise a typed error naming the codec (libraries absent by design).
+codecs — the full attribute-bits matrix, each in the Java client's
+actual container format:
+
+- none (0); gzip (1, stdlib zlib wbits=31);
+- snappy (2): xerial ``SnappyOutputStream`` framing — magic
+  ``\\x82SNAPPY\\x00``, version/compat ints, then
+  ``[int32 BE length][raw snappy block]`` per 32 KiB of input (raw
+  blocks carry their own uncompressed-size varint preamble, which the
+  decoder uses); bare raw-snappy payloads are also accepted on read;
+- lz4 (3): standard LZ4 Frame (magic 0x184D2204 — the format Kafka
+  uses for message format v2, KIP-57 fixed the old broken framing);
+- zstd (4): standard zstd frame (magic 0xFD2FB528, KIP-110).
+
+snappy/lz4/zstd block codecs come from pyarrow's bundled C codecs; the
+framing above is implemented here against the public specs.
 
 A segment file is just concatenated batches; Kafka names it
 ``<20-digit base offset>.log``, which ``export_topic_segments``
@@ -98,6 +111,78 @@ def _read_exact(buf: io.BytesIO, n: int, what: str) -> bytes:
         return wire.read_exact_io(buf, n, what)
     except ValueError as e:
         raise SegmentError(str(e)) from None
+
+
+# ---------------------------------------------------------------------------
+# compression codecs (attribute bits 0-2)
+# ---------------------------------------------------------------------------
+
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+_XERIAL_BLOCK = 32 * 1024  # SnappyOutputStream's default block size
+
+
+def _uvarint(data: bytes, pos: int = 0) -> tuple[int, int]:
+    """Plain (non-zigzag) LE base-128 varint — the raw snappy block's
+    uncompressed-length preamble."""
+    x = s = 0
+    for i in range(pos, len(data)):
+        b = data[i]
+        x |= (b & 0x7F) << s
+        if not b & 0x80:
+            return x, i + 1
+        s += 7
+    raise SegmentError("truncated snappy length varint")
+
+
+def _snappy_raw_decompress(block: bytes) -> bytes:
+    import pyarrow as pa
+
+    n, _ = _uvarint(block)
+    return bytes(pa.Codec("snappy").decompress(block, decompressed_size=n))
+
+
+def _compress(payload: bytes, codec: str) -> bytes:
+    import pyarrow as pa
+
+    if codec == "gzip":
+        gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return gz.compress(payload) + gz.flush()
+    if codec == "snappy":  # xerial framing (Java SnappyOutputStream)
+        out = bytearray(_XERIAL_MAGIC + struct.pack(">ii", 1, 1))
+        c = pa.Codec("snappy")
+        for i in range(0, len(payload), _XERIAL_BLOCK):
+            block = bytes(c.compress(payload[i : i + _XERIAL_BLOCK]))
+            out += struct.pack(">i", len(block)) + block
+        return bytes(out)
+    # lz4 / zstd: pyarrow's codecs emit the standard frame formats
+    return bytes(pa.Codec(codec).compress(payload))
+
+
+def _decompress(payload: bytes, codec: str) -> bytes:
+    import pyarrow as pa
+
+    if codec == "gzip":
+        return zlib.decompress(payload, 31)
+    if codec == "snappy":
+        if payload[:8] != _XERIAL_MAGIC:
+            return _snappy_raw_decompress(payload)  # bare-block producers
+        pos, out = 16, bytearray()  # skip magic + version + compat
+        while pos < len(payload):
+            if pos + 4 > len(payload):
+                raise SegmentError("truncated xerial block header")
+            (blen,) = struct.unpack_from(">i", payload, pos)
+            pos += 4
+            block = payload[pos : pos + blen]
+            if len(block) != blen or blen <= 0:
+                raise SegmentError("truncated xerial snappy block")
+            out += _snappy_raw_decompress(block)
+            pos += blen
+        return bytes(out)
+    try:  # lz4 / zstd frames: streaming read — no stored plain size
+        with pa.input_stream(pa.BufferReader(payload), compression=codec) as f:
+            return f.read()
+    except (OSError, ValueError) as e:  # ArrowIOError / ArrowInvalid
+        raise SegmentError(f"bad {codec} frame: {e}") from None
 
 
 # ---------------------------------------------------------------------------
@@ -185,12 +270,11 @@ def encode_record_batch(
         )
         for i, r in enumerate(records)
     )
-    codec_id = {"none": 0, "gzip": 1}.get(compression)
+    codec_id = {v: k for k, v in _CODECS.items()}.get(compression)
     if codec_id is None:
         raise SegmentError(f"unsupported compression for encode: {compression}")
-    if codec_id == 1:
-        gz = zlib.compressobj(6, zlib.DEFLATED, 31)
-        payload = gz.compress(payload) + gz.flush()
+    if codec_id:
+        payload = _compress(payload, compression)
     attributes = codec_id
     # crc covers attributes..end
     crc_part = (
@@ -241,11 +325,13 @@ def decode_record_batch(data: bytes, pos: int = 0) -> tuple[dict, int]:
         record_count,
     ) = struct.unpack_from(">hiqqqhii", data, pos + 21)
     payload = data[pos + 21 + 40 : end]  # 40 = sizeof(">hiqqqhii")
-    codec = _CODECS.get(attributes & _ATTR_CODEC_MASK, "unknown")
-    if codec == "gzip":
-        payload = zlib.decompress(payload, 31)
-    elif codec != "none":
-        raise SegmentError(f"unsupported compression codec: {codec}")
+    codec = _CODECS.get(attributes & _ATTR_CODEC_MASK)
+    if codec is None:
+        raise SegmentError(
+            f"unsupported compression codec id {attributes & _ATTR_CODEC_MASK}"
+        )
+    if codec != "none":
+        payload = _decompress(payload, codec)
     buf = io.BytesIO(payload)
     records = []
     for _ in range(record_count):

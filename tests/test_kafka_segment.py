@@ -93,7 +93,66 @@ def test_corruption_detected():
     with pytest.raises(SegmentError):
         decode_record_batch(good[: len(good) - 3])
     with pytest.raises(SegmentError):
-        encode_record_batch(recs, 0, compression="zstd")
+        encode_record_batch(recs, 0, compression="lzo")
+
+
+def test_all_codecs_round_trip_with_wire_true_framing():
+    # the full attribute-bits codec matrix, each in the Java client's
+    # actual container: gzip stream, xerial-framed snappy, LZ4 frame,
+    # zstd frame — magics asserted so the payloads are the real formats
+    import struct as _struct
+
+    recs = [
+        {"key": f"k{i}".encode(), "value": (f"v{i}" * 40).encode(),
+         "timestamp_ms": 1_700_000_000_000 + i}
+        for i in range(50)
+    ]
+    for codec, magic_check in [
+        ("gzip", lambda p: p[:2] == b"\x1f\x8b"),
+        ("snappy", lambda p: p[:8] == b"\x82SNAPPY\x00"),
+        ("lz4", lambda p: p[:4] == bytes.fromhex("04224d18")),
+        ("zstd", lambda p: p[:4] == bytes.fromhex("28b52ffd")),
+    ]:
+        blob = encode_record_batch(recs, 100, compression=codec)
+        batch, end = decode_record_batch(blob)
+        assert end == len(blob)
+        assert batch["compression"] == codec
+        assert [r["value"] for r in batch["records"]] == [r["value"] for r in recs]
+        assert [r["offset"] for r in batch["records"]] == list(range(100, 150))
+        # attributes bits carry the codec id; payload starts at 61
+        attributes = _struct.unpack_from(">h", blob, 21)[0]
+        assert attributes & 0x07 == {"gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}[codec]
+        assert magic_check(blob[61:]), codec
+
+
+def test_snappy_xerial_multiblock_and_bare_block():
+    # >32 KiB forces multiple xerial blocks; a bare raw-snappy payload
+    # (non-xerial producers) must also decode
+    import pyarrow as pa
+
+    from kafka_stream_spark.sources.kafka_segment import _compress, _decompress
+
+    payload = bytes(range(256)) * 400  # ~100 KiB -> 4 xerial blocks
+    framed = _compress(payload, "snappy")
+    assert framed[:8] == b"\x82SNAPPY\x00"
+    assert _decompress(framed, "snappy") == payload
+    bare = bytes(pa.Codec("snappy").compress(payload))
+    assert _decompress(bare, "snappy") == payload
+
+
+def test_corrupt_compressed_payloads_raise_typed():
+    recs = [{"key": b"k", "value": b"v", "timestamp_ms": 1}]
+    for codec in ("lz4", "zstd"):
+        blob = bytearray(encode_record_batch(recs, 0, compression=codec))
+        blob[61] ^= 0xFF  # corrupt the frame magic
+        # re-seal the CRC so we hit the codec error, not the crc check
+        from kafka_stream_spark.sources.kafka_segment import crc32c
+        import struct as _struct
+
+        crc = crc32c(bytes(blob[21:]))
+        _struct.pack_into(">I", blob, 17, crc)
+        with pytest.raises(SegmentError):
+            decode_record_batch(bytes(blob))
 
 
 @given(st.binary(max_size=200))
