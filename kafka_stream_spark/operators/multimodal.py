@@ -214,22 +214,75 @@ def _png_unfilter_image(raw: bytes, offset: int, width: int, height: int,
     return total, offset
 
 
+def _png_unfilter_packed(raw: bytes, offset: int, width: int, height: int,
+                         depth: int, lut: list[int]) -> tuple[int, int]:
+    """Unfilter one (sub-)image whose samples are bit-PACKED (depth
+    1/2/4, or 8 for palette indices; one sample per pixel), summing
+    ``lut[sample]`` per pixel. Filters still operate on whole bytes
+    with bpp=1 (RFC 2083 §6.2: filter distance is one byte when a
+    pixel is under a byte); row-end padding bits are ignored."""
+    stride = (width * depth + 7) // 8
+    prev = bytearray(stride)
+    total = 0
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for _ in range(height):
+        if offset + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        ftype = raw[offset]
+        line = bytearray(raw[offset + 1 : offset + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(1, stride):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - 1] if i else 0
+                ul = prev[i - 1] if i else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype}")
+        count = 0
+        for byte in line:
+            for k in range(per_byte):
+                if count >= width:
+                    break
+                total += lut[(byte >> (8 - depth * (k + 1))) & mask]
+                count += 1
+        prev = line
+        offset += 1 + stride
+    return total, offset
+
+
+#: legal (color type, bit depth) combinations — PNG spec §11.2.2
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
 def _decode_png(content: bytes) -> dict:
-    """PNG decoder (RFC 2083) on nothing but stdlib zlib: 8- and 16-bit
-    greyscale (type 0), RGB (2), grey+alpha (4) and RGBA (6), all five
-    scanline filters (None/Sub/Up/Average/Paeth), IDAT split across
-    any number of chunks, and Adam7 interlacing (each pass is its own
-    filtered sub-image; the passes partition the pixels, so summing
-    per pass gives exact whole-image stats). mean_lum averages the
-    color samples AT THE FILE'S OWN DEPTH (the PPM convention), alpha
-    excluded; ``channels`` reports samples per pixel as stored (so
-    RGBA = 4)."""
+    """PNG decoder (RFC 2083) on nothing but stdlib zlib: every legal
+    (color type, bit depth) pair — greyscale (0) at 1/2/4/8/16, RGB (2)
+    at 8/16, palette (3) at 1/2/4/8, grey+alpha (4) and RGBA (6) at
+    8/16 — all five scanline filters (None/Sub/Up/Average/Paeth), IDAT
+    split across any number of chunks, and Adam7 interlacing (each pass
+    is its own filtered sub-image; the passes partition the pixels, so
+    summing per pass gives exact whole-image stats). mean_lum averages
+    the color samples AT THE FILE'S OWN DEPTH (the PPM convention),
+    alpha excluded; palette images resolve indices to their 8-bit RGB
+    entries (the GIF convention, channels = 3); otherwise ``channels``
+    reports samples per pixel as stored (so RGBA = 4)."""
     import struct as _struct
     import zlib as _zlib
 
     if content[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
-    pos, width = 8, None
+    pos, width, plte = 8, None, None
     idat = bytearray()
     while pos + 8 <= len(content):
         clen, ctype = _struct.unpack_from(">I4s", content, pos)
@@ -239,15 +292,23 @@ def _decode_png(content: bytes) -> dict:
         if ctype == b"IHDR":
             width, height, depth, color, _comp, _filt, interlace = \
                 _struct.unpack(">IIBBBBB", body)
-            if depth not in (8, 16):
-                raise NotImplementedError(f"PNG bit depth {depth}")
-            if color not in (0, 2, 4, 6):
-                raise NotImplementedError(f"PNG color type {color}")
+            if color not in _PNG_DEPTHS:
+                raise ValueError(f"PNG color type {color}")
+            if depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"PNG bit depth {depth} illegal for color type {color}"
+                )
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace}")
             if width == 0 or height == 0:
                 raise ValueError("PNG with zero dimension")
-            spp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+            spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            # per-index luminance contribution: r+g+b of the entry
+            plte = [body[i] + body[i + 1] + body[i + 2]
+                    for i in range(0, clen, 3)]
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -256,6 +317,39 @@ def _decode_png(content: bytes) -> dict:
     if width is None:
         raise ValueError("PNG missing IHDR")
     raw = _zlib.decompress(bytes(idat))
+    if color == 3 or depth < 8:
+        # bit-packed single-sample pixels: palette indices or low-depth
+        # greyscale; per-pixel values map through a LUT
+        if color == 3:
+            if plte is None:
+                raise ValueError("PNG palette image missing PLTE")
+            lut, basis, channels = plte, 3, 3  # resolve to RGB, like GIF
+        else:
+            lut, basis, channels = list(range(1 << depth)), 1, 1
+        total, off = 0, 0
+        try:
+            if interlace:
+                for (x0, y0, dx, dy) in _ADAM7:
+                    pw = (width - x0 + dx - 1) // dx
+                    ph = (height - y0 + dy - 1) // dy
+                    if pw <= 0 or ph <= 0:
+                        continue
+                    t, off = _png_unfilter_packed(raw, off, pw, ph, depth, lut)
+                    total += t
+            else:
+                total, off = _png_unfilter_packed(raw, off, width, height,
+                                                  depth, lut)
+        except IndexError:
+            raise ValueError("PNG palette index out of range") from None
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        n = width * height * basis
+        return {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "mean_lum": round(total / n, 6),
+        }
     color_spp = spp - (1 if spp in (2, 4) else 0)
     sample_bytes = depth // 8
     total, off = 0, 0
@@ -283,17 +377,19 @@ def _decode_png(content: bytes) -> dict:
 
 
 def encode_png(pixels: list[list[tuple]], color_type: int = 2,
-               depth: int = 8) -> bytes:
+               depth: int = 8, palette: list[tuple] | None = None) -> bytes:
     """Minimal PNG writer (filter 0 rows, one IDAT) so tests and demo
     corpora can synthesize REAL files for the decoder without an
-    imaging library. ``pixels`` is rows of per-pixel sample tuples, at
-    the target ``depth`` (8 or 16 — 16-bit samples land big-endian)."""
+    imaging library. ``pixels`` is rows of per-pixel sample tuples at
+    the target ``depth`` (16-bit samples land big-endian; depths under
+    8 bit-pack MSB-first). Palette images (color_type=3) take index
+    tuples plus the ``palette`` of RGB triples."""
     import struct as _struct
     import zlib as _zlib
 
-    if depth not in (8, 16):
-        raise ValueError(f"PNG depth {depth}")
-    spp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    if depth not in _PNG_DEPTHS.get(color_type, ()):
+        raise ValueError(f"PNG depth {depth} for color type {color_type}")
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     height, width = len(pixels), len(pixels[0])
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -304,14 +400,29 @@ def encode_png(pixels: list[list[tuple]], color_type: int = 2,
     raw = bytearray()
     for row in pixels:
         raw.append(0)  # filter: None
-        for px in row:
-            if depth == 8:
+        if depth < 8:
+            acc = nbits = 0
+            for px in row:
+                acc = (acc << depth) | (px[0] & ((1 << depth) - 1))
+                nbits += depth
+                if nbits == 8:
+                    raw.append(acc)
+                    acc = nbits = 0
+            if nbits:
+                raw.append(acc << (8 - nbits))  # row-end pad bits
+        elif depth == 8:
+            for px in row:
                 raw += bytes(px[:spp])
-            else:
+        else:
+            for px in row:
                 for s in px[:spp]:
                     raw += _struct.pack(">H", s)
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette required for color type 3")
+        out += chunk(b"PLTE", b"".join(bytes(c[:3]) for c in palette))
+    return (out + chunk(b"IDAT", _zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 
 

@@ -540,6 +540,70 @@ def test_png_16bit_sub_filter_uses_byte_offset():
     assert f["mean_lum"] == round(sum(r0) / 6, 6)
 
 
+def test_png_palette_and_low_depths():
+    # palette indices resolve to 8-bit RGB (the GIF convention); low-
+    # depth greyscale means at the file's own depth
+    from kafka_stream_spark.operators.multimodal import encode_png
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    for depth in (1, 2, 4, 8):
+        nidx = min(len(pal), 1 << depth)
+        rows = [[(i % nidx,) for i in range(5)], [((i + 1) % nidx,) for i in range(5)]]
+        f = decode_image(encode_png(rows, color_type=3, depth=depth, palette=pal))
+        total = sum(sum(pal[px[0]]) for r in rows for px in r)
+        assert f == {"width": 5, "height": 2, "channels": 3,
+                     "mean_lum": round(total / 30, 6)}, depth
+    # greyscale depths 1/2/4 (raw sample scale)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        rows = [[(v % (mx + 1),) for v in range(7)]]
+        f = decode_image(encode_png(rows, color_type=0, depth=depth))
+        total = sum(px[0] for r in rows for px in r)
+        assert f == {"width": 7, "height": 1, "channels": 1,
+                     "mean_lum": round(total / 7, 6)}, depth
+
+
+def test_png_packed_rows_filter_distance_is_one_byte():
+    # sub-byte pixels: the Sub filter's left neighbor is ONE byte back
+    # (RFC 2083 6.2) — hand-filter a depth-4 grey row and decode
+    import struct, zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    # 4 px at depth 4 -> 2 bytes/row: samples 3,5,9,15 -> bytes 0x35 0x9F
+    raw_row = bytes([0x35, 0x9F])
+    filt = bytes([1, 0x35, (0x9F - 0x35) & 0xFF])  # Sub filter
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 4, 0, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(filt)) + chunk(b"IEND", b""))
+    f = decode_image(blob)
+    assert f["mean_lum"] == round((3 + 5 + 9 + 15) / 4, 6)
+
+
+def test_png_palette_error_paths():
+    from kafka_stream_spark.operators.multimodal import encode_png
+    import struct, zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    # index beyond the palette is a typed error, not a crash
+    pal = [(1, 2, 3)]
+    blob = encode_png([[(0,), (3,)]], color_type=3, depth=4, palette=pal)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(blob)
+    # palette image without PLTE
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    noplte = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+              + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+              + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(noplte)
+
+
 def test_png_multi_idat_chunks():
     import struct, zlib
 
@@ -568,9 +632,10 @@ def test_png_rejects_unsupported_shapes():
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
+    # depth 4 is illegal for RGB (spec 11.2.2) — typed rejection
     deep = (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(deep)
 
 
