@@ -189,6 +189,30 @@ def test_roundtrip_property(tuples):
     assert [r["offset"] for r in got] == list(range(17, 17 + len(recs)))
 
 
+@given(
+    st.sampled_from(["gzip", "snappy", "lz4", "zstd"]),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.binary(max_size=30)),
+            st.one_of(st.none(), st.binary(max_size=200)),
+            st.integers(0, 2**41),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_property_all_codecs(codec, tuples):
+    recs = [
+        {"key": k, "value": v, "timestamp_ms": t} for k, v, t in tuples
+    ]
+    got = decode_segment(encode_segment(recs, 3, batch_size=9, compression=codec))
+    assert [(r["key"], r["value"], r["timestamp_ms"]) for r in got] == [
+        (k, v, t) for k, v, t in tuples
+    ]
+    assert [r["offset"] for r in got] == list(range(3, 3 + len(recs)))
+
+
 def test_export_ingest_roundtrip_through_spark(spark, tmp_path):
     from kafka_stream_spark.sources.topics import FileTopic
 
