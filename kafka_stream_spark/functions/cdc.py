@@ -84,6 +84,7 @@ def fold_latest_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 _POINTER = "_CURRENT"
+_BUCKETS_FILE = "_BUCKETS"
 
 
 def _current_state_dir(path: str) -> str | None:
@@ -100,6 +101,62 @@ def _current_state_dir(path: str) -> str | None:
     return d if os.path.isdir(d) else None
 
 
+def _read_pointer(path: str, name: str) -> str | None:
+    import os
+
+    ptr = os.path.join(path, name)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip()
+
+
+def _write_pointer(path: str, name: str, gen: str) -> None:
+    import os
+
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write(gen)
+    os.replace(tmp, os.path.join(path, name))  # atomic visibility
+
+
+def _bucket_dir(path: str, bucket: int) -> str | None:
+    """Bucket b's committed data dir: ``<pointed gen>/_bucket=<b>``."""
+    import os
+
+    gen = _read_pointer(path, f"_PTR-{bucket:05d}")
+    if gen is None:
+        return None
+    d = os.path.join(path, gen, f"_bucket={bucket}")
+    return d if os.path.isdir(d) else None
+
+
+def _fold_with_retention(
+    merged: DataFrame,
+    key_cols: list[str],
+    others: list[str],
+    tombstone_retention_ms: int | None,
+) -> DataFrame:
+    """arg-max-lsn fold keeping tombstones, with the optional
+    event-time retention GC (horizon trails the fold's own max
+    ``_ts_ms`` — no wall clock, so a replayed batch GCs identically)."""
+    ord_key = F.struct(F.col("_lsn"))
+    latest = merged.groupBy(*key_cols).agg(
+        *[F.max_by(c, ord_key).alias(c) for c in others]
+    )
+    if tombstone_retention_ms is not None:
+        hi = latest.agg(F.max("_ts_ms").alias("_hi"))
+        latest = (
+            latest.join(F.broadcast(hi))
+            .filter(
+                (F.col("_op") != "d")
+                | (F.col("_ts_ms") >= F.col("_hi") - tombstone_retention_ms)
+            )
+            .drop("_hi")
+        )
+    return latest
+
+
 def cdc_table_sink(
     stream: DataFrame,
     row_schema: StructType,
@@ -107,6 +164,7 @@ def cdc_table_sink(
     path: str,
     checkpoint: str,
     tombstone_retention_ms: int | None = None,
+    n_buckets: int | None = None,
 ):
     """Streaming CDC topic → continuously-maintained current table.
 
@@ -125,9 +183,21 @@ def cdc_table_sink(
     committed, so a crash mid-write (or a lost executor recomputing
     lineage) leaves the previous generation intact. Generation name is
     a pure function of batch_id, so a checkpoint-replayed batch rewrites
-    its own slot: idempotent."""
+    its own slot: idempotent.
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+    ``n_buckets`` keys the state into hash buckets (``xxhash64`` of the
+    key, like broker partitioning) with ONE POINTER PER BUCKET: a batch
+    reads and rewrites only the buckets its keys touch, so per-batch
+    cost is O(touched state), not O(|state|) — the shape that holds at
+    100 TB. Pointer flips are atomic per bucket; a crash between flips
+    leaves some buckets on the new generation and some on the old,
+    which replay converges (per-key semantics never regress — the same
+    cross-key-atomicity stance as broker compaction). The bucket count
+    is pinned in a ``_BUCKETS`` file and must not change across
+    restarts. Untouched buckets keep pointing at older generations;
+    GC only removes generations no bucket references."""
+
+    def upsert_single(batch_df: DataFrame, batch_id: int) -> None:
         import os
         import shutil
 
@@ -136,27 +206,14 @@ def cdc_table_sink(
         # keep tombstones in the merge state: a delete must out-rank
         # rows already in the table AND stale rows in future batches,
         # so fold after merge and keep the winners — deletes included
-        ord_key = F.struct(F.col("_lsn"))
         others = [c for c in changes.columns if c not in key_cols]
         prev = _current_state_dir(path)
         merged = (
             spark.read.parquet(prev).unionByName(changes) if prev else changes
         )
-        latest = merged.groupBy(*key_cols).agg(
-            *[F.max_by(c, ord_key).alias(c) for c in others]
+        latest = _fold_with_retention(
+            merged, key_cols, others, tombstone_retention_ms
         )
-        if tombstone_retention_ms is not None:
-            # horizon trails the state's own max event time — no wall
-            # clock, so a replayed batch GCs identically
-            hi = latest.agg(F.max("_ts_ms").alias("_hi"))
-            latest = (
-                latest.join(F.broadcast(hi))
-                .filter(
-                    (F.col("_op") != "d")
-                    | (F.col("_ts_ms") >= F.col("_hi") - tombstone_retention_ms)
-                )
-                .drop("_hi")
-            )
         gen = f"state-{batch_id:020d}"
         if prev is not None and os.path.basename(prev) == gen:
             # replayed batch whose pointer already flipped: write the
@@ -164,10 +221,7 @@ def cdc_table_sink(
             gen += "b"
         gen_dir = os.path.join(path, gen)
         latest.write.mode("overwrite").parquet(gen_dir)
-        tmp = os.path.join(path, f".{_POINTER}.tmp")
-        with open(tmp, "w") as f:
-            f.write(gen)
-        os.replace(tmp, os.path.join(path, _POINTER))  # atomic visibility
+        _write_pointer(path, _POINTER, gen)
         # GC: keep current + previous (in-flight readers); older gens go
         for entry in os.listdir(path):
             if (
@@ -177,6 +231,67 @@ def cdc_table_sink(
             ):
                 shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
+    def upsert_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        os.makedirs(path, exist_ok=True)
+        stored = _read_pointer(path, _BUCKETS_FILE)
+        if stored is None:
+            _write_pointer(path, _BUCKETS_FILE, str(n_buckets))
+        elif int(stored) != n_buckets:
+            raise ValueError(
+                f"cdc_table_sink: state at {path} was written with "
+                f"n_buckets={stored}, got {n_buckets} — rehashing would "
+                "corrupt bucket membership"
+            )
+        bucket_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+        ).cast("int")
+        changes = decode_envelopes(batch_df, row_schema).withColumn(
+            "_bucket", bucket_expr
+        )
+        others = [c for c in changes.columns if c not in key_cols]
+        touched = sorted(
+            r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        # prior state for touched buckets only; _bucket re-derives from
+        # the key (partitionBy strips it from the files)
+        prev_dirs = {b: _bucket_dir(path, b) for b in touched}
+        live = [d for d in prev_dirs.values() if d]
+        merged = changes
+        if live:
+            prior = spark.read.parquet(*live).withColumn("_bucket", bucket_expr)
+            merged = prior.unionByName(changes)
+        latest = _fold_with_retention(
+            merged, key_cols, others, tombstone_retention_ms
+        )
+        gen = f"state-{batch_id:020d}"
+        prev_gens = {
+            _read_pointer(path, f"_PTR-{b:05d}") for b in touched
+        } - {None}
+        if gen in prev_gens:
+            gen += "b"  # replay after a flip: never overwrite what we read
+        gen_dir = os.path.join(path, gen)
+        latest.write.partitionBy("_bucket").mode("overwrite").parquet(gen_dir)
+        for b in touched:
+            _write_pointer(path, f"_PTR-{b:05d}", gen)
+        # GC: a generation is live while ANY bucket pointer references
+        # it; also spare this batch's pre-flip targets (in-flight reads)
+        referenced = set(prev_gens) | {gen}
+        for entry in os.listdir(path):
+            if entry.startswith("_PTR-"):
+                g = _read_pointer(path, entry)
+                if g:
+                    referenced.add(g)
+        for entry in os.listdir(path):
+            if entry.startswith("state-") and entry not in referenced:
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+    upsert = upsert_single if n_buckets is None else upsert_bucketed
     return (
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
@@ -184,11 +299,23 @@ def cdc_table_sink(
 
 
 def read_current_table(spark, path: str, drop_meta: bool = True) -> DataFrame:
-    """The maintained table: committed generation resolved through the
-    pointer file (falling back to a flat parquet dir for tables written
-    by a plain batch fold), tombstones hidden, bookkeeping columns
-    dropped unless asked for."""
-    df = spark.read.parquet(_current_state_dir(path) or path)
+    """The maintained table: committed generation(s) resolved through
+    the pointer file(s) — per-bucket pointers for bucketed state, the
+    single pointer otherwise (falling back to a flat parquet dir for
+    tables written by a plain batch fold) — tombstones hidden,
+    bookkeeping columns dropped unless asked for."""
+    buckets = _read_pointer(path, _BUCKETS_FILE)
+    if buckets is not None:
+        dirs = [
+            d
+            for b in range(int(buckets))
+            if (d := _bucket_dir(path, b)) is not None
+        ]
+        if not dirs:
+            raise ValueError(f"no committed CDC bucket state at {path}")
+        df = spark.read.parquet(*dirs)
+    else:
+        df = spark.read.parquet(_current_state_dir(path) or path)
     if not drop_meta:
         return df  # raw state, tombstones included (introspection)
     if "_op" in df.columns:

@@ -4,6 +4,8 @@ tombstones, and the continuously-maintained streaming table."""
 import json
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -258,3 +260,103 @@ def test_decode_is_jvm_side(spark):
     df = spark.createDataFrame([(EVENTS[0],)], ["value"])
     plan = decode_envelopes(df, ROW)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_bucketed_state_matches_single_dir(spark, tmp_path):
+    # the bucketed sink is a pure layout change: same events, same
+    # current table as the single-generation mode — including the
+    # stale-after-delete tombstone case
+    batches = [EVENTS[0:1] + EVENTS[3:4], EVENTS[1:3], EVENTS[4:6]]
+    single = _run_batches(spark, tmp_path, batches, name="sg")
+    bucketed = _run_batches(spark, tmp_path, batches, name="bk", n_buckets=8)
+    want = {
+        (r.id, r.name, r.qty)
+        for r in read_current_table(spark, single).collect()
+    }
+    got = {
+        (r.id, r.name, r.qty)
+        for r in read_current_table(spark, bucketed).collect()
+    }
+    assert got == want == {(1, "ale", 9), (3, "cask", 2)}
+    # raw state keeps the tombstone in its bucket
+    raw = read_current_table(spark, bucketed, drop_meta=False)
+    assert raw.filter(F.col("_op") == "d").count() == 1
+
+
+def test_bucketed_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    # the 100 TB property: a batch's cost is O(touched buckets) — an
+    # untouched bucket's pointer (and data dir) must not move
+    from kafka_stream_spark.functions.cdc import _read_pointer
+
+    n = 16
+    # find two ids in DIFFERENT buckets under the sink's own hash
+    # hash the same TYPE the sink hashes (the decoded IntegerType id)
+    rows = spark.createDataFrame(
+        [(i,) for i in range(1, 40)], "id int"
+    )
+    bk = {
+        r.id: r.b
+        for r in rows.select(
+            "id", F.pmod(F.xxhash64("id"), F.lit(n)).cast("int").alias("b")
+        ).collect()
+    }
+    id_a = 1
+    id_b = next(i for i in bk if bk[i] != bk[id_a])
+    batches = [
+        [_env("c", 1, {"id": id_a, "name": "a", "qty": 1}),
+         _env("c", 2, {"id": id_b, "name": "b", "qty": 2})],
+        [_env("u", 3, {"id": id_a, "name": "a", "qty": 9})],  # touches only a's bucket
+    ]
+    table = _run_batches(spark, tmp_path, batches, name="tb", n_buckets=n)
+    ptr_a = _read_pointer(table, f"_PTR-{bk[id_a]:05d}")
+    ptr_b = _read_pointer(table, f"_PTR-{bk[id_b]:05d}")
+    assert ptr_a == f"state-{1:020d}"  # moved by batch 1
+    assert ptr_b == f"state-{0:020d}"  # untouched since batch 0
+    got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
+    assert got == {(id_a, 9), (id_b, 2)}
+
+
+def test_bucket_count_change_rejected(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    batches = [[_env("c", 1, {"id": 1, "name": "x", "qty": 1})]]
+    table = _run_batches(spark, tmp_path, batches, name="bc", n_buckets=4)
+    src = str(tmp_path / "bc_topic")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cdc_table_sink(stream, ROW, ["id"], table, str(tmp_path / "bc_ck2"),
+                       n_buckets=8)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="n_buckets"):
+        q.awaitTermination(120)
+
+
+def test_bucketed_replay_uses_alternate_slot(spark, tmp_path):
+    from kafka_stream_spark.functions.cdc import _read_pointer
+
+    batches = [[_env("c", 1, {"id": 1, "name": "x", "qty": 1})]]
+    table = _run_batches(spark, tmp_path, batches, name="br", n_buckets=4)
+    src = str(tmp_path / "br_topic")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cdc_table_sink(stream, ROW, ["id"], table, str(tmp_path / "br_ck2"),
+                       n_buckets=4)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    bkt = spark.createDataFrame([(1,)], "id int").select(
+        F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("b")
+    ).first().b
+    assert _read_pointer(table, f"_PTR-{bkt:05d}").endswith("b")
+    got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
+    assert got == {(1, 1)}
