@@ -68,6 +68,78 @@ def decode_envelopes(
     ).select("_row.*", "_op", "_lsn", "_ts_ms")
 
 
+def avro_envelope_schema(
+    row_avro_fields: list[dict], name: str = "Envelope"
+) -> dict:
+    """Debezium's Avro envelope around the given row fields — the shape
+    Connect's AvroConverter registers when Debezium runs with the
+    Schema Registry (the standard production pairing). ``before`` and
+    ``after`` get distinct record NAMES (Avro forbids redefining one
+    name; the wire layout is positional, so decode is unaffected —
+    Debezium's own registered schema uses a named reference for the
+    second occurrence, which resolves to the same bytes)."""
+
+    def row(n: str) -> dict:
+        return {"type": "record", "name": n, "fields": row_avro_fields}
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": "before", "type": ["null", row(f"{name}Before")]},
+            {"name": "after", "type": ["null", row(f"{name}After")]},
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": "long"},
+            {
+                "name": "source",
+                "type": {
+                    "type": "record",
+                    "name": f"{name}Source",
+                    "fields": [
+                        {"name": "lsn", "type": "long"},
+                        {"name": "db", "type": "string"},
+                        {"name": "table", "type": "string"},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def decode_envelopes_avro(
+    df: DataFrame,
+    row_schema: StructType,
+    row_avro_fields: list[dict],
+    value_col: str = "value",
+) -> DataFrame:
+    """Confluent-framed AVRO Debezium envelopes → flat change rows —
+    same output contract as :func:`decode_envelopes` (JSON), so the
+    fold and the table sink work unchanged on either serialization.
+
+    ``row_avro_fields`` is the row's Avro field list as the WRITER
+    registered it (field order and union shapes control the binary
+    layout, so it cannot be inferred from the Spark schema). Frame
+    stripping is JVM-side; body decode is the repo's Arrow-batched
+    Avro path (``avro_codec.decode_df``)."""
+    from kafka_stream_spark.functions.avro_codec import decode_df
+
+    decoded = decode_df(
+        df,
+        avro_envelope_schema(row_avro_fields),
+        envelope_schema(row_schema),
+        value_col=value_col,
+    )
+    image = F.when(F.col("op") == "d", F.col("before")).otherwise(
+        F.col("after")
+    )
+    return decoded.select(
+        image.alias("_row"),
+        F.col("op").alias("_op"),
+        F.col("source.lsn").alias("_lsn"),
+        F.col("ts_ms").alias("_ts_ms"),
+    ).select("_row.*", "_op", "_lsn", "_ts_ms")
+
+
 def fold_latest_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     """Change rows → current table state.
 

@@ -360,3 +360,57 @@ def test_bucketed_replay_uses_alternate_slot(spark, tmp_path):
     assert _read_pointer(table, f"_PTR-{bkt:05d}").endswith("b")
     got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
     assert got == {(1, 1)}
+
+ROW_AVRO_FIELDS = [
+    {"name": "id", "type": "int"},
+    {"name": "name", "type": ["null", "string"]},
+    {"name": "qty", "type": ["null", "int"]},
+]
+
+
+def _avro_env(op, lsn, row=None, before=None, schema_id=7):
+    import struct as _struct
+
+    from kafka_stream_spark.functions.avro_codec import (
+        compiled_record_encoder,
+    )
+    from kafka_stream_spark.functions.cdc import avro_envelope_schema
+
+    enc = compiled_record_encoder(avro_envelope_schema(ROW_AVRO_FIELDS))
+    body = enc(
+        {
+            "before": before,
+            "after": row,
+            "op": op,
+            "ts_ms": 1_700_000_000_000 + lsn,
+            "source": {"lsn": lsn, "db": "shop", "table": "items"},
+        }
+    )
+    return b"\x00" + _struct.pack(">I", schema_id) + body  # Confluent frame
+
+
+def test_avro_envelopes_decode_and_fold(spark):
+    # the Debezium + Schema Registry pairing: Confluent-framed Avro
+    # envelopes produce the SAME change-row contract as the JSON path,
+    # so fold/table-sink work unchanged on either serialization
+    from kafka_stream_spark.functions.cdc import decode_envelopes_avro
+
+    blobs = [
+        _avro_env("c", 1, {"id": 1, "name": "ale", "qty": 5}),
+        _avro_env("u", 3, {"id": 1, "name": "ale", "qty": 9}),
+        _avro_env("u", 2, {"id": 1, "name": "ale", "qty": 7}),  # stale
+        _avro_env("c", 4, {"id": 2, "name": "brew", "qty": 1}),
+        _avro_env("d", 5, before={"id": 2, "name": "brew", "qty": 1}),
+        _avro_env("r", 6, {"id": 3, "name": "cask", "qty": 2}),
+    ]
+    df = spark.createDataFrame([(b,) for b in blobs], "value binary")
+    changes = decode_envelopes_avro(df, ROW, ROW_AVRO_FIELDS)
+    assert set(changes.columns) == {"id", "name", "qty", "_op", "_lsn", "_ts_ms"}
+    state = {
+        r.id: (r.name, r.qty)
+        for r in fold_latest_state(changes, ["id"]).collect()
+    }
+    assert state == {1: ("ale", 9), 3: ("cask", 2)}
+    # delete rows carry the before-image
+    d = changes.filter(F.col("_op") == "d").first()
+    assert (d.id, d._lsn) == (2, 5)
