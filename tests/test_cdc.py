@@ -414,3 +414,56 @@ def test_avro_envelopes_decode_and_fold(spark):
     # delete rows carry the before-image
     d = changes.filter(F.col("_op") == "d").first()
     assert (d.id, d._lsn) == (2, 5)
+
+def test_bucketed_bucket_emptied_by_retention_gc(spark, tmp_path):
+    # a tombstone GC can leave a touched bucket with NO rows: the
+    # pointer then names a generation that has no dir for that bucket
+    # (partitionBy writes nothing) — reads must treat it as empty and a
+    # later batch must rebuild it from scratch
+    n = 4
+    ids = spark.createDataFrame([(i,) for i in range(1, 30)], "id int")
+    bk = {
+        r.id: r.b
+        for r in ids.select(
+            "id", F.pmod(F.xxhash64("id"), F.lit(n)).cast("int").alias("b")
+        ).collect()
+    }
+    id_a = 1
+    id_b = next(i for i in bk if bk[i] != bk[id_a])
+    batches = [
+        [_env("c", 5, {"id": id_a, "name": "a", "qty": 1})],
+        # delete id_a AND advance the horizon far past the tombstone via
+        # a much-later event in a DIFFERENT bucket: the tombstone GCs,
+        # leaving id_a's bucket with zero rows in the new generation
+        [_env("d", 10, before={"id": id_a, "name": "a", "qty": 1}),
+         _env("c", 9_000_000, {"id": id_b, "name": "b", "qty": 2})],
+    ]
+    table = _run_batches(
+        spark, tmp_path, batches, name="em", n_buckets=n,
+        tombstone_retention_ms=1_000_000,
+    )
+    got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
+    assert got == {(id_b, 2)}
+    raw = read_current_table(spark, table, drop_meta=False)
+    assert raw.filter(F.col("_op") == "d").count() == 0  # GC'd
+
+    # a later batch re-inserts into the emptied bucket
+    src = str(tmp_path / "em_topic")
+    spark.createDataFrame(
+        [(_env("c", 9_000_001, {"id": id_a, "name": "a2", "qty": 7}),)],
+        ["value"],
+    ).coalesce(1).write.parquet(os.path.join(src, "b9"))
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cdc_table_sink(stream, ROW, ["id"], table, str(tmp_path / "em_ck"),
+                       n_buckets=n, tombstone_retention_ms=1_000_000)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
+    assert got == {(id_a, 7), (id_b, 2)}
