@@ -116,8 +116,12 @@ def geo_near_join(
 
     def checked_lat(c: str):
         # domain guard runs JVM-side per row; it feeds the join key, so
-        # Catalyst cannot prune it away
-        return F.when(F.abs(F.col(c)) <= max_abs_lat, F.col(c)).otherwise(
+        # Catalyst cannot prune it away. Condition is the STRICT exceed
+        # test so a NULL latitude falls through to the column (null
+        # cell → the equi-join drops the row: absent data, not a
+        # silently-missed pair)
+        return F.when(
+            F.abs(F.col(c)) > max_abs_lat,
             F.raise_error(
                 F.format_string(
                     "geo_near_join: |lat|=%s exceeds max_abs_lat="
@@ -126,8 +130,8 @@ def geo_near_join(
                     "pre-filter",
                     F.abs(F.col(c)),
                 )
-            ).cast("double")
-        )
+            ).cast("double"),
+        ).otherwise(F.col(c))
 
     # modulo wrap: cell nx-1 and cell 0 are antimeridian neighbors; also
     # normalizes out-of-range longitudes (e.g. 190° ≡ -170°)

@@ -190,3 +190,15 @@ def test_banded_join_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the tiny band table broadcasts
+
+def test_null_coordinates_drop_not_raise(spark):
+    # a NULL latitude is absent data, not a silently-missed pair: the
+    # row drops through the null join key instead of tripping the guard
+    L = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, 10.0)], "lid int, lat double, lon double"
+    )
+    R = spark.createDataFrame(
+        [(9, 0.1, 0.1)], "rid int, lat double, lon double"
+    )
+    got = [(x.lid, x.rid) for x in geo_near_join(L, R, 100.0).collect()]
+    assert got == [(1, 9)]
