@@ -155,52 +155,18 @@ def fold_latest_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     return latest.filter(F.col("_op") != "d").drop("_op", "_lsn", "_ts_ms")
 
 
-_POINTER = "_CURRENT"
-_BUCKETS_FILE = "_BUCKETS"
-
-
-def _current_state_dir(path: str) -> str | None:
-    """Resolve the committed state generation via the pointer file; a
-    generation without a pointer flip (torn publish) is invisible."""
-    import os
-
-    ptr = os.path.join(path, _POINTER)
-    if not os.path.isfile(ptr):
-        return None
-    with open(ptr) as f:
-        gen = f.read().strip()
-    d = os.path.join(path, gen)
-    return d if os.path.isdir(d) else None
-
-
-def _read_pointer(path: str, name: str) -> str | None:
-    import os
-
-    ptr = os.path.join(path, name)
-    if not os.path.isfile(ptr):
-        return None
-    with open(ptr) as f:
-        return f.read().strip()
-
-
-def _write_pointer(path: str, name: str, gen: str) -> None:
-    import os
-
-    tmp = os.path.join(path, f".{name}.tmp")
-    with open(tmp, "w") as f:
-        f.write(gen)
-    os.replace(tmp, os.path.join(path, name))  # atomic visibility
+# generation/pointer machinery is shared by every continuously-
+# maintained table in the engine (ops.foreach_batch_upsert/merge too)
+from kafka_stream_spark.streaming.state_table import (  # noqa: E402
+    current_dir as _current_state_dir,
+    partition_dir as _partition_dir,
+    read_pointer as _read_pointer,
+)
 
 
 def _bucket_dir(path: str, bucket: int) -> str | None:
     """Bucket b's committed data dir: ``<pointed gen>/_bucket=<b>``."""
-    import os
-
-    gen = _read_pointer(path, f"_PTR-{bucket:05d}")
-    if gen is None:
-        return None
-    d = os.path.join(path, gen, f"_bucket={bucket}")
-    return d if os.path.isdir(d) else None
+    return _partition_dir(path, "_bucket", bucket)
 
 
 def _fold_with_retention(
@@ -269,10 +235,13 @@ def cdc_table_sink(
     restarts. Untouched buckets keep pointing at older generations;
     GC only removes generations no bucket references."""
 
-    def upsert_single(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
+    from kafka_stream_spark.streaming.state_table import (
+        ensure_bucket_count,
+        publish_partitions,
+        publish_single,
+    )
 
+    def upsert_single(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         changes = decode_envelopes(batch_df, row_schema)
         # keep tombstones in the merge state: a delete must out-rank
@@ -286,38 +255,11 @@ def cdc_table_sink(
         latest = _fold_with_retention(
             merged, key_cols, others, tombstone_retention_ms
         )
-        gen = f"state-{batch_id:020d}"
-        if prev is not None and os.path.basename(prev) == gen:
-            # replayed batch whose pointer already flipped: write the
-            # alternate slot — never read and overwrite the same dir
-            gen += "b"
-        gen_dir = os.path.join(path, gen)
-        latest.write.mode("overwrite").parquet(gen_dir)
-        _write_pointer(path, _POINTER, gen)
-        # GC: keep current + previous (in-flight readers); older gens go
-        for entry in os.listdir(path):
-            if (
-                entry.startswith("state-")
-                and entry != gen
-                and (prev is None or entry != os.path.basename(prev))
-            ):
-                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        publish_single(latest, path, batch_id)
 
     def upsert_bucketed(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
         spark = batch_df.sparkSession
-        os.makedirs(path, exist_ok=True)
-        stored = _read_pointer(path, _BUCKETS_FILE)
-        if stored is None:
-            _write_pointer(path, _BUCKETS_FILE, str(n_buckets))
-        elif int(stored) != n_buckets:
-            raise ValueError(
-                f"cdc_table_sink: state at {path} was written with "
-                f"n_buckets={stored}, got {n_buckets} — rehashing would "
-                "corrupt bucket membership"
-            )
+        ensure_bucket_count(path, n_buckets)
         bucket_expr = F.pmod(
             F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
         ).cast("int")
@@ -332,8 +274,7 @@ def cdc_table_sink(
             return
         # prior state for touched buckets only; _bucket re-derives from
         # the key (partitionBy strips it from the files)
-        prev_dirs = {b: _bucket_dir(path, b) for b in touched}
-        live = [d for d in prev_dirs.values() if d]
+        live = [d for b in touched if (d := _bucket_dir(path, b))]
         merged = changes
         if live:
             prior = spark.read.parquet(*live).withColumn("_bucket", bucket_expr)
@@ -341,27 +282,7 @@ def cdc_table_sink(
         latest = _fold_with_retention(
             merged, key_cols, others, tombstone_retention_ms
         )
-        gen = f"state-{batch_id:020d}"
-        prev_gens = {
-            _read_pointer(path, f"_PTR-{b:05d}") for b in touched
-        } - {None}
-        if gen in prev_gens:
-            gen += "b"  # replay after a flip: never overwrite what we read
-        gen_dir = os.path.join(path, gen)
-        latest.write.partitionBy("_bucket").mode("overwrite").parquet(gen_dir)
-        for b in touched:
-            _write_pointer(path, f"_PTR-{b:05d}", gen)
-        # GC: a generation is live while ANY bucket pointer references
-        # it; also spare this batch's pre-flip targets (in-flight reads)
-        referenced = set(prev_gens) | {gen}
-        for entry in os.listdir(path):
-            if entry.startswith("_PTR-"):
-                g = _read_pointer(path, entry)
-                if g:
-                    referenced.add(g)
-        for entry in os.listdir(path):
-            if entry.startswith("state-") and entry not in referenced:
-                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        publish_partitions(latest, path, batch_id, "_bucket", touched)
 
     upsert = upsert_single if n_buckets is None else upsert_bucketed
     return (
@@ -376,18 +297,17 @@ def read_current_table(spark, path: str, drop_meta: bool = True) -> DataFrame:
     single pointer otherwise (falling back to a flat parquet dir for
     tables written by a plain batch fold) — tombstones hidden,
     bookkeeping columns dropped unless asked for."""
-    buckets = _read_pointer(path, _BUCKETS_FILE)
-    if buckets is not None:
-        dirs = [
-            d
-            for b in range(int(buckets))
-            if (d := _bucket_dir(path, b)) is not None
-        ]
-        if not dirs:
+    from kafka_stream_spark.streaming.state_table import (
+        BUCKETS_FILE,
+        read_state,
+    )
+
+    if _read_pointer(path, BUCKETS_FILE) is not None:
+        df = read_state(spark, path, partition_col="_bucket")
+        if df is None:
             raise ValueError(f"no committed CDC bucket state at {path}")
-        df = spark.read.parquet(*dirs)
     else:
-        df = spark.read.parquet(_current_state_dir(path) or path)
+        df = read_state(spark, path)
     if not drop_meta:
         return df  # raw state, tombstones included (introspection)
     if "_op" in df.columns:

@@ -122,33 +122,44 @@ def foreach_batch_upsert(
 
     Kafka sinks are append-only; update-mode outputs (e.g. running aggs or
     latest-by-key tables) land via foreachBatch: union existing + batch,
-    keep arg-max(order_col) per key, rewrite. Exactly-once-ish through
-    idempotent overwrite per batch id (SURVEY.md §2.9 T5).
+    keep arg-max(order_col) per key, publish. Exactly-once through
+    idempotent generation publish per batch id (SURVEY.md §2.9 T5).
+
+    State lands as generation dirs + an atomic pointer swap
+    (``streaming/state_table.py``) — the live state is never deleted
+    before its replacement commits, so a crash mid-publish or a
+    cache-loss lineage recompute can't destroy it (the overwrite-in-
+    place + cache()+count() pattern this replaced could). Read it back
+    with :func:`read_upserted`.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        import os
+        from kafka_stream_spark.streaming.state_table import (
+            current_dir,
+            publish_single,
+        )
 
+        spark = batch_df.sparkSession
         others = [c for c in batch_df.columns if c not in keys]
         ord_key = F.struct(F.col(order_col))
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            current = spark.read.parquet(path)
-            merged = current.unionByName(batch_df)
-        else:
-            merged = batch_df
+        prev = current_dir(path)
+        merged = (
+            spark.read.parquet(prev).unionByName(batch_df) if prev else batch_df
+        )
         compacted = merged.groupBy(*keys).agg(
             *[F.max_by(c, ord_key).alias(c) for c in others]
         )
-        # materialize before overwrite (reading + overwriting the same path)
-        compacted.cache()
-        compacted.count()
-        compacted.write.mode("overwrite").parquet(path)
-        compacted.unpersist()
+        publish_single(compacted, path, batch_id)
 
     return stream.writeStream.foreachBatch(upsert)
+
+
+def read_upserted(spark, path: str) -> DataFrame:
+    """Read a ``foreach_batch_upsert`` state table (committed
+    generation resolved through the pointer)."""
+    from kafka_stream_spark.streaming.state_table import read_state
+
+    return read_state(spark, path)
 
 
 def foreach_batch_merge(
@@ -176,49 +187,59 @@ def foreach_batch_merge(
     content — idempotent, like the full-rewrite variant (T5).
 
     This is the Delta/Iceberg MERGE INTO pattern expressed with plain
-    parquet + Spark's ``partitionOverwriteMode=dynamic`` (no table-format
-    dependency in this container); swap `.format("delta")` in when
-    available for file-level (vs partition-level) pruning.
+    parquet + per-bucket generation pointers (``streaming/
+    state_table.py`` — no table-format dependency in this container);
+    swap `.format("delta")` in when available for file-level (vs
+    partition-level) pruning. Dynamic partition overwrite was NOT
+    enough here: its commitJob deletes a partition before renaming the
+    replacement in, so a crash inside the commit could lose an entire
+    bucket; the pointer swap has no such window.
     """
 
     bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets))
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from kafka_stream_spark.streaming.state_table import (
+            ensure_bucket_count,
+            partition_dir,
+            publish_partitions,
+        )
 
         spark = batch_df.sparkSession
+        ensure_bucket_count(path, num_buckets)
         batch_b = batch_df.withColumn("_bucket", bucket)
         others = [c for c in batch_df.columns if c not in keys]
         ord_key = F.struct(F.col(order_col))
-        exists = os.path.isdir(path) and any(
-            not f.startswith((".", "_")) for f in os.listdir(path)
+        touched = sorted(
+            r["_bucket"] for r in batch_b.select("_bucket").distinct().collect()
         )
-        if exists:
-            touched = [r["_bucket"] for r in batch_b.select("_bucket").distinct().collect()]
-            current = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
-            merged = current.unionByName(batch_b)
-        else:
-            merged = batch_b
+        if not touched:
+            return
+        live = [d for b in touched if (d := partition_dir(path, "_bucket", b))]
+        merged = batch_b
+        if live:
+            # _bucket re-derives from the keys (partitionBy strips it)
+            prior = spark.read.parquet(*live).withColumn("_bucket", bucket)
+            merged = prior.unionByName(batch_b)
         compacted = merged.groupBy(*keys).agg(
             *[F.max_by(c, ord_key).alias(c) for c in others],
             F.first("_bucket").alias("_bucket"),  # function of keys, constant per group
         )
-        compacted.cache()
-        compacted.count()  # materialize before overwriting what we read
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            compacted.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            compacted.unpersist()
+        publish_partitions(compacted, path, batch_id, "_bucket", touched)
 
     return stream.writeStream.foreachBatch(merge)
 
 
 def read_merged(spark, path: str) -> DataFrame:
-    """Read a ``foreach_batch_merge`` state table without the bucket column."""
-    return spark.read.parquet(path).drop("_bucket")
+    """Read a ``foreach_batch_merge`` state table (committed bucket
+    pointers resolved; the bucket column is not materialized in the
+    data files)."""
+    from kafka_stream_spark.streaming.state_table import read_state
+
+    df = read_state(spark, path, partition_col="_bucket")
+    if df is None:
+        raise ValueError(f"no committed merge state at {path}")
+    return df
 
 
 def trending_topk(
@@ -257,7 +278,7 @@ def read_trending(spark, path: str, k: int = 3) -> DataFrame:
     """Rank a ``trending_topk`` count table: top-k keys per window."""
     from pyspark.sql import Window
 
-    t = spark.read.parquet(path)
+    t = read_upserted(spark, path)
     key_cols = [c for c in t.columns if c not in ("window_start", "n")]
     w = Window.partitionBy("window_start").orderBy(F.desc("n"), *key_cols)
     return (

@@ -15,16 +15,17 @@ shape (SURVEY.md §3.3) applied to a sketch: state is O(days × 24 × m)
 longs regardless of event volume, and the table answers
 distinct-per-window without re-scanning any history.
 
-Scale: the register table is partitioned by day; each batch overwrites
-only the days it touched (dynamic partition overwrite), so per-batch
-cost is O(touched days × 24 × m + batch), never O(history) — the same
-argument as streaming/ops.foreach_batch_upsert, with max-merge instead
-of latest-wins.
+Scale: the register table is partitioned by day with per-day
+generation pointers (streaming/state_table.py); each batch reads and
+publishes only the days it touched, so per-batch cost is O(touched
+days × 24 × m + batch), never O(history) — the same argument as
+streaming/ops.foreach_batch_merge, with max-merge instead of
+latest-wins, and the same crash-safety (the live day is never deleted
+before its replacement commits).
 """
 
 from __future__ import annotations
 
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -43,37 +44,34 @@ class HllRegisterMaintainer:
         self.state_dir = state_dir
 
     def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from kafka_stream_spark.streaming.state_table import (
+            partition_dir,
+            publish_partitions,
+        )
+
         new = hll_hour_registers(batch_df)
         spark = batch_df.sparkSession
-        if os.path.isdir(self.state_dir):
-            touched = [r.day for r in new.select("day").distinct().collect()]
-            if not touched:
-                return
-            old = spark.read.parquet(self.state_dir).where(
-                F.col("day").isin(touched)
-            )
-            # localCheckpoint materializes the merged registers (tiny:
-            # days x 24 x 2^p rows) BEFORE the overwrite so the plan
-            # never reads the path it is rewriting
-            merged = (
-                old.unionByName(new)
-                .groupBy("day", "hr", "bucket")
-                .agg(F.max("m_j").alias("m_j"))
-                .localCheckpoint()
-            )
-            # rewrite only the touched day partitions; the overwrite mode
-            # is scoped to THIS write (a session-level conf.set here would
-            # leak to every other write in the session)
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("day")
-                .parquet(self.state_dir)
-            )
-        else:
-            (
-                new.write.mode("overwrite").partitionBy("day").parquet(self.state_dir)
-            )
+        touched = sorted(r.day for r in new.select("day").distinct().collect())
+        if not touched:
+            return
+        # prior registers for touched days only; partition on a COPY of
+        # day so the data files keep the day column for plain reads
+        live = [
+            d for v in touched if (d := partition_dir(self.state_dir, "_day_p", v))
+        ]
+        merged = new
+        if live:
+            merged = spark.read.parquet(*live).unionByName(new)
+        merged = (
+            merged.groupBy("day", "hr", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+            .withColumn("_day_p", F.col("day"))
+        )
+        # generation + per-day pointer swap (streaming/state_table.py):
+        # dynamic partition overwrite's commitJob deletes a day dir
+        # before renaming its replacement in — a crash inside that
+        # window lost the day; the pointer swap has no such window
+        publish_partitions(merged, self.state_dir, batch_id, "_day_p", touched)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
         """Start the maintenance query over a streaming (ts, user_id) frame."""
@@ -85,7 +83,12 @@ class HllRegisterMaintainer:
         )
 
     def registers(self) -> DataFrame:
-        return self.spark.read.parquet(self.state_dir)
+        from kafka_stream_spark.streaming.state_table import read_state
+
+        df = read_state(self.spark, self.state_dir, partition_col="_day_p")
+        if df is None:
+            raise ValueError(f"no committed registers at {self.state_dir}")
+        return df
 
     def day_estimates(self) -> DataFrame:
         """Read-time day-grain distinct estimates from the maintained state."""

@@ -307,8 +307,8 @@ def test_bucketed_batch_rewrites_only_touched_buckets(spark, tmp_path):
         [_env("u", 3, {"id": id_a, "name": "a", "qty": 9})],  # touches only a's bucket
     ]
     table = _run_batches(spark, tmp_path, batches, name="tb", n_buckets=n)
-    ptr_a = _read_pointer(table, f"_PTR-{bk[id_a]:05d}")
-    ptr_b = _read_pointer(table, f"_PTR-{bk[id_b]:05d}")
+    ptr_a = _read_pointer(table, f"_PTR-_bucket={bk[id_a]}")
+    ptr_b = _read_pointer(table, f"_PTR-_bucket={bk[id_b]}")
     assert ptr_a == f"state-{1:020d}"  # moved by batch 1
     assert ptr_b == f"state-{0:020d}"  # untouched since batch 0
     got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
@@ -357,7 +357,7 @@ def test_bucketed_replay_uses_alternate_slot(spark, tmp_path):
     bkt = spark.createDataFrame([(1,)], "id int").select(
         F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("b")
     ).first().b
-    assert _read_pointer(table, f"_PTR-{bkt:05d}").endswith("b")
+    assert _read_pointer(table, f"_PTR-_bucket={bkt}").endswith("b")
     got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
     assert got == {(1, 1)}
 

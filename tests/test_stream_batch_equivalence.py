@@ -108,7 +108,7 @@ def test_latest_by_key_stream_equals_batch(spark, sf_dir, events_ntz_dir, tmp_pa
         .start()
     )
     q.awaitTermination(120)
-    got = {r.user_id: r.event_id for r in spark.read.parquet(sink).collect()}
+    got = {r.user_id: r.event_id for r in ops.read_upserted(spark, sink).collect()}
     assert got == batch
 
 

@@ -179,7 +179,7 @@ def test_foreach_batch_upsert_compacts(spark, tmp_path, events_dir):
         .start()
     )
     q.awaitTermination(60)
-    out = {r.user_id: r.event_type for r in spark.read.parquet(sink).collect()}
+    out = {r.user_id: r.event_type for r in ops.read_upserted(spark, sink).collect()}
     # latest event per user: user1 click@00:14, user2 click@00:58
     assert out == {1: "click", 2: "click"}
 
@@ -275,10 +275,16 @@ def test_foreach_batch_merge_compacts_and_prunes(spark, tmp_path, events_dir):
     out = {r.user_id: r.event_type for r in ops.read_merged(spark, sink).collect()}
     assert out == {1: "click", 2: "click"}  # same as foreach_batch_upsert
 
-    files_before = {p: os.path.getmtime(p) for p in glob.glob(f"{sink}/_bucket=*/*.parquet")}
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{sink}/state-*/_bucket=*/*.parquet")
+    }
     bucket_of = {
         r.user_id: r._bucket
-        for r in spark.read.parquet(sink).select("user_id", "_bucket").collect()
+        for r in ops.read_merged(spark, sink)
+        .withColumn("_bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+        .select("user_id", "_bucket")
+        .collect()
     }
 
     # second feed updates ONLY user 1
