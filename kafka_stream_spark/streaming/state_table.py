@@ -59,7 +59,14 @@ def write_pointer(path: str, name: str, gen: str) -> None:
 
 
 def _ptr_name(partition_col: str, value) -> str:
-    return f"_PTR-{partition_col}={value}"
+    # the value becomes both a pointer FILENAME and a partition dir
+    # component; the engine's partition values are ints and ISO dates —
+    # anything that can't encode in a filename is a caller bug, caught
+    # here instead of corrupting the table layout
+    s = str(value)
+    if not s or any(ch in s for ch in (os.sep, "\x00", "\n")):
+        raise ValueError(f"partition value {value!r} not filename-safe")
+    return f"_PTR-{partition_col}={s}"
 
 
 def current_dir(path: str) -> str | None:

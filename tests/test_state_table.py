@@ -75,3 +75,10 @@ def test_bucket_count_pin(tmp_path):
     st.ensure_bucket_count(path, 8)  # idempotent
     with pytest.raises(ValueError, match="n_buckets=8"):
         st.ensure_bucket_count(path, 16)
+
+
+def test_partition_value_filename_guard(tmp_path):
+    with pytest.raises(ValueError, match="filename-safe"):
+        st.partition_dir(str(tmp_path), "p", "a/b")
+    with pytest.raises(ValueError, match="filename-safe"):
+        st.partition_dir(str(tmp_path), "p", "")
