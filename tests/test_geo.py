@@ -202,3 +202,39 @@ def test_null_coordinates_drop_not_raise(spark):
     )
     got = [(x.lid, x.rid) for x in geo_near_join(L, R, 100.0).collect()]
     assert got == [(1, 9)]
+
+def test_banded_join_property_random_radius_and_grid(spark):
+    # randomized completeness: for any (radius, grid) in the supported
+    # envelope, banded == brute force on md5-placed full-globe points
+    import hashlib
+
+    from kafka_stream_spark.operators.geo import geo_near_join_banded
+
+    def pts(prefix, n, salt):
+        rows = []
+        for i in range(n):
+            h = hashlib.md5(f"{salt}:{prefix}{i}".encode()).hexdigest()
+            la = (int(h[:12], 16) % 178000000) / 1e6 - 89.0
+            lo = (int(h[12:24], 16) % 360000000) / 1e6 - 180.0
+            rows.append((i, la, lo))
+        return rows
+
+    cases = [(73.0, 3.0), (340.0, 10.0), (977.0, 5.0), (2450.0, 9.0),
+             (5200.0, 15.0)]
+    for salt, (radius, grid) in enumerate(cases):
+        L = spark.createDataFrame(pts("L", 60, salt), ["lid", "lat", "lon"])
+        R = spark.createDataFrame(pts("R", 60, salt), ["rid", "lat", "lon"])
+        got = {
+            (x.lid, x.rid)
+            for x in geo_near_join_banded(L, R, radius, grid_deg=grid).collect()
+        }
+        brute = (
+            L.withColumnRenamed("lat", "lat_l").withColumnRenamed("lon", "lon_l")
+            .crossJoin(
+                R.withColumnRenamed("lat", "lat_r").withColumnRenamed("lon", "lon_r")
+            )
+            .withColumn("d", haversine_km_expr("lat_l", "lon_l", "lat_r", "lon_r"))
+            .filter(F.col("d") <= radius)
+        )
+        want = {(x.lid, x.rid) for x in brute.collect()}
+        assert got == want, (radius, grid, len(got - want), len(want - got))
