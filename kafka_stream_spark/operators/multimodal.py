@@ -109,21 +109,54 @@ def _decode_ppm(content: bytes) -> dict:
 
 
 def _decode_bmp(content: bytes) -> dict:
-    """Windows BMP decoder (BITMAPINFOHEADER, uncompressed 24/32-bit) —
-    wire layout is the public Windows BMP file-format spec."""
+    """Windows BMP decoder (BITMAPINFOHEADER): uncompressed 24/32-bit
+    truecolor, 8-bit palette, and RLE8-compressed 8-bit palette — wire
+    layout is the public Windows BMP file-format spec. Remaining typed
+    seams: 1/4/16-bit pixels, RLE4, and RLE delta escapes (rare; a
+    library drops into the same dispatch)."""
     import struct as _struct
 
     if len(content) < 54:
         raise ValueError("truncated BMP header")
     data_off = _struct.unpack_from("<I", content, 10)[0]
+    hdr_size = _struct.unpack_from("<I", content, 14)[0]
     width, height = _struct.unpack_from("<ii", content, 18)
     bpp = _struct.unpack_from("<H", content, 28)[0]
     compression = _struct.unpack_from("<I", content, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
+    clr_used = _struct.unpack_from("<I", content, 46)[0]
+    supported = (compression == 0 and bpp in (8, 24, 32)) or (
+        compression == 1 and bpp == 8
+    )
+    if not supported:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     height = abs(height)  # negative height = top-down rows; stats invariant
     if width <= 0 or height == 0:
         raise ValueError("BMP with zero or negative dimension")
+    n = width * height * 3
+    if bpp == 8:
+        # palette: BGRA quads right after the info header; entry's
+        # luminance contribution is b+g+r
+        n_entries = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = content[pal_off : pal_off + 4 * n_entries]
+        if len(pal) != 4 * n_entries:
+            raise ValueError("truncated BMP palette")
+        lut = [pal[i] + pal[i + 1] + pal[i + 2] for i in range(0, len(pal), 4)]
+        if compression == 0:
+            stride = (width + 3) & ~3
+            total = 0
+            for row in range(height):
+                base = data_off + row * stride
+                line = content[base : base + width]
+                if len(line) != width:
+                    raise ValueError("truncated BMP pixel data")
+                try:
+                    total += sum(lut[v] for v in line)
+                except IndexError:
+                    raise ValueError("BMP palette index out of range") from None
+            return {"width": width, "height": height, "channels": 3,
+                    "mean_lum": round(total / n, 6)}
+        return _decode_bmp_rle8(content, data_off, width, height, lut)
     bytes_pp = bpp // 8
     stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
     total = 0
@@ -136,13 +169,58 @@ def _decode_bmp(content: bytes) -> dict:
             total += sum(line)
         else:  # BGRA: drop the alpha byte from the luminance sum
             total += sum(line) - sum(line[3::4])
-    n = width * height * 3
     return {
         "width": width,
         "height": height,
         "channels": 3,
         "mean_lum": round(total / n, 6),
     }
+
+
+def _decode_bmp_rle8(content: bytes, pos: int, width: int, height: int,
+                     lut: list[int]) -> dict:
+    """BI_RLE8 (BMP spec): encoded runs ``[count, index]``, escapes
+    ``00 00`` end-of-line, ``00 01`` end-of-bitmap, ``00 03+`` absolute
+    runs (word-padded). Delta (``00 02``) skips pixels whose value is
+    undefined by the spec — rare and ambiguous for stats, so it stays a
+    typed seam. Pixels a short line leaves unwritten default to palette
+    index 0, matching common decoder behavior."""
+    total = 0
+    rows_done = x = 0
+    row_count = 0  # pixels written in the current row
+    try:
+        while rows_done < height:
+            count, val = content[pos], content[pos + 1]
+            pos += 2
+            if count:  # encoded run
+                run = min(count, width - x)
+                total += lut[val] * run
+                x += run
+                row_count += run
+            elif val == 0:  # end of line: unwritten pixels = index 0
+                total += lut[0] * (width - row_count)
+                rows_done += 1
+                x = row_count = 0
+            elif val == 1:  # end of bitmap
+                total += lut[0] * (width - row_count)
+                rows_done += 1
+                total += lut[0] * width * (height - rows_done)
+                rows_done = height
+            elif val == 2:
+                raise NotImplementedError("BMP RLE8 delta escape")
+            else:  # absolute run of `val` raw indices, word-padded
+                run = min(val, width - x)
+                chunk = content[pos : pos + val]
+                if len(chunk) != val:
+                    raise ValueError("truncated BMP RLE8 data")
+                total += sum(lut[v] for v in chunk[:run])
+                x += run
+                row_count += run
+                pos += val + (val & 1)
+    except IndexError:
+        raise ValueError("truncated BMP RLE8 data") from None
+    return {"width": width, "height": height, "channels": 3,
+            "mean_lum": round(total / (width * height * 3), 6)}
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

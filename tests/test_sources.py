@@ -891,3 +891,78 @@ def test_ppm_16bit_samples_decode():
     import pytest as _pytest
     with _pytest.raises(Exception, match="truncated"):
         decode_image(blob[:-1])
+
+def _bmp8(width, height, index_rows, palette, rle=False, clr_used=0):
+    """8-bit palette BMP; rle=True emits BI_RLE8 (encoded runs + EOL/EOB)."""
+    import struct
+
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    if not rle:
+        stride = (width + 3) & ~3
+        pixels = b""
+        for row in reversed(index_rows):  # bottom-up
+            pixels += bytes(row) + b"\x00" * (stride - width)
+        comp = 0
+    else:
+        out = bytearray()
+        for i, row in enumerate(reversed(index_rows)):
+            j = 0
+            while j < len(row):  # simple run-length encoder
+                k = j
+                while k < len(row) and row[k] == row[j] and k - j < 255:
+                    k += 1
+                out += bytes([k - j, row[j]])
+                j = k
+            out += b"\x00\x00" if i < height - 1 else b"\x00\x01"
+        pixels, comp = bytes(out), 1
+    data_off = 54 + len(pal)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, comp,
+                      len(pixels), 2835, 2835, clr_used, 0)
+    )
+    return header + pal + pixels
+
+
+def test_bmp_8bit_palette_and_rle8():
+    pal = [(250, 10, 30), (0, 200, 0), (5, 5, 5), (90, 80, 70)]
+    rows = [[0, 1, 2, 3, 1], [3, 3, 0, 0, 2]]
+    want = round(sum(sum(pal[i]) for r in rows for i in r) / (5 * 2 * 3), 6)
+    plain = decode_image(_bmp8(5, 2, rows, pal + [(0, 0, 0)] * 252))
+    assert plain == {"width": 5, "height": 2, "channels": 3, "mean_lum": want}
+    # clr_used palette (only 4 entries stored)
+    small = decode_image(_bmp8(5, 2, rows, pal, clr_used=4))
+    assert small["mean_lum"] == want
+    # RLE8 variant decodes to the same stats
+    rle = decode_image(_bmp8(5, 2, rows, pal, rle=True, clr_used=4))
+    assert rle == plain | {"mean_lum": want}
+
+
+def test_bmp_rle8_short_line_pads_with_index_zero():
+    # an RLE8 line ending early leaves the rest of the row at palette
+    # index 0 (common decoder behavior)
+    import struct
+
+    pal = [(30, 30, 30), (90, 90, 90)]
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+    data_off = 54 + len(pal_bytes)
+    # one row of width 4: run of 2 × index 1, then EOB
+    pixels = bytes([2, 1, 0, 1])
+    header = (
+        b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 8, 1,
+                      len(pixels), 2835, 2835, 2, 0)
+    )
+    f = decode_image(header + pal_bytes + pixels)
+    want = round((2 * 270 + 2 * 90) / (4 * 3), 6)
+    assert f["mean_lum"] == want
+
+
+def test_bmp_unsupported_modes_stay_typed():
+    import struct
+
+    hdr = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 4, 0, 4, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="bpp=4"):
+        decode_image(hdr + b"\x00" * 8)
