@@ -213,7 +213,10 @@ def test_roundtrip_property_all_codecs(codec, tuples):
     assert [r["offset"] for r in got] == list(range(3, 3 + len(recs)))
 
 
-def test_export_ingest_roundtrip_through_spark(spark, tmp_path):
+@pytest.mark.parametrize("codec", ["gzip", "zstd"])
+def test_export_ingest_roundtrip_through_spark(spark, tmp_path, codec):
+    # executor-side encode + distributed ingest through the full codec
+    # stack (zstd exercises the pyarrow-backed frame path end-to-end)
     from kafka_stream_spark.sources.topics import FileTopic
 
     t = FileTopic(spark, str(tmp_path / "topics"), "seg", partitions=3)
@@ -224,7 +227,7 @@ def test_export_ingest_roundtrip_through_spark(spark, tmp_path):
         )
     )
     out = str(tmp_path / "segments")
-    files = export_topic_segments(t.read(), out, compression="gzip")
+    files = export_topic_segments(t.read(), out, compression=codec)
     assert files and all(f.endswith(".log") for f in files)
     # the broker data-dir layout: partition dirs, offset-named segments
     assert any("partition=" in f for f in files)
