@@ -29,23 +29,45 @@ from pyspark.sql.types import StructType
 
 
 def envelope_schema(row_schema: StructType) -> StructType:
-    """The Debezium value-envelope schema around a given row schema."""
+    """The Debezium value-envelope schema around a given row schema,
+    in Debezium's own field order (``before, after, source, op, ts_ms,
+    transaction`` — the order its Envelope schema builder registers) with
+    the PostgreSQL connector's source-info block. JSON decode matches by
+    name so extra/missing source fields are harmless; the Avro path is
+    positional, so this order must track the writer's registration."""
     from pyspark.sql.types import LongType, StringType, StructField
 
     source = StructType(
         [
-            StructField("lsn", LongType()),
+            StructField("version", StringType()),
+            StructField("connector", StringType()),
+            StructField("name", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("snapshot", StringType()),
             StructField("db", StringType()),
+            StructField("sequence", StringType()),
+            StructField("schema", StringType()),
             StructField("table", StringType()),
+            StructField("txId", LongType()),
+            StructField("lsn", LongType()),
+            StructField("xmin", LongType()),
+        ]
+    )
+    transaction = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("total_order", LongType()),
+            StructField("data_collection_order", LongType()),
         ]
     )
     return StructType(
         [
             StructField("before", row_schema),
             StructField("after", row_schema),
+            StructField("source", source),
             StructField("op", StringType()),
             StructField("ts_ms", LongType()),
-            StructField("source", source),
+            StructField("transaction", transaction),
         ]
     )
 
@@ -71,37 +93,62 @@ def decode_envelopes(
 def avro_envelope_schema(
     row_avro_fields: list[dict], name: str = "Envelope"
 ) -> dict:
-    """Debezium's Avro envelope around the given row fields — the shape
-    Connect's AvroConverter registers when Debezium runs with the
-    Schema Registry (the standard production pairing). ``before`` and
-    ``after`` get distinct record NAMES (Avro forbids redefining one
-    name; the wire layout is positional, so decode is unaffected —
-    Debezium's own registered schema uses a named reference for the
-    second occurrence, which resolves to the same bytes)."""
+    """Debezium's Avro envelope around the given row fields, matching
+    what Connect's AvroConverter registers when Debezium's PostgreSQL
+    connector runs with the Schema Registry (the standard production
+    pairing): field order ``before, after, source, op, ts_ms,
+    transaction`` and the connector's source-info block (version/
+    connector/name/ts_ms/snapshot/db/sequence/schema/table/txId/lsn/
+    xmin). Avro decode is positional, so the ORDER here is the wire
+    contract — a different connector (MySQL's server_id/gtid/file/pos
+    source, …) registers a different source struct; pass its registered
+    envelope to :func:`decode_envelopes_avro` via
+    ``envelope_avro_schema`` instead of relying on this default.
+    ``before`` and ``after`` get distinct record NAMES (Avro forbids
+    redefining one name; the wire layout is positional, so decode is
+    unaffected — Debezium's own registered schema uses a named reference
+    for the second occurrence, which resolves to the same bytes)."""
 
     def row(n: str) -> dict:
         return {"type": "record", "name": n, "fields": row_avro_fields}
 
+    source = {
+        "type": "record",
+        "name": f"{name}Source",
+        "fields": [
+            {"name": "version", "type": "string"},
+            {"name": "connector", "type": "string"},
+            {"name": "name", "type": "string"},
+            {"name": "ts_ms", "type": "long"},
+            {"name": "snapshot", "type": ["null", "string"]},
+            {"name": "db", "type": "string"},
+            {"name": "sequence", "type": ["null", "string"]},
+            {"name": "schema", "type": "string"},
+            {"name": "table", "type": "string"},
+            {"name": "txId", "type": ["null", "long"]},
+            {"name": "lsn", "type": ["null", "long"]},
+            {"name": "xmin", "type": ["null", "long"]},
+        ],
+    }
+    transaction = {
+        "type": "record",
+        "name": f"{name}Transaction",
+        "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "total_order", "type": "long"},
+            {"name": "data_collection_order", "type": "long"},
+        ],
+    }
     return {
         "type": "record",
         "name": name,
         "fields": [
             {"name": "before", "type": ["null", row(f"{name}Before")]},
             {"name": "after", "type": ["null", row(f"{name}After")]},
+            {"name": "source", "type": source},
             {"name": "op", "type": "string"},
-            {"name": "ts_ms", "type": "long"},
-            {
-                "name": "source",
-                "type": {
-                    "type": "record",
-                    "name": f"{name}Source",
-                    "fields": [
-                        {"name": "lsn", "type": "long"},
-                        {"name": "db", "type": "string"},
-                        {"name": "table", "type": "string"},
-                    ],
-                },
-            },
+            {"name": "ts_ms", "type": ["null", "long"]},
+            {"name": "transaction", "type": ["null", transaction]},
         ],
     }
 
@@ -111,6 +158,8 @@ def decode_envelopes_avro(
     row_schema: StructType,
     row_avro_fields: list[dict],
     value_col: str = "value",
+    envelope_avro_schema: dict | None = None,
+    envelope_spark_schema: StructType | None = None,
 ) -> DataFrame:
     """Confluent-framed AVRO Debezium envelopes → flat change rows —
     same output contract as :func:`decode_envelopes` (JSON), so the
@@ -118,15 +167,23 @@ def decode_envelopes_avro(
 
     ``row_avro_fields`` is the row's Avro field list as the WRITER
     registered it (field order and union shapes control the binary
-    layout, so it cannot be inferred from the Spark schema). Frame
+    layout, so it cannot be inferred from the Spark schema). The
+    envelope defaults to :func:`avro_envelope_schema` (the PostgreSQL
+    connector's registration); for another connector, pass its
+    registered envelope as ``envelope_avro_schema`` (fetched from the
+    registry or supplied by the caller) plus the matching
+    ``envelope_spark_schema`` — field ORDER must match the writer's
+    registration because Avro decode is positional. The envelope must
+    expose ``op``, ``ts_ms``, and ``source.lsn`` (or the caller can
+    re-derive ``_lsn`` from its own source columns afterwards). Frame
     stripping is JVM-side; body decode is the repo's Arrow-batched
     Avro path (``avro_codec.decode_df``)."""
     from kafka_stream_spark.functions.avro_codec import decode_df
 
     decoded = decode_df(
         df,
-        avro_envelope_schema(row_avro_fields),
-        envelope_schema(row_schema),
+        envelope_avro_schema or avro_envelope_schema(row_avro_fields),
+        envelope_spark_schema or envelope_schema(row_schema),
         value_col=value_col,
     )
     image = F.when(F.col("op") == "d", F.col("before")).otherwise(
@@ -184,10 +241,14 @@ def _fold_with_retention(
     )
     if tombstone_retention_ms is not None:
         hi = latest.agg(F.max("_ts_ms").alias("_hi"))
+        # an undated tombstone (producer omitted ts_ms) is retained, not
+        # GC'd: NULL would fail the >= predicate and silently reintroduce
+        # the stale-pre-image hazard retention is meant to bound
         latest = (
             latest.join(F.broadcast(hi))
             .filter(
                 (F.col("_op") != "d")
+                | F.col("_ts_ms").isNull()
                 | (F.col("_ts_ms") >= F.col("_hi") - tombstone_retention_ms)
             )
             .drop("_hi")

@@ -25,13 +25,13 @@ ROW = StructType(
 )
 
 
-def _env(op, lsn, row=None, before=None):
+def _env(op, lsn, row=None, before=None, ts_ms="default"):
     return json.dumps(
         {
             "before": before,
             "after": row,
             "op": op,
-            "ts_ms": 1_700_000_000_000 + lsn,
+            "ts_ms": 1_700_000_000_000 + lsn if ts_ms == "default" else ts_ms,
             "source": {"lsn": lsn, "db": "shop", "table": "items"},
         }
     )
@@ -381,9 +381,25 @@ def _avro_env(op, lsn, row=None, before=None, schema_id=7):
         {
             "before": before,
             "after": row,
+            # the full Postgres-connector source block, in registration
+            # order — Avro encode/decode is positional
+            "source": {
+                "version": "2.5.0.Final",
+                "connector": "postgresql",
+                "name": "shop-server",
+                "ts_ms": 1_700_000_000_000 + lsn,
+                "snapshot": "false",
+                "db": "shop",
+                "sequence": None,
+                "schema": "public",
+                "table": "items",
+                "txId": 700 + lsn,
+                "lsn": lsn,
+                "xmin": None,
+            },
             "op": op,
             "ts_ms": 1_700_000_000_000 + lsn,
-            "source": {"lsn": lsn, "db": "shop", "table": "items"},
+            "transaction": None,
         }
     )
     return b"\x00" + _struct.pack(">I", schema_id) + body  # Confluent frame
@@ -467,3 +483,128 @@ def test_bucketed_bucket_emptied_by_retention_gc(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.id, r.qty) for r in read_current_table(spark, table).collect()}
     assert got == {(id_a, 7), (id_b, 2)}
+
+
+def test_avro_envelope_field_order_is_debezium(spark):
+    # Avro decode is positional: the default envelope must match the
+    # order Debezium's Envelope schema builder registers — before,
+    # after, SOURCE (third), op, ts_ms, transaction — and the Postgres
+    # connector's source-info block (ADVICE r6 medium)
+    from kafka_stream_spark.functions.cdc import (
+        avro_envelope_schema,
+        envelope_schema,
+    )
+
+    avro = avro_envelope_schema(ROW_AVRO_FIELDS)
+    assert [f["name"] for f in avro["fields"]] == [
+        "before", "after", "source", "op", "ts_ms", "transaction",
+    ]
+    src = next(f for f in avro["fields"] if f["name"] == "source")
+    assert [f["name"] for f in src["type"]["fields"]][:5] == [
+        "version", "connector", "name", "ts_ms", "snapshot",
+    ]
+    # the Spark-side reader schema mirrors the same positional order
+    assert envelope_schema(ROW).fieldNames() == [
+        "before", "after", "source", "op", "ts_ms", "transaction",
+    ]
+
+
+def test_avro_caller_supplied_envelope(spark):
+    # a connector whose registered envelope differs from the default
+    # (here: a MySQL-flavored source that still exposes lsn) decodes
+    # through the envelope_avro_schema override
+    import struct as _struct
+
+    from pyspark.sql.types import LongType, StringType
+
+    from kafka_stream_spark.functions.avro_codec import (
+        compiled_record_encoder,
+    )
+    from kafka_stream_spark.functions.cdc import decode_envelopes_avro
+
+    row = {"type": "record", "name": "RowA", "fields": ROW_AVRO_FIELDS}
+    row_b = {"type": "record", "name": "RowB", "fields": ROW_AVRO_FIELDS}
+    env_avro = {
+        "type": "record",
+        "name": "MyEnv",
+        "fields": [
+            {"name": "before", "type": ["null", row]},
+            {"name": "after", "type": ["null", row_b]},
+            {
+                "name": "source",
+                "type": {
+                    "type": "record",
+                    "name": "MySource",
+                    "fields": [
+                        {"name": "server_id", "type": "long"},
+                        {"name": "gtid", "type": ["null", "string"]},
+                        {"name": "lsn", "type": "long"},
+                    ],
+                },
+            },
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": "long"},
+        ],
+    }
+    env_spark = StructType(
+        [
+            StructField("before", ROW),
+            StructField("after", ROW),
+            StructField(
+                "source",
+                StructType(
+                    [
+                        StructField("server_id", LongType()),
+                        StructField("gtid", StringType()),
+                        StructField("lsn", LongType()),
+                    ]
+                ),
+            ),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+    enc = compiled_record_encoder(env_avro)
+    body = enc(
+        {
+            "before": None,
+            "after": {"id": 7, "name": "keg", "qty": 3},
+            "source": {"server_id": 1, "gtid": None, "lsn": 42},
+            "op": "c",
+            "ts_ms": 1_700_000_000_123,
+        }
+    )
+    blob = b"\x00" + _struct.pack(">I", 9) + body
+    df = spark.createDataFrame([(blob,)], "value binary")
+    changes = decode_envelopes_avro(
+        df, ROW, ROW_AVRO_FIELDS,
+        envelope_avro_schema=env_avro, envelope_spark_schema=env_spark,
+    )
+    r = changes.first()
+    assert (r.id, r.name, r.qty, r._op, r._lsn, r._ts_ms) == (
+        7, "keg", 3, "c", 42, 1_700_000_000_123,
+    )
+
+
+def test_undated_tombstone_survives_retention_gc(spark, tmp_path):
+    # a tombstone whose ts_ms is NULL cannot be aged against the
+    # horizon — it must be RETAINED, not GC'd on arrival (ADVICE r6:
+    # NULL fails the >= predicate and was silently dropped)
+    batches = [
+        [_env("c", 5, {"id": 1, "name": "old", "qty": 1})],
+        [_env("d", 10, before={"id": 1, "name": "old", "qty": 1},
+              ts_ms=None)],
+        # much-later event: a DATED tombstone this old would be GC'd
+        [_env("c", 9_000_000, {"id": 2, "name": "new", "qty": 4})],
+        # the stale pre-image the retained tombstone must keep dead
+        [_env("u", 7, {"id": 1, "name": "old", "qty": 3})],
+    ]
+    table = _run_batches(
+        spark, tmp_path, batches, name="nullts",
+        tombstone_retention_ms=1_000_000,
+    )
+    raw = read_current_table(spark, table, drop_meta=False)
+    dead = raw.filter(F.col("_op") == "d").collect()
+    assert [(r.id, r._lsn) for r in dead] == [(1, 10)]  # retained
+    got = {r.id: r.name for r in read_current_table(spark, table).collect()}
+    assert got == {2: "new"}  # id 1 stays absent despite the late lsn-7
