@@ -58,14 +58,31 @@ def write_pointer(path: str, name: str, gen: str) -> None:
     os.replace(tmp, os.path.join(path, name))  # atomic visibility
 
 
+#: characters a partition VALUE may contain. Spark Hive-escapes anything
+#: beyond this set in partition directory names (space, ':', '%', '#',
+#: '=', …, per ExternalCatalogUtils.escapePathName), so a value outside
+#: it would be WRITTEN under an escaped dir while partition_dir composes
+#: the raw name — the committed state would become silently invisible.
+#: The engine's partition values are ints and ISO dates; reject the rest
+#: loudly (ADVICE r6).
+_SAFE_VALUE_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
+)
+
+
 def _ptr_name(partition_col: str, value) -> str:
     # the value becomes both a pointer FILENAME and a partition dir
-    # component; the engine's partition values are ints and ISO dates —
-    # anything that can't encode in a filename is a caller bug, caught
-    # here instead of corrupting the table layout
+    # component; anything Spark would Hive-escape (or that can't encode
+    # in a filename) is a caller bug, caught here instead of corrupting
+    # the table layout
     s = str(value)
-    if not s or any(ch in s for ch in (os.sep, "\x00", "\n")):
-        raise ValueError(f"partition value {value!r} not filename-safe")
+    if not s or not set(s) <= _SAFE_VALUE_CHARS:
+        raise ValueError(
+            f"partition value {value!r} is not filename-safe: only "
+            "[A-Za-z0-9._-] survive Spark's Hive partition-name escaping "
+            "unchanged; an escaped value would commit under a directory "
+            "partition_dir cannot resolve"
+        )
     return f"_PTR-{partition_col}={s}"
 
 
@@ -126,6 +143,28 @@ def publish_single(latest: DataFrame, path: str, batch_id: int) -> str:
     return gen
 
 
+#: in-driver pointer map per state table: path -> {pointer name -> gen}.
+#: Fed by every publish so steady-state GC never re-reads all _PTR-*
+#: files (O(total partitions) driver I/O per batch, VERDICT r6 item 3);
+#: a process restart starts cold and rebuilds it with ONE full scan.
+#: Single-writer per path — the same stance as the checkpointed
+#: streaming sinks that own these tables.
+_ptr_cache: dict[str, dict[str, str]] = {}
+#: generations spared for in-flight readers, pending GC at a LATER
+#: publish once no pointer references them (path -> gen names)
+_gc_deferred: dict[str, set[str]] = {}
+
+
+def _scan_pointers(path: str) -> dict[str, str]:
+    ptrs: dict[str, str] = {}
+    for entry in os.listdir(path):
+        if entry.startswith("_PTR-"):
+            g = read_pointer(path, entry)
+            if g:
+                ptrs[entry] = g
+    return ptrs
+
+
 def publish_partitions(
     latest: DataFrame,
     path: str,
@@ -136,26 +175,39 @@ def publish_partitions(
     """Publish the touched partitions of a partitioned state table in
     ONE partitionBy write, flip their pointers, and GC generations no
     pointer references (this batch's pre-flip targets are spared for
-    in-flight readers). Returns the gen name."""
+    in-flight readers and collected by a later publish). Returns the
+    gen name.
+
+    Steady-state cost is O(touched): the pointer map and the
+    pending-GC set live in the driver (`_ptr_cache` / `_gc_deferred`),
+    so only a cold start (process restart) pays one full ``_PTR-*``
+    scan — which also sweeps any generation a crash orphaned."""
     os.makedirs(path, exist_ok=True)
-    prev_gens = {
-        read_pointer(path, _ptr_name(partition_col, v)) for v in touched
-    } - {None}
+    cold = path not in _ptr_cache
+    if cold:
+        _ptr_cache[path] = _scan_pointers(path)
+    ptrs = _ptr_cache[path]
+    names = [_ptr_name(partition_col, v) for v in touched]
+    prev_gens = {g for n in names if (g := ptrs.get(n))}
     gen = _gen_name(batch_id, prev_gens)
     latest.write.partitionBy(partition_col).mode("overwrite").parquet(
         os.path.join(path, gen)
     )
-    for v in touched:
-        write_pointer(path, _ptr_name(partition_col, v), gen)
-    referenced = set(prev_gens) | {gen}
-    for entry in os.listdir(path):
-        if entry.startswith("_PTR-"):
-            g = read_pointer(path, entry)
-            if g:
-                referenced.add(g)
-    for entry in os.listdir(path):
-        if entry.startswith("state-") and entry not in referenced:
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    for n in names:
+        write_pointer(path, n, gen)
+        ptrs[n] = gen
+    referenced = set(ptrs.values()) | {gen}
+    if cold:
+        # restart sweep: every on-disk generation is a candidate, so
+        # crash-orphaned dirs (written, never pointed) get collected
+        pool = {e for e in os.listdir(path) if e.startswith("state-")}
+    else:
+        pool = _gc_deferred.get(path, set()) | prev_gens
+    # this batch's pre-flip targets stay for in-flight readers; they
+    # are in the pool, so the NEXT publish collects them if unreferenced
+    for entry in pool - referenced - prev_gens:
+        shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    _gc_deferred[path] = (pool & referenced) | (prev_gens - referenced)
     return gen
 
 
@@ -181,8 +233,23 @@ def read_state(
     """Read a state table's committed content: partition pointers when
     ``partition_col`` is given (None if nothing committed), the single
     pointer otherwise (falling back to reading ``path`` flat so plain
-    batch-written dirs keep working)."""
-    if partition_col is not None:
-        dirs = committed_partition_dirs(path, partition_col)
-        return spark.read.parquet(*dirs) if dirs else None
-    return spark.read.parquet(current_dir(path) or path)
+    batch-written dirs keep working).
+
+    A publish can GC a generation between this reader resolving the
+    pointer and opening the files (the resolved dir was current two
+    publishes ago); the resolve is retried so the read lands on the
+    newest committed state instead of surfacing a missing-path error."""
+    for attempt in (0, 1):
+        if partition_col is not None:
+            dirs = committed_partition_dirs(path, partition_col)
+            if not dirs:
+                return None
+        else:
+            dirs = [current_dir(path) or path]
+        try:
+            return spark.read.parquet(*dirs)
+        except Exception:
+            # re-resolve once: a racing GC means fresher pointers exist
+            if attempt:
+                raise
+    raise AssertionError("unreachable")

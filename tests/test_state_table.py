@@ -82,3 +82,96 @@ def test_partition_value_filename_guard(tmp_path):
         st.partition_dir(str(tmp_path), "p", "a/b")
     with pytest.raises(ValueError, match="filename-safe"):
         st.partition_dir(str(tmp_path), "p", "")
+
+
+def test_partition_value_hive_escape_guard(tmp_path):
+    # Spark Hive-escapes space/':'/'%'/'#'/'=' in partition dir names;
+    # a value containing one would commit under an escaped dir that
+    # partition_dir cannot resolve — reject loudly (ADVICE r6)
+    for bad in ("a b", "12:30", "5%", "x#y", "k=v"):
+        with pytest.raises(ValueError, match="filename-safe"):
+            st.partition_dir(str(tmp_path), "p", bad)
+    # ints and ISO dates (the engine's actual values) stay accepted
+    assert st.partition_dir(str(tmp_path), "p", 7) is None
+    assert st.partition_dir(str(tmp_path), "p", "2026-08-15") is None
+
+
+def test_partitioned_gc_is_o_touched(spark, tmp_path, monkeypatch):
+    # steady-state publishes must not rescan every _PTR-* file: one
+    # full pointer scan at cold start, none afterwards (VERDICT r6
+    # item 3), with GC behavior unchanged
+    path = str(tmp_path / "t")
+    st._ptr_cache.pop(path, None)
+    st._gc_deferred.pop(path, None)
+    scans = []
+    real_scan = st._scan_pointers
+    monkeypatch.setattr(
+        st, "_scan_pointers", lambda p: scans.append(p) or real_scan(p)
+    )
+    df2 = spark.createDataFrame([(0, "x"), (1, "y")], "p int, v string")
+    df0 = spark.createDataFrame([(0, "z")], "p int, v string")
+    gen0 = st.publish_partitions(df2, path, 0, "p", [0, 1])
+    st.publish_partitions(df0, path, 1, "p", [0])
+    st.publish_partitions(df2, path, 2, "p", [0, 1])
+    assert len(scans) == 1  # cold start only
+    # gen0 lost its last reference at batch 2 (spared for in-flight
+    # readers); the next publish collects it
+    assert os.path.isdir(os.path.join(path, gen0))
+    st.publish_partitions(df0, path, 3, "p", [0])
+    assert not os.path.isdir(os.path.join(path, gen0))
+    rows = {r.v for r in st.read_state(spark, path, partition_col="p").collect()}
+    assert rows == {"z", "y"}
+
+
+def test_partitioned_gc_restart_sweeps_orphans(spark, tmp_path):
+    # a process restart (cold cache) pays one full scan and collects
+    # crash-orphaned generations no pointer ever referenced
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(0, "x")], "p int, v string")
+    st.publish_partitions(df, path, 0, "p", [0])
+    orphan = os.path.join(path, "state-orphan")
+    os.makedirs(os.path.join(orphan, "p=0"))
+    # restart: forget the in-driver maps
+    st._ptr_cache.pop(path, None)
+    st._gc_deferred.pop(path, None)
+    st.publish_partitions(df, path, 1, "p", [0])
+    assert not os.path.isdir(orphan)
+    rows = {r.v for r in st.read_state(spark, path, partition_col="p").collect()}
+    assert rows == {"x"}
+
+
+def test_read_state_retries_after_racing_gc(spark, tmp_path, monkeypatch):
+    # a reader that resolved its pointer two publishes ago can hit a
+    # GC'd generation dir; read_state must re-resolve and return the
+    # newest committed state instead of raising (VERDICT r6 item 4)
+    path = str(tmp_path / "t")
+    df_a = spark.createDataFrame([(1, "a")], "id int, v string")
+    df_b = spark.createDataFrame([(1, "b")], "id int, v string")
+    st.publish_single(df_a, path, 0)
+    stale = os.path.join(path, "state-gone")  # resolved, then GC'd
+    calls = []
+    real = st.current_dir
+
+    def racy(p):
+        calls.append(p)
+        return stale if len(calls) == 1 else real(p)
+
+    monkeypatch.setattr(st, "current_dir", racy)
+    assert st.read_state(spark, path).collect()[0].v == "a"
+    assert len(calls) == 2  # first resolve failed, retry succeeded
+
+    # partitioned flavor: stale partition dirs on the first resolve
+    ppath = str(tmp_path / "pt")
+    st.publish_partitions(df_b.withColumnRenamed("id", "p"), ppath, 0, "p", [1])
+    pcalls = []
+    real_dirs = st.committed_partition_dirs
+
+    def racy_dirs(p, col):
+        pcalls.append(p)
+        if len(pcalls) == 1:
+            return [os.path.join(ppath, "state-gone", "p=1")]
+        return real_dirs(p, col)
+
+    monkeypatch.setattr(st, "committed_partition_dirs", racy_dirs)
+    rows = st.read_state(spark, ppath, partition_col="p").collect()
+    assert [r.v for r in rows] == ["b"]
