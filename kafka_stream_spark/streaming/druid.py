@@ -101,6 +101,43 @@ def _interval_str(c):
     return F.date_format(c, "yyyy-MM-dd'T'HH.mm.ss")
 
 
+#: pin file recording which version FAMILY a datasource uses
+_FAMILY_FILE = "_VERSION_FAMILY"
+
+
+def _version_family(version: str) -> str:
+    return "counter" if version.isdigit() else "timestamp"
+
+
+def _ensure_version_family(out_dir: str, datasource: str, version: str) -> None:
+    """Pin the version family (counter vs ISO timestamp) on first
+    publish and reject the other family afterwards: both are
+    lexicographically ordered WITHIN themselves, but ACROSS families a
+    timestamp always sorts above a counter ('2026-…' > '0000000042'),
+    so mixing them would silently overshadow newer counter-versioned
+    shards (ADVICE r6 — the same pin-on-first-use pattern as the state
+    tables' _BUCKETS file)."""
+    base = os.path.join(out_dir, datasource)
+    os.makedirs(base, exist_ok=True)
+    fam = _version_family(version)
+    pin = os.path.join(base, _FAMILY_FILE)
+    if os.path.isfile(pin):
+        with open(pin) as f:
+            stored = f.read().strip()
+        if stored != fam:
+            raise ValueError(
+                f"datasource {datasource!r} uses {stored} versions; "
+                f"{version!r} is a {fam} version — mixed families break "
+                "lexicographic overshadowing (timestamps always outrank "
+                "counters), so the family is pinned at first publish"
+            )
+        return
+    tmp = pin + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fam)
+    os.replace(tmp, pin)
+
+
 def publish_segments(
     rolled: DataFrame,
     spec: IngestionSpec,
@@ -130,6 +167,7 @@ def publish_segments(
             "an ISO-like timestamp (fixed-width, no underscores) so "
             "lexicographic overshadowing order is the numeric/time order"
         )
+    _ensure_version_family(out_dir, spec.datasource, version)
     staging = os.path.join(out_dir, f".staging-{spec.datasource}-{version}-{partition_num}")
     shutil.rmtree(staging, ignore_errors=True)
     staged = rolled.withColumn("__interval", _interval_str(

@@ -96,7 +96,7 @@ def committed_offsets(out_dir: str, topic: str) -> dict[tuple[str, int], int]:
     for root, _dirs, files in os.walk(out_dir):
         rel = os.path.relpath(root, out_dir)
         for name in files:
-            if name.startswith("."):
+            if name.startswith((".", "_")):  # temp + control (_WRITER)
                 continue
             m = _FILE_RE.match(name)
             if not m or m.group("topic") != topic:
@@ -242,6 +242,47 @@ def _write_chunk(chunk, path: str, fmt: str) -> None:
             f.write(write_ocf(recs, TOPIC_EXPORT_SCHEMA, codec="deflate"))
 
 
+def claim_writer_pin(out_dir: str, topic: str, checkpoint: str) -> None:
+    """Single-writer pin for an export prefix: the recovery cache
+    (``ends_cache``) is in-driver state, so TWO exporters feeding one
+    ``(out_dir, topic)`` prefix would race it and double-write. The pin
+    file records the owning sink's checkpoint path — a restart of the
+    SAME logical exporter (same checkpoint) reclaims it, and so does a
+    replacement exporter whose predecessor's checkpoint directory is
+    GONE (the checkpoint-loss recovery story: a dead owner cannot be
+    restarted, so it cannot race). Any other exporter fails loudly
+    instead of corrupting the export (the ``_BUCKETS`` pin pattern).
+    Claim is O_EXCL-atomic, so two fresh sinks racing the claim cannot
+    both win."""
+    os.makedirs(out_dir, exist_ok=True)
+    pin = os.path.join(out_dir, f"_WRITER-{topic}")
+    token = os.path.abspath(checkpoint)
+    try:
+        fd = os.open(pin, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        with open(pin) as f:
+            stored = f.read().strip()
+        if stored == token:
+            return
+        if os.path.isdir(stored):
+            raise ValueError(
+                f"export prefix {out_dir!r} topic {topic!r} is already "
+                f"owned by the exporter checkpointed at {stored!r}; a "
+                "second concurrent exporter would race the recovery "
+                "cache and double-write — stop the other sink (and "
+                "remove the _WRITER pin if it is stale) first"
+            ) from None
+        # previous owner's checkpoint is gone: it cannot restart, so
+        # this exporter takes over (atomic rewrite)
+        tmp = pin + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(token)
+        os.replace(tmp, pin)
+        return
+    with os.fdopen(fd, "w") as f:
+        f.write(token)
+
+
 def object_store_stream_sink(
     stream: DataFrame,
     out_dir: str,
@@ -259,9 +300,10 @@ def object_store_stream_sink(
 
     The committed-end recovery tree walk runs ONCE, at the first batch;
     afterwards each batch's own commit manifest folds into the in-driver
-    map (restart naturally rescans — the recovery path proper). Two
-    concurrent exporters to one prefix still race the recovery scan,
-    exactly like the connector (documented in SCALING.md)."""
+    map (restart naturally rescans — the recovery path proper). The
+    prefix is single-writer: :func:`claim_writer_pin` rejects a second
+    concurrent exporter instead of letting it race the recovery cache."""
+    claim_writer_pin(out_dir, topic, checkpoint)
     ends_cache: dict[tuple[str, int], int] | None = None
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

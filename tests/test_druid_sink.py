@@ -148,6 +148,32 @@ def test_version_pattern_enforced(spark, raw, tmp_path):
     for bad in ["2", "10", "v_1", "0001_0002", "release-1"]:
         with pytest.raises(ValueError, match="zero-padded"):
             publish_segments(rolled, SPEC, out, version=bad)
-    # the two sanctioned families pass validation
+    # the two sanctioned families pass validation (one datasource each —
+    # the family pins at first publish)
     publish_segments(rolled, SPEC, out, version="0000000003")
-    publish_segments(rolled, SPEC, out, version="2026-08-15T12.30.00")
+    publish_segments(
+        rolled, SPEC, str(tmp_path / "druid_ts"), version="2026-08-15T12.30.00"
+    )
+
+
+def test_version_family_pinned_per_datasource(spark, raw, tmp_path):
+    # counter and timestamp versions are each lexicographically ordered
+    # WITHIN their family, but a timestamp always outranks a counter
+    # ('2026-…' > '0000000042') — mixing them would silently overshadow
+    # newer counter-versioned shards, so the family pins at first publish
+    out = str(tmp_path / "deep")
+    publish_segments(rollup(raw, SPEC), SPEC, out, version="0000000042")
+    with pytest.raises(ValueError, match="pinned at first publish"):
+        publish_segments(
+            rollup(raw, SPEC), SPEC, out, version="2026-01-01T00.00.00"
+        )
+    # same family keeps publishing fine
+    publish_segments(rollup(raw, SPEC), SPEC, out, version="0000000043")
+
+    # and the reverse pin: timestamp-first rejects a counter
+    out2 = str(tmp_path / "deep2")
+    publish_segments(
+        rollup(raw, SPEC), SPEC, out2, version="2026-01-01T00.00.00"
+    )
+    with pytest.raises(ValueError, match="pinned at first publish"):
+        publish_segments(rollup(raw, SPEC), SPEC, out2, version="0000000001")

@@ -33,10 +33,13 @@ def _topic(spark, tmp_path, rows=40, partitions=3):
 
 
 def _committed_files(out_dir):
+    # dot-prefixed = temp (invisible per the connector contract);
+    # underscore-prefixed = control files (_WRITER pin — the Spark/
+    # Hadoop convention readers already ignore)
     found = []
     for root, _d, files in os.walk(out_dir):
         for f in files:
-            if not f.startswith("."):
+            if not f.startswith((".", "_")):
                 found.append((os.path.relpath(root, out_dir), f))
     return sorted(found)
 
@@ -369,8 +372,12 @@ def test_recovery_scan_runs_once_across_batches(spark, tmp_path):
         q.awaitTermination(120)
         assert len(calls) == 1, calls  # three batches, ONE tree walk
 
-        # restart on a fresh checkpoint: records replay, the rescan runs
-        # once more, and filename recovery keeps the store dup-free
+        # checkpoint loss + restart on a fresh one: records replay, the
+        # rescan runs once more, and filename recovery keeps the store
+        # dup-free (losing the checkpoint releases the _WRITER pin too)
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "ck"))
         q = (
             object_store_stream_sink(stream, out, "events", str(tmp_path / "ck2"), flush_size=4)
             .trigger(availableNow=True)
@@ -383,3 +390,39 @@ def test_recovery_scan_runs_once_across_batches(spark, tmp_path):
     back = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(out, "events"))
     assert back.count() == 30
     assert back.select("partition", "offset").distinct().count() == 30
+
+
+def test_second_concurrent_exporter_rejected(spark, tmp_path):
+    # two sinks feeding one (out_dir, topic) prefix race the in-driver
+    # recovery cache — the second must fail loudly at construction
+    # (VERDICT r6 item 5)
+    from kafka_stream_spark.streaming.object_store import (
+        claim_writer_pin,
+        object_store_stream_sink,
+    )
+
+    out = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(
+            "partition int, offset bigint, key string, value string"
+        )
+        .parquet(str(tmp_path / "nothing") + "/*")
+    )
+    ck1 = str(tmp_path / "ck1")
+    os.makedirs(ck1)  # an owner whose checkpoint exists = maybe live
+    object_store_stream_sink(stream, out, "events", ck1)
+    with pytest.raises(ValueError, match="already.*owned|owned by"):
+        object_store_stream_sink(stream, out, "events", str(tmp_path / "ck2"))
+    # same checkpoint (a restart of the same exporter) reclaims
+    object_store_stream_sink(stream, out, "events", ck1)
+    # a DIFFERENT topic under the same out_dir is its own prefix
+    object_store_stream_sink(stream, out, "other", str(tmp_path / "ck3"))
+
+    # once the owner's checkpoint is gone it cannot restart — a
+    # replacement exporter takes the pin over
+    import shutil
+
+    shutil.rmtree(ck1)
+    claim_writer_pin(out, "events", str(tmp_path / "ck2"))
+    with open(os.path.join(out, "_WRITER-events")) as f:
+        assert f.read().strip() == os.path.abspath(str(tmp_path / "ck2"))
