@@ -164,44 +164,34 @@ def geo_near_join(
     )
 
 
-def geo_near_join_banded(
+def _banded_frames(
     left: DataFrame,
     right: DataFrame,
     radius_km: float,
-    grid_deg: float = 5.0,
-    lat: str = "lat",
-    lon: str = "lon",
-) -> DataFrame:
-    """Globally-complete spatial near-join: latitude-BANDED grid, valid
-    for every latitude including the poles (the fixed-window
-    :func:`geo_near_join` is tighter per-candidate inside ±55° but
-    raises outside its covered domain; this is the operator it points
-    callers at).
-
-    Design: latitude is banded into ``grid_deg`` rows; each band gets
-    its own longitude cell count ``nx ≈ 360·cos(band)/grid_deg`` so
-    cells keep roughly constant PHYSICAL width as the circumference
-    shrinks poleward. Per neighbor band, the longitude window is
-    derived from the spherical bound asin(sin(R/Re)/cos(band max
-    |lat|)); a band whose window would wrap collapses to a single cell
-    (the polar cap). Candidate cells per left row are enumerated as a
-    contiguous wrapped run of DISTINCT cells, so no pair is produced
-    twice. The whole pipeline is JVM expressions: explode to neighbor
-    bands, broadcast-join the tiny band table, explode the per-band
-    window, equi-join on (band, cell), haversine verify — cost is
-    candidate-proportional, never |L|×|R|."""
+    grid_deg: float,
+    lat: str,
+    lon: str,
+    cap_salts: int,
+):
+    """The banded join's keyed inputs: ``(l, rb)`` ready to equi-join on
+    ``["_band", "_cx", "_salt"]``. Split out so tests can assert the
+    key-space shape (cap salting, window spans) without re-deriving the
+    geometry."""
     import math
 
     if not 0 < grid_deg <= 90:
         raise ValueError(f"grid_deg={grid_deg} out of range")
+    if cap_salts < 1:
+        raise ValueError(f"cap_salts={cap_salts} must be >= 1")
     r = radius_km / _EARTH_KM
     if r >= math.pi / 2:
         raise ValueError(f"radius_km={radius_km} is not grid-joinable")
     n_bands = int(math.ceil(180.0 / grid_deg))
     dy_range = int((radius_km / 111.0) / grid_deg) + 1
 
-    # tiny driver-built band table: per band, its lon cell count and the
-    # half-width (in cells) of the window that covers the radius there
+    # tiny driver-built band table: per band, its lon cell count, the
+    # half-width (in cells) of the window that covers the radius there,
+    # and the salt fan-out (cap bands only — see geo_near_join_banded)
     rows = []
     for b in range(n_bands):
         lo = b * grid_deg - 90.0
@@ -218,10 +208,13 @@ def geo_near_join_banded(
             dxb = int(math.degrees(math.asin(s)) / width) + 1
             span = min(2 * dxb + 1, nx)
             dx_lo = -dxb if span < nx else 0
-        rows.append((b, nx, dx_lo, span))
+        # a full-wrap band collapses to few join keys; salt it so the
+        # cap's candidate verify spreads over cap_salts tasks
+        nsalt = cap_salts if span == nx else 1
+        rows.append((b, nx, dx_lo, span, nsalt))
     spark = left.sparkSession
     bands = spark.createDataFrame(
-        rows, "_band int, _nx int, _dx_lo int, _span int"
+        rows, "_band int, _nx int, _dx_lo int, _span int, _nsalt int"
     )
 
     band_of = lambda c: F.least(
@@ -248,21 +241,74 @@ def geo_near_join_banded(
             ((cx_in_band("lon_l") + F.col("_dx_lo") + F.col("_k"))
              % F.col("_nx") + F.col("_nx")) % F.col("_nx"),
         )
-        .drop("_k", "_dx_lo", "_span", "_nx")
+        # each left row picks ONE salt (content hash); nsalt is 1
+        # outside cap bands, so _salt is 0 there
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("lat_l", "lon_l"), F.col("_nsalt")).cast("int"),
+        )
+        .drop("_k", "_dx_lo", "_span", "_nx", "_nsalt")
     )
     rb = (
         right.withColumnRenamed(lat, "lat_r").withColumnRenamed(lon, "lon_r")
         .withColumn("_band", band_of("lat_r"))
         .join(F.broadcast(bands), "_band")
         .withColumn("_cx", cx_in_band("lon_r"))
-        .drop("_dx_lo", "_span", "_nx")
+        # right rows replicate across every salt of their band (k× only
+        # inside cap bands), so each left salt still sees the full set
+        .withColumn("_salt", F.explode(F.expr("sequence(0, _nsalt - 1)")))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+        .drop("_dx_lo", "_span", "_nx", "_nsalt")
+    )
+    return l, rb
+
+
+def geo_near_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    grid_deg: float = 5.0,
+    lat: str = "lat",
+    lon: str = "lon",
+    cap_salts: int = 8,
+) -> DataFrame:
+    """Globally-complete spatial near-join: latitude-BANDED grid, valid
+    for every latitude including the poles (the fixed-window
+    :func:`geo_near_join` is tighter per-candidate inside ±55° but
+    raises outside its covered domain; this is the operator it points
+    callers at).
+
+    Design: latitude is banded into ``grid_deg`` rows; each band gets
+    its own longitude cell count ``nx ≈ 360·cos(band)/grid_deg`` so
+    cells keep roughly constant PHYSICAL width as the circumference
+    shrinks poleward. Per neighbor band, the longitude window is
+    derived from the spherical bound asin(sin(R/Re)/cos(band max
+    |lat|)); a band whose window would wrap collapses to a single cell
+    (the polar cap). Candidate cells per left row are enumerated as a
+    contiguous wrapped run of DISTINCT cells, so no pair is produced
+    twice. The whole pipeline is JVM expressions: explode to neighbor
+    bands, broadcast-join the tiny band table, explode the per-band
+    window, equi-join on (band, cell, salt), haversine verify — cost is
+    candidate-proportional, never |L|×|R|.
+
+    Polar-cap skew (``cap_salts``): a full-wrap band funnels every row
+    within dy_range of a pole onto ONE (band, cell) join key — with
+    polar-dense data (icebreaker AIS) that key is a straggler task at
+    scale. Cap bands are therefore salted: each left row hashes to one
+    of ``cap_salts`` sub-keys and the cap's right rows replicate across
+    all of them, spreading the cap verify over ``cap_salts`` tasks for
+    a ``cap_salts``× replication of the (small) polar right side. Every
+    pair still joins exactly once. Non-cap bands keep a single salt —
+    zero overhead on the common path."""
+    l, rb = _banded_frames(
+        left, right, radius_km, grid_deg, lat, lon, cap_salts
     )
     dist = haversine_km_expr("lat_l", "lon_l", "lat_r", "lon_r")
     return (
-        l.join(rb, ["_band", "_cx"])
+        l.join(rb, ["_band", "_cx", "_salt"])
         .withColumn("dist_km", F.round(dist, 6))
         .filter(F.col("dist_km") <= radius_km)
-        .drop("_band", "_cx")
+        .drop("_band", "_cx", "_salt")
     )
 
 

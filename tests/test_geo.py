@@ -238,3 +238,58 @@ def test_banded_join_property_random_radius_and_grid(spark):
         )
         want = {(x.lid, x.rid) for x in brute.collect()}
         assert got == want, (radius, grid, len(got - want), len(want - got))
+
+
+def test_polar_cap_salting_spreads_join_key(spark):
+    # every row within dy_range of a pole lands in a full-wrap (cap)
+    # band whose window collapses to few cells — at 100 TB with
+    # polar-dense data that (band, cell) key is ONE straggler task.
+    # Cap bands are salted: left rows hash across cap_salts sub-keys,
+    # right rows replicate over all of them (VERDICT r6 item 2).
+    from kafka_stream_spark.operators.geo import (
+        _banded_frames,
+        geo_near_join_banded,
+    )
+
+    polar = [(i, 89.0 + (i % 90) / 100.0, float(i * 4 % 360) - 180.0)
+             for i in range(200)]
+    L = spark.createDataFrame(polar, ["lid", "lat", "lon"])
+    R = spark.createDataFrame(
+        [(i + 1000, la, lo) for i, la, lo in polar], ["rid", "lat", "lon"]
+    )
+    l, rb = _banded_frames(L, R, 300.0, 5.0, "lat", "lon", 8)
+    # the top band (89-90°) is a cap: left spreads over >1 salt …
+    cap_band = 35  # floor((89+90)/5) with grid 5° → band 35 (85..90°)
+    lsalts = {
+        r._salt for r in l.filter(F.col("_band") == cap_band)
+        .select("_salt").distinct().collect()
+    }
+    assert len(lsalts) > 1 and lsalts <= set(range(8))
+    # … and every cap right row replicates across ALL 8 salts
+    rsalts = {
+        r._salt for r in rb.filter(F.col("_band") == cap_band)
+        .select("_salt").distinct().collect()
+    }
+    assert rsalts == set(range(8))
+    # non-cap bands keep exactly one salt (no overhead off the caps):
+    # band 34 (80..85°) is the left rows' non-cap dy-neighbor
+    mid = l.filter(F.col("_band") == 34).select("_salt").distinct().collect()
+    assert [r._salt for r in mid] == [0]
+
+    # results under salting are still the exact brute-force pair set
+    import collections
+
+    brute = (
+        L.withColumnRenamed("lat", "lat_l").withColumnRenamed("lon", "lon_l")
+        .crossJoin(
+            R.withColumnRenamed("lat", "lat_r").withColumnRenamed("lon", "lon_r")
+        )
+        .withColumn("d", haversine_km_expr("lat_l", "lon_l", "lat_r", "lon_r"))
+    )
+    want = {(x.lid, x.rid) for x in brute.filter(F.col("d") <= 300.0).collect()}
+    got = [
+        (x.lid, x.rid)
+        for x in geo_near_join_banded(L, R, 300.0, cap_salts=8).collect()
+    ]
+    assert set(got) == want
+    assert not [k for k, v in collections.Counter(got).items() if v > 1]
