@@ -60,6 +60,7 @@ def geo_near_join(
     dx_range: int | None = None,
     dy_range: int | None = None,
     max_abs_lat: float = 55.0,
+    strict: bool = False,
 ) -> DataFrame:
     """All pairs (left, right) within ``radius_km``, with ``dist_km``.
 
@@ -72,11 +73,16 @@ def geo_near_join(
     exceeding that bound RAISES at execution instead of silently
     dropping pairs. A caller with higher-latitude data passes a larger
     ``max_abs_lat`` and the longitude window widens automatically —
-    until the window would wrap more than half the globe, where a
-    latitude-banded grid is the right tool and this raises. Longitude
-    cells wrap at the ±180° antimeridian (the grid must tile the
-    circle: ``grid_deg`` has to divide 360), so dateline-straddling
-    pairs are found."""
+    until the window would wrap more than half the globe, where the
+    fixed grid stops being the right tool: by default the call then
+    AUTO-DISPATCHES to :func:`geo_near_join_banded` (same pair set,
+    latitude-banded key space); ``strict=True`` keeps the old
+    ValueError for callers that pin the fixed-grid plan. The per-row
+    ``max_abs_lat`` execution guard is unchanged — only the two
+    configuration-time infeasibility cases dispatch. Longitude cells
+    wrap at the ±180° antimeridian (the grid must tile the circle:
+    ``grid_deg`` has to divide 360), so dateline-straddling pairs are
+    found."""
     import math
 
     nx = 360.0 / grid_deg
@@ -100,6 +106,11 @@ def geo_near_join(
             raise ValueError(f"radius_km={radius_km} is not grid-joinable")
         s = math.sin(r) / math.cos(math.radians(max_abs_lat))
         if s >= 1.0:
+            if not strict:
+                return geo_near_join_banded(
+                    left, right, radius_km, grid_deg=grid_deg,
+                    lat=lat, lon=lon,
+                )
             raise ValueError(
                 f"radius {radius_km} km at |lat| ≤ {max_abs_lat}° spans "
                 "every longitude — use geo_near_join_banded"
@@ -107,6 +118,10 @@ def geo_near_join(
         lon_deg = math.degrees(math.asin(s))
         dx_range = int(lon_deg / grid_deg) + 1
     if 2 * dx_range + 1 >= nx:
+        if not strict:
+            return geo_near_join_banded(
+                left, right, radius_km, grid_deg=grid_deg, lat=lat, lon=lon
+            )
         raise ValueError(
             f"longitude window (±{dx_range} cells of {grid_deg}°) wraps "
             f"past half the globe for radius {radius_km} km at "

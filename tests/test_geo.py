@@ -115,7 +115,25 @@ def test_config_validation_raises(spark):
     with pytest.raises(ValueError, match="divide 360"):
         geo_near_join(L, R, 500.0, grid_deg=7.0)
     with pytest.raises(ValueError, match="geo_near_join_banded"):
-        geo_near_join(L, R, 500.0, max_abs_lat=89.5)
+        geo_near_join(L, R, 500.0, max_abs_lat=89.5, strict=True)
+
+
+def test_infeasible_fixed_grid_auto_dispatches_to_banded(spark):
+    # a configuration whose longitude window would wrap past half the
+    # globe dispatches to the banded operator by default (strict=True
+    # keeps the old ValueError) — same pair set, polar-safe key space
+    L = spark.createDataFrame(
+        [(1, 89.5, 10.0), (2, 0.0, 0.0)], ["lid", "lat", "lon"]
+    )
+    R = spark.createDataFrame(
+        [(3, 89.7, -170.0), (4, 0.1, 0.1)], ["rid", "lat", "lon"]
+    )
+    got = {
+        (x.lid, x.rid)
+        for x in geo_near_join(L, R, 500.0, max_abs_lat=89.9).collect()
+    }
+    # polar pair (≈60 km apart across the cap) and equator pair both found
+    assert got == {(1, 3), (2, 4)}
 
 def test_banded_join_matches_brute_force_globally(spark):
     # full-globe md5-placed points PLUS planted polar / antimeridian
