@@ -109,11 +109,13 @@ def _decode_ppm(content: bytes) -> dict:
 
 
 def _decode_bmp(content: bytes) -> dict:
-    """Windows BMP decoder (BITMAPINFOHEADER): uncompressed 24/32-bit
-    truecolor, 8-bit palette, and RLE8-compressed 8-bit palette — wire
-    layout is the public Windows BMP file-format spec. Remaining typed
-    seams: 1/4/16-bit pixels, RLE4, and RLE delta escapes (rare; a
-    library drops into the same dispatch)."""
+    """Windows BMP decoder (BITMAPINFOHEADER): uncompressed 1/4/8-bit
+    palette (packed MSB-first), 16-bit XRGB1555, 24/32-bit truecolor,
+    and RLE8/RLE4-compressed palette images including delta escapes —
+    wire layout is the public Windows BMP file-format spec. Remaining
+    typed seams: 2-bit (Windows CE only), BI_BITFIELDS custom channel
+    masks, and OS/2 BITMAPCOREHEADER (a library drops into the same
+    dispatch)."""
     import struct as _struct
 
     if len(content) < 54:
@@ -124,8 +126,10 @@ def _decode_bmp(content: bytes) -> dict:
     bpp = _struct.unpack_from("<H", content, 28)[0]
     compression = _struct.unpack_from("<I", content, 30)[0]
     clr_used = _struct.unpack_from("<I", content, 46)[0]
-    supported = (compression == 0 and bpp in (8, 24, 32)) or (
-        compression == 1 and bpp == 8
+    supported = (
+        (compression == 0 and bpp in (1, 4, 8, 16, 24, 32))
+        or (compression == 1 and bpp == 8)
+        or (compression == 2 and bpp == 4)
     )
     if not supported:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
@@ -133,30 +137,59 @@ def _decode_bmp(content: bytes) -> dict:
     if width <= 0 or height == 0:
         raise ValueError("BMP with zero or negative dimension")
     n = width * height * 3
-    if bpp == 8:
+    if bpp in (1, 4, 8):
         # palette: BGRA quads right after the info header; entry's
         # luminance contribution is b+g+r
-        n_entries = clr_used or 256
+        n_entries = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         pal = content[pal_off : pal_off + 4 * n_entries]
         if len(pal) != 4 * n_entries:
             raise ValueError("truncated BMP palette")
         lut = [pal[i] + pal[i + 1] + pal[i + 2] for i in range(0, len(pal), 4)]
-        if compression == 0:
-            stride = (width + 3) & ~3
-            total = 0
-            for row in range(height):
-                base = data_off + row * stride
-                line = content[base : base + width]
-                if len(line) != width:
-                    raise ValueError("truncated BMP pixel data")
-                try:
+        if compression == 1:
+            return _decode_bmp_rle(content, data_off, width, height, lut, 8)
+        if compression == 2:
+            return _decode_bmp_rle(content, data_off, width, height, lut, 4)
+        # packed rows, MSB-first within each byte (the BMP bit order);
+        # stride pads to 4-byte boundaries in BITS
+        stride = ((width * bpp + 31) // 32) * 4
+        row_bytes = (width * bpp + 7) // 8
+        total = 0
+        for row in range(height):
+            base = data_off + row * stride
+            line = content[base : base + row_bytes]
+            if len(line) != row_bytes:
+                raise ValueError("truncated BMP pixel data")
+            try:
+                if bpp == 8:
                     total += sum(lut[v] for v in line)
-                except IndexError:
-                    raise ValueError("BMP palette index out of range") from None
-            return {"width": width, "height": height, "channels": 3,
-                    "mean_lum": round(total / n, 6)}
-        return _decode_bmp_rle8(content, data_off, width, height, lut)
+                elif bpp == 4:
+                    for x in range(width):
+                        byte = line[x >> 1]
+                        total += lut[(byte >> 4) if x % 2 == 0 else (byte & 0x0F)]
+                else:  # 1-bit
+                    for x in range(width):
+                        total += lut[(line[x >> 3] >> (7 - (x & 7))) & 1]
+            except IndexError:
+                raise ValueError("BMP palette index out of range") from None
+        return {"width": width, "height": height, "channels": 3,
+                "mean_lum": round(total / n, 6)}
+    if bpp == 16:
+        # BI_RGB 16bpp is XRGB1555; 5-bit channels expand to 8 bits by
+        # (v<<3)|(v>>2), the standard bit-replication rule
+        stride = (width * 2 + 3) & ~3
+        exp = [(v << 3) | (v >> 2) for v in range(32)]
+        total = 0
+        for row in range(height):
+            base = data_off + row * stride
+            line = content[base : base + width * 2]
+            if len(line) != width * 2:
+                raise ValueError("truncated BMP pixel data")
+            for x in range(width):
+                u = line[2 * x] | (line[2 * x + 1] << 8)
+                total += exp[(u >> 10) & 31] + exp[(u >> 5) & 31] + exp[u & 31]
+        return {"width": width, "height": height, "channels": 3,
+                "mean_lum": round(total / n, 6)}
     bytes_pp = bpp // 8
     stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
     total = 0
@@ -177,48 +210,64 @@ def _decode_bmp(content: bytes) -> dict:
     }
 
 
-def _decode_bmp_rle8(content: bytes, pos: int, width: int, height: int,
-                     lut: list[int]) -> dict:
-    """BI_RLE8 (BMP spec): encoded runs ``[count, index]``, escapes
-    ``00 00`` end-of-line, ``00 01`` end-of-bitmap, ``00 03+`` absolute
-    runs (word-padded). Delta (``00 02``) skips pixels whose value is
-    undefined by the spec — rare and ambiguous for stats, so it stays a
-    typed seam. Pixels a short line leaves unwritten default to palette
-    index 0, matching common decoder behavior."""
+def _decode_bmp_rle(content: bytes, pos: int, width: int, height: int,
+                    lut: list[int], bits: int) -> dict:
+    """BI_RLE8 / BI_RLE4 (BMP spec): encoded runs ``[count, value]``
+    (RLE4 alternates the value byte's two nibbles), escapes ``00 00``
+    end-of-line, ``00 01`` end-of-bitmap, ``00 02 dx dy`` delta, and
+    ``00 03+`` absolute runs (packed nibbles for RLE4; both
+    word-padded). Pixels a short line, an early EOB, or a delta skip
+    leaves unwritten default to palette index 0, matching common
+    decoder behavior."""
     total = 0
     rows_done = x = 0
-    row_count = 0  # pixels written in the current row
     try:
         while rows_done < height:
             count, val = content[pos], content[pos + 1]
             pos += 2
             if count:  # encoded run
                 run = min(count, width - x)
-                total += lut[val] * run
+                if bits == 8:
+                    total += lut[val] * run
+                else:  # RLE4: high nibble first, alternating
+                    hi, lo = lut[val >> 4], lut[val & 0x0F]
+                    total += hi * ((run + 1) // 2) + lo * (run // 2)
                 x += run
-                row_count += run
             elif val == 0:  # end of line: unwritten pixels = index 0
-                total += lut[0] * (width - row_count)
+                total += lut[0] * (width - x)
                 rows_done += 1
-                x = row_count = 0
+                x = 0
             elif val == 1:  # end of bitmap
-                total += lut[0] * (width - row_count)
+                total += lut[0] * (width - x)
                 rows_done += 1
                 total += lut[0] * width * (height - rows_done)
                 rows_done = height
-            elif val == 2:
-                raise NotImplementedError("BMP RLE8 delta escape")
-            else:  # absolute run of `val` raw indices, word-padded
+            elif val == 2:  # delta: cursor moves right dx, up dy rows;
+                # the skipped pixels are undefined by the spec — they
+                # decode as index 0, like every other unwritten pixel
+                dx, dy = content[pos], content[pos + 1]
+                pos += 2
+                if x + dx > width or rows_done + dy >= height:
+                    raise ValueError("BMP RLE delta out of bounds")
+                total += lut[0] * (dy * width + dx)
+                rows_done += dy
+                x += dx
+            else:  # absolute run of `val` raw pixels, word-padded
                 run = min(val, width - x)
-                chunk = content[pos : pos + val]
-                if len(chunk) != val:
-                    raise ValueError("truncated BMP RLE8 data")
-                total += sum(lut[v] for v in chunk[:run])
+                nbytes = val if bits == 8 else (val + 1) // 2
+                chunk = content[pos : pos + nbytes]
+                if len(chunk) != nbytes:
+                    raise ValueError("truncated BMP RLE data")
+                if bits == 8:
+                    total += sum(lut[v] for v in chunk[:run])
+                else:
+                    for i in range(run):
+                        byte = chunk[i >> 1]
+                        total += lut[(byte >> 4) if i % 2 == 0 else (byte & 0x0F)]
                 x += run
-                row_count += run
-                pos += val + (val & 1)
+                pos += nbytes + (nbytes & 1)
     except IndexError:
-        raise ValueError("truncated BMP RLE8 data") from None
+        raise ValueError("truncated BMP RLE data") from None
     return {"width": width, "height": height, "channels": 3,
             "mean_lum": round(total / (width * height * 3), 6)}
 

@@ -962,7 +962,129 @@ def test_bmp_rle8_short_line_pads_with_index_zero():
 def test_bmp_unsupported_modes_stay_typed():
     import struct
 
-    hdr = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
-           + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 4, 0, 4, 0, 0, 0, 0))
-    with pytest.raises(NotImplementedError, match="bpp=4"):
-        decode_image(hdr + b"\x00" * 8)
+    # 2-bit (Windows CE) and BI_BITFIELDS masks stay typed seams
+    hdr2 = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 2, 0, 4, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="bpp=2"):
+        decode_image(hdr2 + b"\x00" * 8)
+    hdrbf = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+             + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 16, 3, 4, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="compression=3"):
+        decode_image(hdrbf + b"\x00" * 8)
+
+
+def _bmp_packed(width, height, index_rows, palette, bpp):
+    """1- or 4-bit packed palette BMP (MSB-first, the BMP bit order)."""
+    import struct
+
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    stride = ((width * bpp + 31) // 32) * 4
+    pixels = b""
+    for row in reversed(index_rows):  # bottom-up
+        bits = 0
+        acc = bytearray()
+        cur = 0
+        for v in row:
+            cur = (cur << bpp) | v
+            bits += bpp
+            if bits == 8:
+                acc.append(cur)
+                cur = bits = 0
+        if bits:
+            acc.append(cur << (8 - bits))
+        pixels += bytes(acc) + b"\x00" * (stride - len(acc))
+    data_off = 54 + len(pal)
+    header = (
+        b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                      len(pixels), 2835, 2835, len(palette), 0)
+    )
+    return header + pal + pixels
+
+
+def test_bmp_1bit_and_4bit_packed():
+    pal4 = [(250, 10, 30), (0, 200, 0), (5, 5, 5), (90, 80, 70)]
+    rows = [[0, 1, 2, 3, 1], [3, 3, 0, 0, 2]]
+    want = round(sum(sum(pal4[i]) for r in rows for i in r) / (5 * 2 * 3), 6)
+    got = decode_image(_bmp_packed(5, 2, rows, pal4, 4))
+    assert got == {"width": 5, "height": 2, "channels": 3, "mean_lum": want}
+
+    pal1 = [(10, 20, 30), (200, 100, 50)]
+    rows1 = [[0, 1, 1, 0, 1, 0, 0, 1, 1], [1, 0, 0, 1, 0, 1, 1, 0, 0]]
+    want1 = round(sum(sum(pal1[i]) for r in rows1 for i in r) / (9 * 2 * 3), 6)
+    got1 = decode_image(_bmp_packed(9, 2, rows1, pal1, 1))
+    assert got1 == {"width": 9, "height": 2, "channels": 3, "mean_lum": want1}
+
+
+def test_bmp_16bit_xrgb1555():
+    import struct
+
+    # two pixels: pure red (31,0,0) and mid gray (16,16,16)
+    def px(r, g, b):
+        return struct.pack("<H", (r << 10) | (g << 5) | b)
+
+    pixels = px(31, 0, 0) + px(16, 16, 16)  # one row, width 2 → 4 bytes, no pad
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 16, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    )
+    f = decode_image(header + pixels)
+    exp = lambda v: (v << 3) | (v >> 2)  # 5→8 bit replication
+    want = round((exp(31) + 2 * exp(0) + 3 * exp(16)) / 6, 6)
+    assert f == {"width": 2, "height": 1, "channels": 3, "mean_lum": want}
+
+
+def _bmp_rle4(width, height, payload, palette):
+    import struct
+
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    data_off = 54 + len(pal)
+    header = (
+        b"BM" + struct.pack("<IHHI", data_off + len(payload), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 4, 2,
+                      len(payload), 2835, 2835, len(palette), 0)
+    )
+    return header + pal + bytes(payload)
+
+
+def test_bmp_rle4_runs_absolute_and_delta():
+    pal = [(8, 8, 8), (250, 10, 30), (0, 200, 0), (90, 80, 70)]
+    lum = [sum(p) for p in pal]
+    # bottom row first (BMP bottom-up). Width 6, height 2.
+    # bottom row: encoded run of 5 alternating 1,2 then run 1 of 3, EOL
+    # top row: absolute run of 3 raw nibbles [2,3,1] (2 bytes, word-
+    #          padded), delta right 2 (zero-filled), run 1 of 1, EOB
+    payload = (
+        [5, 0x12, 1, 0x33, 0, 0]
+        + [0, 3, 0x23, 0x10]        # absolute 3: nibbles 2,3,1 (word-aligned)
+        + [0, 2, 2, 0]              # delta dx=2 dy=0 → indices 0,0
+        + [1, 0x11, 0, 1]           # run 1 of index 1, then EOB
+    )
+    f = decode_image(_bmp_rle4(6, 2, payload, pal))
+    bottom = lum[1] * 3 + lum[2] * 2 + lum[3]          # 1,2,1,2,1,3
+    top = lum[2] + lum[3] + lum[1] + 2 * lum[0] + lum[1]  # 2,3,1,0,0,1
+    want = round((bottom + top) / (6 * 2 * 3), 6)
+    assert f == {"width": 6, "height": 2, "channels": 3, "mean_lum": want}
+
+
+def test_bmp_rle8_delta_escape_zero_fills():
+    import struct
+
+    pal = [(30, 30, 30), (90, 90, 90)]
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+    data_off = 54 + len(pal_bytes)
+    # width 4, height 2 (bottom-up): run 1 of index 1, delta right 1
+    # down... up 1 row (dy=1), run 2 of index 1, EOB
+    pixels = bytes([1, 1, 0, 2, 1, 1, 2, 1, 0, 1])
+    header = (
+        b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1,
+                      len(pixels), 2835, 2835, 2, 0)
+    )
+    f = decode_image(header + pal_bytes + pixels)
+    # bottom row: index 1, then delta dx=1 dy=1 skips dy*width+dx = 5
+    # pixels as zeros; then 2× index 1 completes the top row (EOB fills
+    # nothing). 3 written + 5 skipped = 8 pixels.
+    want = round((3 * 270 + 5 * 90) / (8 * 3), 6)
+    assert f["mean_lum"] == want
