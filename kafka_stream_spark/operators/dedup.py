@@ -251,20 +251,26 @@ def _mh_duck_params_values() -> str:
     )
 
 
-def _mh_band_candidates(sh: DataFrame) -> DataFrame:
-    """MinHash band-collision candidate pairs over a (doc_id, sh) table —
-    the LSH candidate stage, shared by dedup_minhash_lsh and the
-    dedup_eval_metrics recall probe (identical stage, same constants)."""
-    rows_per_band = len(_MH_PARAMS) // _MH_BANDS
+def _mh_signatures(sh: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature (doc_id, h0..h15): one groupBy(doc_id)
+    computing all 16 minima as separate aggregates — no 16x row
+    explosion, one shuffle instead of two."""
     hx = sh.withColumn("x", F.expr(_SPARK_H60))
-    # one groupBy(doc_id) computing all 16 signature minima as separate
-    # aggregates — no 16x row explosion, one shuffle instead of two
-    sig = hx.groupBy("doc_id").agg(
+    return hx.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"({a}L * x + {b}L) % {_MH_P}L")).alias(f"h{i}")
             for i, (a, b) in enumerate(_MH_PARAMS)
         ]
     )
+
+
+def _mh_band_candidates(sh: DataFrame) -> DataFrame:
+    """MinHash band-collision candidate pairs over a (doc_id, sh) table —
+    the LSH candidate stage, shared by dedup_minhash_lsh, the
+    dedup_eval_metrics recall probe, and the calibration query
+    (identical stage, same constants)."""
+    rows_per_band = len(_MH_PARAMS) // _MH_BANDS
+    sig = _mh_signatures(sh)
     # band signature = concat of that band's minima; unpivot to (doc, band, sig)
     band_cols = [
         F.struct(
@@ -1386,4 +1392,124 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(nd <= _ED_MAX)
         .select("doc_a", "doc_b", "edit_dist", F.round(nd, 6).alias("norm_dist"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "minhash_estimate_calibration",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hx AS (SELECT doc_id, sh, {_DUCK_H60} AS x FROM sh),
+    hp(i, a, b) AS (VALUES {_mh_duck_params_values()}),
+    sig AS (
+      SELECT doc_id, i, min((a * x + b) % {_MH_P}) AS minv
+      FROM hx CROSS JOIN hp GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {len(_MH_PARAMS) // _MH_BANDS} AS band,
+             string_agg(minv::VARCHAR, ',' ORDER BY i) AS band_sig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             count(CASE WHEN x.minv = y.minv THEN 1 END) AS n_match
+      FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+                  JOIN sig y ON y.doc_id = c.doc_b AND y.i = x.i
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairj AS (
+      SELECT e.doc_a, e.doc_b, e.n_match,
+             CAST(round(1000000.0 * COALESCE(cm.n_common, 0)
+                  / (sa.n + sb.n - COALESCE(cm.n_common, 0)), 0) AS BIGINT)
+               AS jac_u
+      FROM est e
+      LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+      JOIN sz sa ON e.doc_a = sa.doc_id
+      JOIN sz sb ON e.doc_b = sb.doc_id
+    )
+    SELECT least(n_match // 2, 7) AS est_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(n_match) * 1.0 / count(*) / 16, 6) AS avg_est_jaccard,
+           round(sum(jac_u) * 1.0 / count(*) / 1000000, 6) AS avg_exact_jaccard
+    FROM pairj
+    GROUP BY est_bin
+    ORDER BY est_bin
+    """,
+    description=(
+        "MinHash estimator calibration: for every LSH candidate pair, the "
+        "signature-agreement Jaccard estimate vs the exact shingle "
+        "Jaccard, binned by estimate — measures the sketch the dedup "
+        "pipeline trusts instead of guessing (eighth-bins of the 16-row "
+        "signature)"
+    ),
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same signatures, bands, and candidate stage as dedup_minhash_lsh
+    (shared helpers — the estimator audited IS the production one).
+    Exact Jaccard mints an integer micro-unit per pair before any
+    averaging, so bin aggregates are exact-integer sums with one
+    fixed-shape division at the end."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sig = _mh_signatures(sh)
+    cand = _mh_band_candidates(sh)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(len(_MH_PARAMS))])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(len(_MH_PARAMS))])
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(_MH_PARAMS))
+    )
+    est = (
+        cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    shx = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shy = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(shx, ["doc_a"]).join(shy, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    pairj = (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("n").alias("na"))), ["doc_a"])
+        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("n").alias("nb"))), ["doc_b"])
+        .select(
+            "n_match",
+            F.round(1000000.0 * nc / (F.col("na") + F.col("nb") - nc), 0)
+            .cast("bigint").alias("jac_u"),
+        )
+    )
+    return (
+        pairj.groupBy(
+            F.least(F.floor(F.col("n_match") / 2), F.lit(7)).cast("bigint")
+            .alias("est_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("n_match") * 1.0 / F.count(F.lit(1)) / 16, 6).alias(
+                "avg_est_jaccard"
+            ),
+            F.round(F.sum("jac_u") * 1.0 / F.count(F.lit(1)) / 1000000, 6).alias(
+                "avg_exact_jaccard"
+            ),
+        )
+        .orderBy("est_bin")
     )

@@ -1139,3 +1139,180 @@ def windowed_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+@query(
+    "diff_in_diff_revenue",
+    oracle="""
+    WITH ext AS (
+      SELECT CAST(min(ts) AS DATE) + CAST(floor(date_diff('day',
+               CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) / 2) AS INTEGER)
+             AS split_day
+      FROM events
+    ),
+    cells AS (
+      SELECT CASE WHEN (('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))
+                        ::BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN CAST(ts AS DATE) >= split_day THEN 1 ELSE 0 END AS post,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events CROSS JOIN ext
+      WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT variant, post, count(*) AS n, sum(cents) AS s
+      FROM cells GROUP BY variant, post
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 'A' AND post = 0 THEN s * 1.0 / n END) AS pre_a,
+        max(CASE WHEN variant = 'A' AND post = 1 THEN s * 1.0 / n END) AS post_a,
+        max(CASE WHEN variant = 'B' AND post = 0 THEN s * 1.0 / n END) AS pre_b,
+        max(CASE WHEN variant = 'B' AND post = 1 THEN s * 1.0 / n END) AS post_b,
+        sum(n) AS n_events
+      FROM m
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           round(pre_a, 6) AS pre_a_cents, round(post_a, 6) AS post_a_cents,
+           round(pre_b, 6) AS pre_b_cents, round(post_b, 6) AS post_b_cents,
+           round((post_b - pre_b) - (post_a - pre_a), 6) AS did_cents
+    FROM wide
+    """,
+    description=(
+        "Difference-in-differences estimator on purchase revenue: md5-"
+        "assigned A/B variants x pre/post midpoint split; the treatment "
+        "effect is the B-group's post-pre delta net of the A-group's "
+        "trend — exact integer cell moments, fixed-shape float at the end"
+    ),
+)
+def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical quasi-experimental estimator (public econometrics;
+    same md5 variant assignment and midpoint split as
+    ``cuped_ab_adjustment`` so the designs compose). One conditional
+    groupBy builds the four (variant, period) cells as exact BIGINT
+    (n, sum) moments; every mean and the DiD contrast are fixed-shape
+    scalar expressions over them — no order-dependent float sums."""
+    (events,) = load(spark, sf_dir, "events")
+    mid = events.agg(
+        F.expr(
+            "cast(min(ts) as date) + cast(floor("
+            "datediff(cast(max(ts) as date), cast(min(ts) as date)) / 2) as int)"
+        ).alias("split_day")
+    )
+    hv = (
+        "cast(conv(substr(md5(cast(concat('ab:', cast(user_id as string)) "
+        "as binary)), 1, 8), 16, 10) as bigint)"
+    )
+    cells = (
+        events.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.expr(f"case when {hv} % 2 = 0 then 'A' else 'B' end").alias("variant"),
+            F.when(F.to_date("ts") >= F.col("split_day"), 1).otherwise(0).alias("post"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    m = cells.groupBy("variant", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    cell = lambda v, p: F.max(
+        F.when((F.col("variant") == v) & (F.col("post") == p), mean)
+    )
+    wide = m.agg(
+        cell("A", 0).alias("pre_a"), cell("A", 1).alias("post_a"),
+        cell("B", 0).alias("pre_b"), cell("B", 1).alias("post_b"),
+        F.sum("n").alias("n_events"),
+    )
+    return wide.select(
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("pre_a", 6).alias("pre_a_cents"),
+        F.round("post_a", 6).alias("post_a_cents"),
+        F.round("pre_b", 6).alias("pre_b_cents"),
+        F.round("post_b", 6).alias("post_b_cents"),
+        F.round(
+            (F.col("post_b") - F.col("pre_b")) - (F.col("post_a") - F.col("pre_a")), 6
+        ).alias("did_cents"),
+    )
+
+
+@query(
+    "winsorized_stats_value",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tot AS (SELECT count(*) AS n FROM ev),
+    byv AS (SELECT cents, count(*) AS c FROM ev GROUP BY cents),
+    cum AS (SELECT cents, sum(c) OVER (ORDER BY cents) AS cc FROM byv),
+    k AS (
+      SELECT n, greatest(1, CAST(floor(n * 5 / 100) AS BIGINT)) AS kl FROM tot
+    ),
+    bounds AS (
+      SELECT (SELECT min(cents) FROM cum, k WHERE cc >= kl) AS v_lo,
+             (SELECT min(cents) FROM cum, k WHERE cc >= n - kl + 1) AS v_hi
+    ),
+    w AS (
+      SELECT least(greatest(ev.cents, b.v_lo), b.v_hi) AS wc
+      FROM ev CROSS JOIN bounds b
+    ),
+    mom AS (SELECT count(*) AS n, sum(wc) AS s, sum(wc * wc) AS ss FROM w)
+    SELECT CAST(mom.n AS BIGINT) AS n_events,
+           CAST(b.v_lo AS BIGINT) AS lo_cents, CAST(b.v_hi AS BIGINT) AS hi_cents,
+           round(s * 1.0 / mom.n, 6) AS win_mean_cents,
+           round(sqrt(ss * 1.0 / mom.n - (s * 1.0 / mom.n) * (s * 1.0 / mom.n)), 6)
+             AS win_std_cents
+    FROM mom CROSS JOIN bounds b
+    """,
+    description=(
+        "Winsorized mean/std of purchase value: clamp at the exact p5/p95 "
+        "order statistics (distinct-cents domain, scalable rank lookup) "
+        "instead of dropping tails — the robust-statistics twin of "
+        "trimmed_mean_value"
+    ),
+)
+def winsorized_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics come from the DISTINCT-cents cumulative table
+    (the ``ks_drift_events`` device), so the rank lookup shuffles the
+    value domain, never the event count — the 100 TB shape. Clamped
+    moments stay exact BIGINT; mean/std are fixed-shape scalar floats."""
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    byv = ev.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = byv.select(
+        "cents", F.sum("c").over(Window.orderBy("cents")).alias("cc")
+    )
+    k = tot.select(
+        "n",
+        F.greatest(F.lit(1), F.floor(F.col("n") * 5 / 100)).cast("bigint").alias("kl"),
+    )
+    ck = cum.crossJoin(F.broadcast(k))
+    bounds = (
+        ck.filter(F.col("cc") >= F.col("kl"))
+        .agg(F.min("cents").alias("v_lo"))
+        .crossJoin(
+            ck.filter(F.col("cc") >= F.col("n") - F.col("kl") + 1)
+            .agg(F.min("cents").alias("v_hi"))
+        )
+    )
+    w = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.greatest(F.col("cents"), F.col("v_lo")), F.col("v_hi")).alias("wc"),
+        "v_lo", "v_hi",
+    )
+    mom = w.groupBy("v_lo", "v_hi").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("wc").alias("s"),
+        F.sum(F.col("wc") * F.col("wc")).alias("ss"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("v_lo").cast("bigint").alias("lo_cents"),
+        F.col("v_hi").cast("bigint").alias("hi_cents"),
+        F.round(mean, 6).alias("win_mean_cents"),
+        F.round(F.sqrt(F.col("ss") * 1.0 / F.col("n") - mean * mean), 6).alias(
+            "win_std_cents"
+        ),
+    )

@@ -1241,3 +1241,166 @@ def lang_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "skipgram_training_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.w AS w_center, b.w AS w_context, count(*) AS cnt
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+      GROUP BY 1, 2
+    )
+    SELECT w_center, w_context, CAST(cnt AS BIGINT) AS cnt
+    FROM pairs ORDER BY cnt DESC, w_center, w_context LIMIT 30
+    """,
+    description=(
+        "word2vec-style skip-gram pair generation (window 2, forward "
+        "offsets): corpus-wide (center, context) co-occurrence counts, "
+        "top 30 — the training-pair extraction stage of embedding "
+        "pipelines, as a candidate-proportional position equi-join"
+    ),
+)
+def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each token explodes to its ≤2 forward target positions and
+    equi-joins back on (doc_id, pos) — cost is window x corpus tokens,
+    never per-doc quadratic (the shape that survives long documents at
+    100 TB). Forward-only offsets count each unordered co-occurrence
+    once per direction, the skip-gram convention."""
+    (documents,) = load(spark, sf_dir, "documents")
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        documents.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .withColumn("pos", F.col("pos") + 1)  # 1-based like the oracle
+        .repartition(ncpu, "doc_id")
+    )
+    targets = tok.select(
+        "doc_id",
+        F.col("w").alias("w_center"),
+        F.explode(F.array(F.col("pos") + 1, F.col("pos") + 2)).alias("tpos"),
+    )
+    ctx = tok.select("doc_id", F.col("pos").alias("tpos"), F.col("w").alias("w_context"))
+    return (
+        targets.join(ctx, ["doc_id", "tpos"])
+        .groupBy("w_center", "w_context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w_center", "w_context")
+        .limit(30)
+    )
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ({_markers_sql_list()}))) * 1.0
+               / len(toks) AS marker_ratio
+      FROM t
+    ), pred AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN marker_ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
+      FROM scored
+    ), m AS (
+      SELECT labeled_lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY 1, 2
+    ), tot AS (
+      SELECT labeled_lang, sum(n_docs) AS label_total FROM m GROUP BY 1
+    )
+    SELECT m.labeled_lang, m.pred_lang, CAST(m.n_docs AS BIGINT) AS n_docs,
+           round(m.n_docs * 1.0 / t.label_total, 6) AS share_of_label
+    FROM m JOIN tot t ON m.labeled_lang = t.labeled_lang
+    ORDER BY m.labeled_lang, m.pred_lang
+    """,
+    description=(
+        "Language-ID evaluation: confusion matrix of the marker-ratio "
+        "classifier's predictions vs the labeled lang column, with "
+        "per-label shares — the quality gate for text_lang_id"
+    ),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolls up the REGISTERED ``text_lang_id`` builder, so classifier
+    and evaluation can never drift apart (the registry-composition
+    pattern from NOTES round 3)."""
+    pred = text_lang_id(spark, sf_dir).select("labeled_lang", "pred_lang")
+    m = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = m.groupBy("labeled_lang").agg(F.sum("n_docs").alias("label_total"))
+    return (
+        m.join(tot, "labeled_lang")
+        .select(
+            "labeled_lang", "pred_lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("n_docs") * 1.0 / F.col("label_total"), 6).alias(
+                "share_of_label"
+            ),
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+@query(
+    "corpus_token_concentration",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents
+    ),
+    tot AS (SELECT count(*) AS nd, sum(nt) AS t FROM d),
+    r AS (
+      SELECT nt, row_number() OVER (ORDER BY nt DESC, doc_id) AS rk FROM d
+    ),
+    c AS (SELECT rk, sum(nt) OVER (ORDER BY rk) AS cum FROM r),
+    pcts AS (SELECT unnest([1, 5, 10, 25, 50]) AS pct),
+    k AS (
+      SELECT pct, greatest(1, CAST(floor(nd * pct / 100) AS BIGINT)) AS kd,
+             t
+      FROM pcts CROSS JOIN tot
+    )
+    SELECT k.pct, k.kd AS top_docs, round(c.cum * 1.0 / k.t, 6) AS token_share
+    FROM k JOIN c ON c.rk = k.kd
+    ORDER BY k.pct
+    """,
+    description=(
+        "Corpus heavy-tail audit: what fraction of all tokens the top "
+        "1/5/10/25/50% longest documents contribute — the documents "
+        "twin of revenue_concentration, the first thing to check before "
+        "length-based sampling or packing"
+    ),
+)
+def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank docs by token count (total tie-break by doc_id), cumulative
+    token share at the 1/5/10/25/50% marks. The global window runs over
+    one row per DOCUMENT with two ints — at 100 TB this is the already-
+    reduced length table, not the corpus."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = documents.select("doc_id", F.size(F.split("text", " ")).alias("nt"))
+    tot = d.agg(F.count(F.lit(1)).alias("nd"), F.sum("nt").alias("t"))
+    w = Window.orderBy(F.col("nt").desc(), "doc_id")
+    c = d.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("nt").over(w).alias("cum"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in (1, 5, 10, 25, 50)], "pct int")
+    k = pcts.crossJoin(F.broadcast(tot)).select(
+        "pct",
+        F.greatest(F.lit(1), F.floor(F.col("nd") * F.col("pct") / 100))
+        .cast("bigint").alias("kd"),
+        "t",
+    )
+    return (
+        k.join(c, k["kd"] == c["rk"])
+        .select("pct", F.col("kd").alias("top_docs"),
+                F.round(F.col("cum") * 1.0 / F.col("t"), 6).alias("token_share"))
+        .orderBy("pct")
+    )

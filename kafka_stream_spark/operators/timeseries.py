@@ -1976,3 +1976,98 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "changepoint_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(cents) AS s, sum(cents * cents) AS sq
+      FROM daily
+    ),
+    pre AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS k,
+             sum(cents) OVER (ORDER BY day) AS pk
+      FROM daily
+    ),
+    scored AS (
+      -- between-segment contrast at split k (left = first k days):
+      -- d = pk*(n-k) - (s-pk)*k is EXACT in BIGINT; the square and the
+      -- ratio happen in one fixed-shape double expression
+      SELECT day, k, pk, n, s,
+             (CAST(pk * (n - k) - (s - pk) * k AS DOUBLE)
+              * CAST(pk * (n - k) - (s - pk) * k AS DOUBLE))
+             / (CAST(k AS DOUBLE) * (n - k)) AS gain
+      FROM pre CROSS JOIN tot
+      WHERE k < n
+    ),
+    best AS (
+      SELECT * FROM scored ORDER BY gain DESC, day LIMIT 1
+    )
+    SELECT b.day AS split_day,
+           CAST(b.k AS BIGINT) AS left_days,
+           CAST(b.n - b.k AS BIGINT) AS right_days,
+           round(b.pk * 1.0 / b.k, 6) AS left_mean_cents,
+           round((b.s - b.pk) * 1.0 / (b.n - b.k), 6) AS right_mean_cents,
+           round(b.gain / (b.n * (CAST(t.sq AS DOUBLE)
+                 - CAST(b.s AS DOUBLE) * b.s / b.n)), 6) AS var_explained
+    FROM best b CROSS JOIN tot t
+    """,
+    description=(
+        "Optimal single change-point on daily purchase revenue: the split "
+        "maximizing the between-segment SSE reduction (binary-segmentation "
+        "step 1) — exact BIGINT prefix contrasts, one fixed-shape double "
+        "ratio, total tie-break by day; the localization companion to "
+        "cusum_revenue_shift's detection"
+    ),
+)
+def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation's first split (public change-point method):
+    argmax_k of n1*n2/(n1+n2)*(mean1-mean2)^2, computed as
+    d^2/(k*(n-k)) with d = pk*(n-k) - (s-pk)*k from exact integer
+    prefix sums. The variance-explained normalization keeps the output
+    dimensionless. Identical double expressions in both engines; ties
+    break on day."""
+    (events,) = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    w = Window.orderBy("day")
+    pre = daily.select(
+        "day",
+        F.row_number().over(w).alias("k"),
+        F.sum("cents").over(w).alias("pk"),
+    )
+    d = F.col("pk") * (F.col("n") - F.col("k")) - (F.col("s") - F.col("pk")) * F.col("k")
+    gain = (d.cast("double") * d.cast("double")) / (
+        F.col("k").cast("double") * (F.col("n") - F.col("k"))
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .withColumn("gain", gain)
+    )
+    best = scored.orderBy(F.col("gain").desc(), "day").limit(1)
+    tss = F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("k").cast("bigint").alias("left_days"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("right_days"),
+        F.round(F.col("pk") * 1.0 / F.col("k"), 6).alias("left_mean_cents"),
+        F.round((F.col("s") - F.col("pk")) * 1.0 / (F.col("n") - F.col("k")), 6).alias(
+            "right_mean_cents"
+        ),
+        F.round(F.col("gain") / (F.col("n") * tss), 6).alias("var_explained"),
+    )
