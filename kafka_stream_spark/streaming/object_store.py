@@ -96,7 +96,11 @@ def committed_offsets(out_dir: str, topic: str) -> dict[tuple[str, int], int]:
     for root, _dirs, files in os.walk(out_dir):
         rel = os.path.relpath(root, out_dir)
         for name in files:
-            if name.startswith((".", "_")):  # temp + control (_WRITER)
+            # only dot-prefixed temp files are skipped by NAME: Kafka
+            # topic names may legally start with '_' (__consumer_offsets),
+            # so committed files can too — control files like the
+            # _WRITER pin fall out at the _FILE_RE match (no '+' fields)
+            if name.startswith("."):
                 continue
             m = _FILE_RE.match(name)
             if not m or m.group("topic") != topic:
