@@ -1397,6 +1397,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_estimate_calibration",
+    bench=True,
     oracle=f"""
     WITH {_SHINGLE_CTE},
     hx AS (SELECT doc_id, sh, {_DUCK_H60} AS x FROM sh),

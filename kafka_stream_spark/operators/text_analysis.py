@@ -1245,6 +1245,7 @@ def lang_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skipgram_training_pairs",
+    bench=True,
     oracle="""
     WITH tok AS (
       SELECT doc_id,
