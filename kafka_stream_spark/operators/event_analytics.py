@@ -1316,3 +1316,98 @@ def winsorized_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_std_cents"
         ),
     )
+
+
+@query(
+    "mann_whitney_ab_test",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN (('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))
+                        ::BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    byv AS (
+      SELECT cents,
+             count(*) AS t,
+             sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS tb
+      FROM ev GROUP BY cents
+    ),
+    ranked AS (
+      -- 2x the average rank of a tie group is exactly
+      -- 2*cum_before + (t + 1): integer, no float ranks anywhere
+      SELECT cents, t, tb,
+             2 * (sum(t) OVER (ORDER BY cents) - t) + t + 1 AS rank2
+      FROM byv
+    ),
+    agg AS (
+      SELECT sum(t) AS n, sum(tb) AS nb,
+             sum(tb * rank2) AS r2b,
+             sum(t * t * t - t) AS tie3
+      FROM ranked
+    ),
+    u AS (
+      SELECT n, nb, n - nb AS na,
+             (r2b - nb * (nb + 1)) / 2.0 AS ub,
+             tie3
+      FROM agg
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ub, 1) AS u_b,
+           round(1.0 - 2.0 * ub / (na * nb), 6) AS rank_biserial,
+           round((ub - na * nb / 2.0)
+                 / sqrt(na * 1.0 * nb / 12.0
+                        * ((n + 1) - tie3 * 1.0 / (n * (n - 1.0)))), 6) AS z
+    FROM u
+    """,
+    description=(
+        "Mann-Whitney U test on purchase value between the md5 A/B "
+        "variants: tie-averaged ranks kept exactly integral at 2x scale, "
+        "tie-corrected normal z and rank-biserial effect size — the "
+        "nonparametric companion to ab_test_analysis"
+    ),
+)
+def mann_whitney_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank statistics over the DISTINCT-cents domain (the
+    ``ks_drift_events`` device): per distinct value, the tie group's
+    doubled average rank is 2*cum_before + t + 1 — pure integers, so
+    R_B, U_B, and the tie-correction term Σ(t³−t) are exact BIGINT sums
+    regardless of row order; the z and effect-size floats are one
+    fixed-shape expression each. Shuffle width is the value domain,
+    never the event count."""
+    (events,) = load(spark, sf_dir, "events")
+    hv = (
+        "cast(conv(substr(md5(cast(concat('ab:', cast(user_id as string)) "
+        "as binary)), 1, 8), 16, 10) as bigint)"
+    )
+    ev = events.filter(F.col("event_type") == "purchase").select(
+        F.expr(f"case when {hv} % 2 = 0 then 'A' else 'B' end").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    byv = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("tb"),
+    )
+    w = Window.orderBy("cents")
+    ranked = byv.select(
+        "cents", "t", "tb",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1).alias("rank2"),
+    )
+    agg = ranked.agg(
+        F.sum("t").alias("n"), F.sum("tb").alias("nb"),
+        F.sum(F.col("tb") * F.col("rank2")).alias("r2b"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    na = F.col("n") - F.col("nb")
+    ub = (F.col("r2b") - F.col("nb") * (F.col("nb") + 1)) / 2.0
+    sigma = F.sqrt(
+        na * 1.0 * F.col("nb") / 12.0
+        * ((F.col("n") + 1) - F.col("tie3") * 1.0 / (F.col("n") * (F.col("n") - 1.0)))
+    )
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ub, 1).alias("u_b"),
+        F.round(1.0 - 2.0 * ub / (na * F.col("nb")), 6).alias("rank_biserial"),
+        F.round((ub - na * F.col("nb") / 2.0) / sigma, 6).alias("z"),
+    )

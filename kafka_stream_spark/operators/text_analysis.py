@@ -1405,3 +1405,83 @@ def corpus_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("cum") * 1.0 / F.col("t"), 6).alias("token_share"))
         .orderBy("pct")
     )
+
+
+@query(
+    "doclen_quantiles_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS nt FROM documents
+    ),
+    byv AS (SELECT source, nt, count(*) AS c FROM d GROUP BY source, nt),
+    cum AS (
+      SELECT source, nt, c,
+             sum(c) OVER (PARTITION BY source ORDER BY nt) AS cc,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM byv
+    ),
+    qs AS (SELECT unnest([25, 50, 75]) AS q),
+    t AS (
+      SELECT c.source, q.q, c.n,
+             CAST(ceil(q.q * c.n / 100.0) AS BIGINT) AS target
+      FROM (SELECT DISTINCT source, n FROM cum) c CROSS JOIN qs q
+    ),
+    hit AS (
+      SELECT t.source, t.q, t.n, min(c.nt) AS v
+      FROM t JOIN cum c ON c.source = t.source AND c.cc >= t.target
+      GROUP BY t.source, t.q, t.n
+    )
+    SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN q = 25 THEN v END) AS BIGINT) AS p25_tokens,
+           CAST(max(CASE WHEN q = 50 THEN v END) AS BIGINT) AS p50_tokens,
+           CAST(max(CASE WHEN q = 75 THEN v END) AS BIGINT) AS p75_tokens
+    FROM hit GROUP BY source ORDER BY source
+    """,
+    description=(
+        "Per-source document-length quartiles (exact type-1 order "
+        "statistics over the distinct-length domain) — the first look "
+        "at a new source before packing/chunking decisions; integers "
+        "end to end"
+    ),
+)
+def doclen_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quantiles with NO per-row sort: lengths reduce to
+    a (source, length) count table, a per-source cumulative walks the
+    distinct-length domain, and each quartile is the first length whose
+    cumulative count reaches ceil(q·n) — shuffle width is the length
+    domain per source, never the corpus."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = documents.select("source", F.size(F.split("text", " ")).alias("nt"))
+    byv = d.groupBy("source", "nt").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy("nt")
+    cum = byv.select(
+        "source", "nt",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+    qs = spark.createDataFrame([(25,), (50,), (75,)], "q int")
+    t = (
+        cum.select("source", "n").distinct()
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "source", "q", "n",
+            F.ceil(F.col("q") * F.col("n") / 100.0).cast("bigint").alias("target"),
+        )
+    )
+    hit = (
+        t.join(cum.select("source", "nt", "cc"), "source")
+        .filter(F.col("cc") >= F.col("target"))
+        .groupBy("source", "q", "n")
+        .agg(F.min("nt").alias("v"))
+    )
+    pick = lambda q: F.max(F.when(F.col("q") == q, F.col("v"))).cast("bigint")
+    return (
+        hit.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            pick(25).alias("p25_tokens"),
+            pick(50).alias("p50_tokens"),
+            pick(75).alias("p75_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -200,3 +200,25 @@ def test_avro_zero_width_array_block_bounded():
         {"type": "array", "items": {"type": "int"}}, False
     )(_zigzag_encode(2) + _zigzag_encode(7) + _zigzag_encode(9) + _zigzag_encode(0), 0)
     assert items == [7, 9]
+
+
+@given(_garbage)
+@settings(max_examples=120, deadline=None)
+def test_bmp_packed_and_rle_paths_terminate(data):
+    """Crafted BMP headers steering the round-7 decode paths (1/4-bit
+    packed, 16-bit, RLE8/RLE4 with delta escapes) over arbitrary pixel
+    payloads must terminate with a typed error or a parse."""
+    import struct
+
+    from kafka_stream_spark.operators.multimodal import decode_image
+
+    for bpp, comp in ((1, 0), (4, 0), (16, 0), (8, 1), (4, 2)):
+        n_pal = (1 << bpp) if bpp <= 8 else 0
+        pal = bytes(4 * n_pal)
+        hdr = (
+            b"BM" + struct.pack("<IHHI", 54 + len(pal) + len(data), 0, 0,
+                                54 + len(pal))
+            + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, bpp, comp,
+                          len(data), 2835, 2835, n_pal, 0)
+        )
+        _check(decode_image, hdr + pal + data)
