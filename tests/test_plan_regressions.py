@@ -561,3 +561,36 @@ def test_edit_distance_dedup_is_candidate_bounded(spark, sf_dir):
     p = plan_of(spark, sf_dir, "dedup_edit_distance")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_skipgram_pairs_are_position_equi_joined(spark, sf_dir):
+    # pair generation must be the (doc_id, position) equi-join — never a
+    # per-doc quadratic nested loop or cartesian
+    p = plan_of(spark, sf_dir, "skipgram_training_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # any hash EQUI-join qualifies (AQE broadcasts the token table at
+    # small SF; at scale the same plan shuffles on (doc_id, pos))
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+    # top-30 without a global sort of the pair table
+    assert "TakeOrderedAndProject" in p
+
+
+def test_mann_whitney_ranks_over_value_domain(spark, sf_dir):
+    # rank window must run over the DISTINCT-cents table, not per event:
+    # no exchange keyed on raw event rows after the domain reduction
+    p = plan_of(spark, sf_dir, "mann_whitney_ab_test")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    # the domain groupBy partial-aggregates map-side before the exchange
+    assert "HashAggregate" in p
+
+
+def test_minhash_calibration_reuses_equi_stages(spark, sf_dir):
+    # candidates, signature compare, and exact verify are all equi-joins
+    p = plan_of(spark, sf_dir, "minhash_estimate_calibration")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
