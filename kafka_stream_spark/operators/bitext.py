@@ -182,17 +182,24 @@ def mine_bitext(v: DataFrame, exact: bool = False) -> DataFrame:
         p = cand.join(x, ["src_id"]).join(y, ["tgt_id"]).select(
             "src_id", "tgt_id", cos_u
         )
+    # Window evaluation order groups SAME-KEY windows together (guide
+    # §2.4: consecutive windows over one partitioning share its exchange
+    # and sort): rx+sx both run under the src_id partitioning, then
+    # ry+sy under tgt_id, then the best-match rank re-enters src_id. The
+    # round-6 formulation alternated src/tgt/src/tgt/src and paid five
+    # exchanges of the candidate pair set; this one pays three for
+    # bit-identical results (sx depends only on rx, sy only on ry).
     wx = Window.partitionBy("src_id").orderBy(F.desc("cos_u"), F.asc("tgt_id"))
     wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_u"), F.asc("src_id"))
-    r = p.withColumn("rx", F.row_number().over(wx)).withColumn(
-        "ry", F.row_number().over(wy)
-    )
     top = lambda rank_col: F.when(F.col(rank_col) <= _K, F.col("cos_u")).otherwise(
         F.lit(0)
     )
-    s = r.withColumn(
+    r = p.withColumn("rx", F.row_number().over(wx)).withColumn(
         "sx", F.sum(top("rx")).over(Window.partitionBy("src_id"))
-    ).withColumn("sy", F.sum(top("ry")).over(Window.partitionBy("tgt_id")))
+    )
+    s = r.withColumn("ry", F.row_number().over(wy)).withColumn(
+        "sy", F.sum(top("ry")).over(Window.partitionBy("tgt_id"))
+    )
     m = s.filter((F.col("cos_u") > 0) & (F.col("sx") + F.col("sy") > 0)).select(
         "src_id",
         "tgt_id",

@@ -55,7 +55,9 @@ _SHINGLES_SQL = """
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, hashed: bool = False
+) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     # repartition by doc_id BEFORE the expensive per-doc work: a single
     # parquet file arrives as one task, which would serialize the
@@ -79,11 +81,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouping keys), so the dedup aggregate runs partition-local — linear
     # per doc AND shuffle-free (A/B-measured faster than array_distinct at
     # sf0.1 steady-state: 1.35s vs 1.75s for the full minhash query).
-    return (
-        toks.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
-        .select("doc_id", F.explode("shingles").alias("sh"))
-        .distinct()
+    exploded = toks.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")).select(
+        "doc_id", F.explode("shingles").alias("sh")
     )
+    # hashed=True: xxhash64 BEFORE the distinct, for callers whose whole
+    # downstream (joins, groupBys, set intersects) keys on the shingle
+    # identity only — the dedup aggregate then hashes/compares primitive
+    # longs instead of strings and any cache of the result holds 8 B
+    # per shingle instead of the text (same 64-bit-collision argument as
+    # the r6 dedup_jaccard_prefix hashing: ~1e-9 at 1e5 distinct
+    # shingles, and a collision would surface in the cross-engine
+    # oracle). Callers that need the TEXT (the md5-based MinHash family
+    # — oracle-pinned to md5(shingle text)) keep the default.
+    if hashed:
+        exploded = exploded.select("doc_id", F.xxhash64("sh").alias("sh"))
+    return exploded.distinct()
 
 
 _SHINGLE_CTE = f"""
@@ -196,7 +208,10 @@ def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).cache()
+    # hashed shingles: the posting-list self-join, both aggs, and the
+    # size joins key on shingle identity only — longs, not strings
+    # (guide §2.3 "narrower types"; r7 A/B 0.89 -> 0.66 s at sf0.1)
+    sh = _doc_shingles(spark, sf_dir, hashed=True).cache()
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -264,38 +279,43 @@ def _mh_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def _mh_band_candidates(sh: DataFrame) -> DataFrame:
+def _mh_band_candidates(sh: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """MinHash band-collision candidate pairs over a (doc_id, sh) table —
     the LSH candidate stage, shared by dedup_minhash_lsh, the
     dedup_eval_metrics recall probe, and the calibration query
-    (identical stage, same constants)."""
+    (identical stage, same constants). A caller that also consumes the
+    signature table passes its (cached) ``sig`` so the 16-min aggregate
+    over every shingle runs once, not once per consumer."""
     rows_per_band = len(_MH_PARAMS) // _MH_BANDS
-    sig = _mh_signatures(sh)
-    # band signature = concat of that band's minima; unpivot to (doc, band, sig)
+    if sig is None:
+        sig = _mh_signatures(sh)
+    # band signature = that band's minima as ROWS_PER_BAND bigint columns
+    # (m0..m3); the self-join keys on them directly. The r6 version
+    # concat_ws'd them into a string per (doc, band) — same collision
+    # groups, but string allocation + string join keys where primitive
+    # longs hash/compare for free (guide §2.3 "narrower types").
     band_cols = [
         F.struct(
             F.lit(band).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"h{i}").cast("string")
-                    for i in range(band * rows_per_band, (band + 1) * rows_per_band)
-                ],
-            ).alias("band_sig"),
+            *[
+                F.col(f"h{band * rows_per_band + j}").alias(f"m{j}")
+                for j in range(rows_per_band)
+            ],
         )
         for band in range(_MH_BANDS)
     ]
+    mkeys = [f"m{j}" for j in range(rows_per_band)]
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    ).select("doc_id", "b.band", *[f"b.{m}" for m in mkeys])
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for m in mkeys:
+        cond = cond & (F.col(f"a.{m}") == F.col(f"b.{m}"))
     return (
         bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        .join(bands.alias("b"), cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -843,11 +863,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # well as (f, text); verification stays exact (a 64-bit collision
     # merging two of ~10^5 distinct shingles has probability ~1e-9 and
     # would surface in the cross-engine oracle immediately).
-    sh = (
-        _doc_shingles(spark, sf_dir)
-        .cache()
-        .select("doc_id", F.xxhash64("sh").alias("sh"))
-    )
+    sh = _doc_shingles(spark, sf_dir, hashed=True).cache()
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     wd = Window.partitionBy("doc_id")
     ranked = (
@@ -1224,21 +1240,22 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(_MH_PARAMS)
         ]
     )
+    # band minima as ROWS_PER_BAND bigint key columns, not a concat_ws
+    # string — same collision groups, primitive join keys (the same r7
+    # change as _mh_band_candidates; guide §2.3 "narrower types")
     band_cols = [
         F.struct(
             F.lit(band).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"h{i}").cast("string")
-                    for i in range(band * rows_per_band, (band + 1) * rows_per_band)
-                ],
-            ).alias("band_sig"),
+            *[
+                F.col(f"h{band * rows_per_band + j}").alias(f"m{j}")
+                for j in range(rows_per_band)
+            ],
         )
         for band in range(_MH_BANDS)
     ]
+    mkeys = [f"m{j}" for j in range(rows_per_band)]
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+        "doc_id", "b.band", *[f"b.{m}" for m in mkeys]
     )
     side = documents.select("doc_id", is_inc.alias("is_inc"))
     bands = bands.join(F.broadcast(side), "doc_id")
@@ -1246,13 +1263,12 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.select("doc_id"), "doc_id", "left_anti"
     )
     bbase = bands.filter(~F.col("is_inc"))
+    cond = F.col("a.band") == F.col("b.band")
+    for m in mkeys:
+        cond = cond & (F.col(f"a.{m}") == F.col(f"b.{m}"))
     cand = (
         binc.alias("a")
-        .join(
-            bbase.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig")),
-        )
+        .join(bbase.alias("b"), cond)
         .select(F.col("a.doc_id").alias("inc_doc"), F.col("b.doc_id").alias("base_doc"))
         .distinct()
     )
@@ -1462,9 +1478,14 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact Jaccard mints an integer micro-unit per pair before any
     averaging, so bin aggregates are exact-integer sums with one
     fixed-shape division at the end."""
+    # cache the signature table (|docs| x 17 narrow columns) so the
+    # shingle-wide 16-min aggregate runs ONCE for its two consumers
+    # (band candidates + per-pair agreement estimate) — there is no
+    # exchange between them for ReuseExchange to dedup (guide §1.2:
+    # don't compute things twice)
     sh = _doc_shingles(spark, sf_dir).cache()
-    sig = _mh_signatures(sh)
-    cand = _mh_band_candidates(sh)
+    sig = _mh_signatures(sh).cache()
+    cand = _mh_band_candidates(sh, sig=sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"h{i}").alias(f"a{i}") for i in range(len(_MH_PARAMS))])
     sb = sig.select(F.col("doc_id").alias("doc_b"),

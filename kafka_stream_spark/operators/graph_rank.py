@@ -435,8 +435,17 @@ def _tie_graph(lineitem: DataFrame) -> DataFrame:
     union of the thresholded survivors)."""
     from pyspark.sql import Window
 
-    baskets = lineitem.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    # repartition raw narrow rows before the basket agg: the scan's 4
+    # row-group tasks otherwise serialize the collect_set CPU (same r7
+    # change + A/B evidence as part_cooccurrence_lift, guide §2.5)
+    ncpu = int(
+        lineitem.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition(ncpu, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
     pairs = baskets.select(
         F.explode(

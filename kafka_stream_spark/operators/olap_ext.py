@@ -405,8 +405,19 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket-locally with part_a < part_b by construction (sorted set) —
     # half the pair mass the a-join-b formulation shuffled, and two
     # fewer wide exchanges.
+    # repartition the RAW (orderkey, partkey) pairs before the basket
+    # aggregation: the parquet scan arrives in ~4 row-group tasks, so a
+    # scan-side partial collect_set serializes the hash-map CPU onto 4
+    # cores and ships the same bytes anyway (partial collect_set barely
+    # collapses — orders rarely repeat a part). One keyed exchange of
+    # narrow rows + a partition-local agg spreads the work across every
+    # core at identical shuffle volume (guide §2.5 input-parallelism;
+    # r7 A/B 1.91 -> 1.59 s at sf0.1).
+    ncpu = int(spark.conf.get("spark.sql.shuffle.partitions"))
     baskets = (
-        lineitem.groupBy("l_orderkey")
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition(ncpu, "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .localCheckpoint()
     )

@@ -582,12 +582,21 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("line_cents")
     )
+    # ONE full-outer join answers both legs (guide §1.2 / §2.4: the
+    # round-6 version scanned lineitem twice and joined twice — the
+    # orphan-lineitem leg was a separate left-anti join): a right-null
+    # row is an orphan order, a LEFT-null row is an orphan lineitem
+    # group (count of groups == count(DISTINCT l_orderkey) of the old
+    # anti-join leg, and absent entirely when there are none — same
+    # HAVING semantics). Orphan-lineitem rows carry abs_diff NULL which
+    # coalesces to 0, so one |statuses|-row aggregate serves all legs.
     joined = orders.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("fact_cents"),
-    ).join(recomputed, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    ).join(recomputed, F.col("l_orderkey") == F.col("o_orderkey"), "full_outer")
     status = (
-        F.when(F.col("line_cents").isNull(), "orphan_order")
+        F.when(F.col("o_orderkey").isNull(), "orphan_lineitem")
+        .when(F.col("line_cents").isNull(), "orphan_order")
         .when(F.abs(F.col("fact_cents") - F.col("line_cents")) <= 1, "match")
         .when(F.col("fact_cents") > F.col("line_cents"), "fact_high")
         .otherwise("fact_low")
@@ -595,7 +604,7 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs_diff = F.coalesce(
         F.abs(F.col("fact_cents") - F.col("line_cents")), F.lit(0)
     )
-    order_side = (
+    return (
         joined.select(status.alias("status"), abs_diff.alias("abs_diff"))
         .groupBy("status")
         .agg(
@@ -603,23 +612,8 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("abs_diff").cast("bigint").alias("sum_abs_diff_cents"),
             F.max("abs_diff").cast("bigint").alias("max_abs_diff_cents"),
         )
+        .orderBy("status")
     )
-    line_side = (
-        lineitem.join(
-            orders.select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_anti",
-        )
-        .agg(F.countDistinct("l_orderkey").alias("n_keys"))
-        .filter(F.col("n_keys") > 0)
-        .select(
-            F.lit("orphan_lineitem").alias("status"),
-            F.col("n_keys").cast("bigint").alias("n_keys"),
-            F.lit(0).cast("bigint").alias("sum_abs_diff_cents"),
-            F.lit(0).cast("bigint").alias("max_abs_diff_cents"),
-        )
-    )
-    return order_side.unionByName(line_side).orderBy("status")
 
 
 @query(

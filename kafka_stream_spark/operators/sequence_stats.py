@@ -136,16 +136,23 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "g.w1", "g.w2")
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    scored = (
-        big.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+    # Reassociated (guide §2.4): the round-6 plan joined the CORPUS
+    # bigram table to c2 on (w1, w2) and then re-shuffled the joined
+    # corpus-sized result on w1 to attach c1 — two full-corpus
+    # exchanges. Joining the two count tables first (distinct-bigram
+    # sized, not corpus sized) leaves exactly one corpus-side join,
+    # same integer micro-unit per bigram, bit-identical output.
+    lp = (
+        c2.join(c1, ["w1"])
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.round(F.log(F.col("n2") / F.col("n1")) * 1000000, 0)
             .cast("bigint")
             .alias("lp_u"),
         )
     )
+    scored = big.join(lp, ["w1", "w2"]).select("doc_id", "lp_u")
     avg6 = F.round(F.sum("lp_u") / (F.count(F.lit(1)) * 1000000.0), 6)
     return (
         scored.groupBy("doc_id")
