@@ -58,7 +58,7 @@ _GRAMS_EXPR = """
 """
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_grams(spark: SparkSession, sf_dir: str, hashed: bool = False) -> DataFrame:
     """Distinct (doc_id, source, gram) rows, parallelized before the per-doc work.
 
     Same shape as dedup._doc_shingles: repartition by doc_id first (a single
@@ -75,11 +75,21 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(ncpu, "doc_id")
         .cache()
     )
-    return (
-        toks.select("doc_id", "source", F.expr(_GRAMS_EXPR).alias("grams"))
-        .select("doc_id", "source", F.explode("grams").alias("gram"))
-        .distinct()
-    )
+    exploded = toks.select(
+        "doc_id", "source", F.expr(_GRAMS_EXPR).alias("grams")
+    ).select("doc_id", "source", F.explode("grams").alias("gram"))
+    # hashed=True: xxhash64 the gram BEFORE the distinct for callers that
+    # only test gram identity (decontaminate_documents' membership join)
+    # — the dedup aggregate, the broadcast set, and the probe join all
+    # run on primitive longs instead of ~30-char strings (same 64-bit
+    # collision argument as dedup._doc_shingles(hashed=True), ~1e-9
+    # here and oracle-checked). Callers that md5 the gram text
+    # (source_overlap_matrix — oracle-pinned) keep the default.
+    if hashed:
+        exploded = exploded.select(
+            "doc_id", "source", F.xxhash64("gram").alias("gram")
+        )
+    return exploded.distinct()
 
 
 @query(
@@ -125,7 +135,7 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs shorter than the gram width produce no grams and drop out (same
     WHERE in the oracle).
     """
-    grams = _doc_grams(spark, sf_dir)
+    grams = _doc_grams(spark, sf_dir, hashed=True)
     bench = (
         grams.filter(F.col("source") == _BENCH_SOURCE)
         .select("gram")

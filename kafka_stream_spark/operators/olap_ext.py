@@ -280,57 +280,50 @@ def equidepth_histogram_value(
             )
             .orderBy("bucket")
         )
-    ext = events.agg(
-        F.min("value").alias("blo"), F.max("value").alias("bhi"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    width = (F.col("bhi") - F.col("blo")) / _ED_BINS
-    hist = (
-        events.crossJoin(F.broadcast(ext))
-        .select(
+    # The boundary machinery operates on a BOUNDED sketch — one extrema
+    # row plus a <= 128-row histogram — so it runs driver-side (r7,
+    # guide §1.2: the r6 plan spent five broadcast/join/window jobs on a
+    # 128-row table; this is the same bounded-collect class as the
+    # centroid lists in similarity.py, identical at any corpus size).
+    # Arithmetic is replicated exactly: same IEEE-double ops in the same
+    # order, and Decimal HALF_UP reproduces Spark's round(double, 6)
+    # (BigDecimal HALF_UP on the exact binary double).
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    blo, bhi, n = events.agg(
+        F.min("value"), F.max("value"), F.count(F.lit(1))
+    ).collect()[0]
+    width = (bhi - blo) / _ED_BINS
+    hist_rows = (
+        events.select(
             F.least(
-                F.floor((F.col("value") - F.col("blo")) / width).cast("bigint"),
+                F.floor((F.col("value") - F.lit(blo)) / F.lit(width)).cast("bigint"),
                 F.lit(_ED_BINS - 1),
             ).alias("bin")
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
-    cum = hist.select(
-        "bin", "c",
-        F.sum("c").over(wb).alias("cum_c"),
-        (F.sum("c").over(wb) - F.col("c")).alias("cum_before"),
-    )
-    ks = spark.createDataFrame([(k,) for k in range(1, 10)], "k int")
-    targets = ks.crossJoin(F.broadcast(ext)).select(
-        "k",
-        F.ceil(F.col("k") * F.col("n") / 10.0).cast("bigint").alias("target"),
-        "blo", "bhi",
-    )
-    covering = (
-        targets.join(cum, F.col("cum_c") >= F.col("target"))
-        .groupBy("k", "target", "blo", "bhi")
-        .agg(F.min("bin").alias("bin"))
-    )
-    bnd = covering.join(
-        cum.select(F.col("bin").alias("cbin"), "c", "cum_before"),
-        F.col("cbin") == F.col("bin"),
-    ).select(
-        F.round(
-            F.col("blo")
-            + (
-                F.col("bin")
-                + (F.col("target") - F.col("cum_before")) * 1.0 / F.col("c")
-            )
-            * ((F.col("bhi") - F.col("blo")) / _ED_BINS),
-            6,
-        ).alias("b")
-    )
-    barr = bnd.agg(F.sort_array(F.collect_list("b")).alias("bs"))
-    assigned = events.crossJoin(F.broadcast(barr)).select(
+    hist = sorted((r["bin"], r["c"]) for r in hist_rows)
+    cum = []
+    running = 0
+    for b, c in hist:
+        cum.append((b, c, running + c, running))  # (bin, c, cum_c, cum_before)
+        running += c
+    bs = []
+    for k in range(1, 10):
+        target = math.ceil(k * n / 10.0)
+        b, c, _cc, cum_before = next(t for t in cum if t[2] >= target)
+        raw = blo + (b + (target - cum_before) * 1.0 / c) * ((bhi - blo) / _ED_BINS)
+        bs.append(
+            float(Decimal(raw).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+        )
+    bs_sql = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in sorted(bs))
+    assigned = events.select(
         (
-            F.lit(1) + F.size(F.expr("filter(bs, x -> value > x)"))
+            F.lit(1) + F.size(F.expr(f"filter(array({bs_sql}), x -> value > x)"))
         ).cast("int").alias("bucket"),
         "value",
     )

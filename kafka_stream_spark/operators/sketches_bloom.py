@@ -126,28 +126,25 @@ def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").alias("word")
     )
 
-    probe = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        *[
-            c
-            for i, p in enumerate(_positions("o_custkey"))
-            for c in (
-                F.expr(f"({p}) div 63").alias(f"w{i}"),
-                F.expr(f"({p}) % 63").alias(f"b{i}"),
-            )
-        ],
+    # The sketch is 64 words BY CONSTRUCTION at any corpus size, so it
+    # collects once and probes as a LITERAL array — the probe side is
+    # map-only bit math with zero joins (r7; the r6 plan ran three
+    # broadcast-hash-joins of the same 64-row table, three broadcast
+    # builds + probe-side join machinery for what is a fixed-size
+    # filter. This is exactly how a production bloom prunes a scan:
+    # the bits ride inside the predicate, not through a join).
+    words = [0] * (_BLOOM_BITS // 63)
+    for r in bloom.collect():
+        words[int(r["w"])] = int(r["word"])
+    words_sql = f"array({', '.join(f'{x}L' for x in words)})"
+    bit_tests = [
+        f"(element_at({words_sql}, cast(({p}) div 63 as int) + 1)"
+        f" & shiftleft(cast(1 as bigint), cast(({p}) % 63 as int))) <> 0"
+        for p in _positions("o_custkey")
+    ]
+    hits = orders.select("o_orderkey", "o_custkey").filter(
+        F.expr(" AND ".join(bit_tests))
     )
-    hits = probe
-    for i in range(3):
-        hits = hits.join(
-            F.broadcast(
-                bloom.select(F.col("w").alias(f"w{i}"), F.col("word").alias(f"word{i}"))
-            ),
-            f"w{i}",
-        ).filter(
-            F.expr(f"(word{i} & shiftleft(cast(1 as bigint), cast(b{i} as int))) <> 0")
-        )
     truth = hits.join(
         F.broadcast(keys.withColumn("is_member", F.lit(1))),
         hits.o_custkey == F.col("c_custkey"),

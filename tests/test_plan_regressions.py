@@ -563,18 +563,17 @@ def test_edit_distance_dedup_is_candidate_bounded(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_skipgram_pairs_are_position_equi_joined(spark, sf_dir):
-    # pair generation must be the (doc_id, position) equi-join — never a
-    # per-doc quadratic nested loop or cartesian
+def test_skipgram_pairs_are_doc_local(spark, sf_dir):
+    # r7: pair generation explodes DOC-LOCALLY from the token array
+    # (each token pairs with its <= 2 forward neighbours via slice —
+    # linear per token), so the plan carries NO join at all; the only
+    # wide operator is the pair-count aggregate's exchange. Never a
+    # per-doc quadratic nested loop or cartesian.
     p = plan_of(spark, sf_dir, "skipgram_training_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    # any hash EQUI-join qualifies (AQE broadcasts the token table at
-    # small SF; at scale the same plan shuffles on (doc_id, pos))
-    assert (
-        "SortMergeJoin" in p or "ShuffledHashJoin" in p
-        or "BroadcastHashJoin" in p
-    )
+    assert "Join" not in p  # the r6 (doc_id, pos) self-join is gone
+    assert "Generate" in p  # the doc-local explode
     # top-30 without a global sort of the pair table
     assert "TakeOrderedAndProject" in p
 
