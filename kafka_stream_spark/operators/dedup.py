@@ -875,10 +875,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(wd).alias("n"),
         )
     )
-    # ceil(t*n) with t=0.5 in exact integer math: (n+1) div 2
+    # ceil(t*n) with t=0.5 in exact integer math: (n+1) div 2.
+    # cache(): the self-join below consumes prefix on BOTH sides — one as
+    # a broadcast build, one streamed — and those are different node
+    # types, so no exchange/broadcast reuse applies and the freq-join +
+    # rank-window pipeline would run twice (r7, guide §1.2).
     prefix = ranked.filter(
         F.col("r") <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
-    ).select("doc_id", "sh", "n", "r")
+    ).select("doc_id", "sh", "n", "r").cache()
     # PPJoin positional filter (Xiao et al. §3.2): for the FIRST shared
     # prefix token of a true pair, overlap <= 1 + min(|A|-r_A, |B|-r_B)
     # (every common token sits at or after that rank in both docs), and
