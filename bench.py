@@ -71,18 +71,30 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
+    record = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(record, separators=(",", ":")))
+    # ALSO persist the wide record to a file (r8, additions-only): the
+    # wide stdout line keeps outgrowing the driver's tail-capture window
+    # (PERF r6/r7 both lost the per-query map, n_common=0), so the
+    # per-query ground truth lands on disk where the next round can diff
+    # it without tail archaeology. Path overridable; never fatal.
+    try:
+        out = os.environ.get(
+            "BENCH_SELF_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_self_r08.json"),
         )
-    )
+        with open(out, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
     # compact final line — guaranteed to fit any tail-capture window
     print(
         json.dumps(

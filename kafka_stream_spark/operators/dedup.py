@@ -287,6 +287,7 @@ def _mh_band_candidates(sh: DataFrame, sig: DataFrame | None = None) -> DataFram
     signature table passes its (cached) ``sig`` so the 16-min aggregate
     over every shingle runs once, not once per consumer."""
     rows_per_band = len(_MH_PARAMS) // _MH_BANDS
+    cache_bands = sig is None
     if sig is None:
         sig = _mh_signatures(sh)
     # band signature = that band's minima as ROWS_PER_BAND bigint columns
@@ -308,6 +309,17 @@ def _mh_band_candidates(sh: DataFrame, sig: DataFrame | None = None) -> DataFram
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", "b.band", *[f"b.{m}" for m in mkeys])
+    # cache the band table before the self-join: its two sides are a
+    # broadcast build and a streamed scan — DIFFERENT node types, so no
+    # exchange/broadcast reuse applies and the 16-min signature
+    # aggregate over every shingle would run TWICE, racing the sh cache
+    # fill (r8; the same no-reuse trap as the r7 dedup_jaccard_prefix
+    # prefix table, guide §1.2). |docs| x 4 narrow rows, bounded by the
+    # corpus row count, never by pair mass. Callers that pass their own
+    # (cached) sig already share the aggregate; the explode off a
+    # cached sig is cheap enough not to re-cache.
+    if cache_bands:
+        bands = bands.cache()
     cond = (F.col("a.band") == F.col("b.band")) & (
         F.col("a.doc_id") < F.col("b.doc_id")
     )
@@ -883,15 +895,33 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("r") <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
     ).select("doc_id", "sh", "n", "r").cache()
-    # PPJoin positional filter (Xiao et al. §3.2): for the FIRST shared
-    # prefix token of a true pair, overlap <= 1 + min(|A|-r_A, |B|-r_B)
-    # (every common token sits at or after that rank in both docs), and
+    # PAIR-level PPJoin positional bound (Xiao et al. §3.2, aggregated
+    # over ALL shared prefix tokens — r8, strictly tighter than the r7
+    # per-occurrence test). Ranks follow ONE global total order (f, sh)
+    # in every doc, so the matched prefix tokens of a pair sort
+    # identically on both sides; let w be the matched token with the
+    # LARGEST global order, at ranks (ra, rb). Any common token u < w
+    # sits at rank < ra <= |prefix_A| in A and < rb <= |prefix_B| in B
+    # — i.e. inside BOTH prefixes — hence u is itself one of the c
+    # matches. Every other common token is > w, at rank > ra in A and
+    # > rb in B, so there are at most min(|A|-ra, |B|-rb) of them:
+    #     overlap <= c + min(|A| - max(r_a), |B| - max(r_b)).
     # J >= t forces overlap >= ceil(t/(1+t)·(|A|+|B|)) — t=0.5 gives
-    # alpha = ceil((n_a+n_b)/3) = (n_a+n_b+2) div 3, integer-exact. A
-    # qualifying pair's first shared occurrence always passes, so
-    # keep-pair-if-ANY-occurrence-passes loses nothing; measured at
-    # sf0.1 it drops candidates 310k -> 125k before the distinct.
-    alpha = ((F.col("a.n") + F.col("b.n") + 2) / 3).cast("long")
+    # alpha = (n_a+n_b+2) div 3, integer-exact — so dropping pairs whose
+    # bound falls below alpha loses no qualifying pair. Counting c
+    # requires ALL shared-prefix occurrences, so the join keeps only
+    # the (pair-constant) length filter and the positional test moves
+    # into the pair aggregate (same exchange count: the groupBy replaces
+    # the old .distinct()'s aggregation). Measured at sf0.1: 309 983
+    # colliding pairs -> 119 678 candidates (the r7 per-occurrence test
+    # kept 124 839). Positional filters cannot cut deeper on THIS
+    # collision structure — collisions come from rare shingles at EARLY
+    # prefix ranks, where the min(n - r) suffix allowance is near the
+    # whole doc; a full Xiao-et-al suffix filter would cost O(n) probes
+    # per pair, the same as the array_intersect verify it would avoid
+    # (worthwhile only when sets are huge and the verify dwarfs the
+    # probe — not at 50-shingle docs).
+    alpha = ((F.col("na") + F.col("nb") + 2) / 3).cast("long")
     cand = (
         prefix.alias("a")
         .join(
@@ -900,13 +930,24 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter, t=0.5: |B| in [|A|/2, 2|A|] — integer-exact
             & (F.col("b.n") * 2 >= F.col("a.n"))
-            & (F.col("b.n") <= F.col("a.n") * 2)
-            # positional filter: remaining-suffix overlap upper bound
-            & (1 + F.least(F.col("a.n") - F.col("a.r"),
-                           F.col("b.n") - F.col("b.r")) >= alpha),
+            & (F.col("b.n") <= F.col("a.n") * 2),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("a.r")).alias("ra"),
+            F.max(F.col("b.r")).alias("rb"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
+        .filter(
+            F.col("c")
+            + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+            >= alpha
+        )
+        .select("doc_a", "doc_b")
     )
     # Verify by per-doc shingle-set intersection over the candidate pairs
     # only. The groupBy(doc_id) reuses _doc_shingles' HashPartitioning
@@ -1262,7 +1303,11 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "b.band", *[f"b.{m}" for m in mkeys]
     )
     side = documents.select("doc_id", is_inc.alias("is_inc"))
-    bands = bands.join(F.broadcast(side), "doc_id")
+    # cache: the band table fans out into binc (broadcast build of the
+    # cross-corpus join) and bbase (streamed side) — different node
+    # types, no reuse, so the 16-min signature aggregate would run
+    # twice (r8, same fix as _mh_band_candidates). |docs| x 4 rows.
+    bands = bands.join(F.broadcast(side), "doc_id").cache()
     binc = bands.filter(F.col("is_inc")).join(
         exact.select("doc_id"), "doc_id", "left_anti"
     )

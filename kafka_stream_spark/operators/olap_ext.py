@@ -286,47 +286,56 @@ def equidepth_histogram_value(
     # 128-row table; this is the same bounded-collect class as the
     # centroid lists in similarity.py, identical at any corpus size).
     # Arithmetic is replicated exactly: same IEEE-double ops in the same
-    # order, and Decimal HALF_UP reproduces Spark's round(double, 6)
-    # (BigDecimal HALF_UP on the exact binary double).
+    # order, and the rounding matches Spark's round(double, 6) exactly —
+    # Spark routes a double through BigDecimal.valueOf(d), i.e. HALF_UP
+    # on Double.toString's SHORTEST round-tripping decimal repr, NOT on
+    # the exact binary expansion; Python's repr(float) is the same
+    # shortest-repr algorithm, so Decimal(repr(raw)) reproduces it
+    # (Decimal(raw) would take the exact binary double and can round a
+    # 7th-digit tie differently — ADVICE r7).
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
     blo, bhi, n = events.agg(
         F.min("value"), F.max("value"), F.count(F.lit(1))
     ).collect()[0]
-    width = (bhi - blo) / _ED_BINS
-    hist_rows = (
-        events.select(
-            F.least(
-                F.floor((F.col("value") - F.lit(blo)) / F.lit(width)).cast("bigint"),
-                F.lit(_ED_BINS - 1),
-            ).alias("bin")
+    if not n:
+        # empty input: no boundaries to derive — skip the driver-side
+        # arithmetic (blo/bhi are NULL) and let the groupBy over zero
+        # rows yield the same empty result the all-Spark plan returned
+        bucket = F.lit(1).cast("int")
+    else:
+        width = (bhi - blo) / _ED_BINS
+        hist_rows = (
+            events.select(
+                F.least(
+                    F.floor((F.col("value") - F.lit(blo)) / F.lit(width)).cast("bigint"),
+                    F.lit(_ED_BINS - 1),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    hist = sorted((r["bin"], r["c"]) for r in hist_rows)
-    cum = []
-    running = 0
-    for b, c in hist:
-        cum.append((b, c, running + c, running))  # (bin, c, cum_c, cum_before)
-        running += c
-    bs = []
-    for k in range(1, 10):
-        target = math.ceil(k * n / 10.0)
-        b, c, _cc, cum_before = next(t for t in cum if t[2] >= target)
-        raw = blo + (b + (target - cum_before) * 1.0 / c) * ((bhi - blo) / _ED_BINS)
-        bs.append(
-            float(Decimal(raw).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
-        )
-    bs_sql = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in sorted(bs))
-    assigned = events.select(
-        (
+        hist = sorted((r["bin"], r["c"]) for r in hist_rows)
+        cum = []
+        running = 0
+        for b, c in hist:
+            cum.append((b, c, running + c, running))  # (bin, c, cum_c, cum_before)
+            running += c
+        bs = []
+        for k in range(1, 10):
+            target = math.ceil(k * n / 10.0)
+            b, c, _cc, cum_before = next(t for t in cum if t[2] >= target)
+            raw = blo + (b + (target - cum_before) * 1.0 / c) * ((bhi - blo) / _ED_BINS)
+            bs.append(
+                float(Decimal(repr(raw)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+            )
+        bs_sql = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in sorted(bs))
+        bucket = (
             F.lit(1) + F.size(F.expr(f"filter(array({bs_sql}), x -> value > x)"))
-        ).cast("int").alias("bucket"),
-        "value",
-    )
+        ).cast("int")
+    assigned = events.select(bucket.alias("bucket"), "value")
     return (
         assigned.groupBy("bucket")
         .agg(

@@ -565,10 +565,12 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its detail rows (and the referential-integrity orphan scan in
     the same pass). Scale shape: ONE groupBy on the detail table
     (map-side partial; the per-row cent rounding happens before the
-    sum, so the aggregate is an order-independent integer), one join on
-    the shared key, one |statuses|-row aggregate; the orphan-lineitem
-    leg is a left-anti join on the same key — both joins shuffle on
-    l_orderkey/o_orderkey only. All deviations exact BIGINT cents.
+    sum, so the aggregate is an order-independent integer), ONE
+    full-outer join on the shared key answering both orphan legs at
+    once (left-null = orphan lineitem group, right-null = orphan
+    order), one |statuses|-row aggregate — a single lineitem scan and
+    a single shuffle on l_orderkey/o_orderkey. All deviations exact
+    BIGINT cents.
     """
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
     recomputed = lineitem.groupBy("l_orderkey").agg(

@@ -468,14 +468,24 @@ def test_incremental_dedup_batch_scales_with_increment(spark, sf_dir):
     assert "BroadcastNestedLoop" not in p
 
 
-def test_bloom_filter_broadcasts_words(spark, sf_dir):
-    """The 64-word bloom broadcasts onto the probe scan; the order table
-    never sort-merges, and the bit_or build partial-aggregates map-side
-    (HashAggregate below the exchange)."""
+def test_bloom_filter_probes_as_literal_predicate(spark, sf_dir):
+    """The 64-word bloom collects once and rides INSIDE the probe
+    filter as a literal array of bit tests (r7 shape) — no join sits
+    between the orders scan and the membership test; the only
+    BroadcastHashJoin left is the exact-membership truth join, and the
+    order table never sort-merges."""
     p = plan_of(spark, sf_dir, "bloom_membership_orders")
-    assert "BroadcastHashJoin" in p
+    # probe = map-only bit math over a literal word array
+    assert "element_at" in p and "shiftleft" in p
+    # exactly one join (the truth-membership leg), broadcast not SMJ
+    assert p.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+    # the bit tests live in a Filter over o_custkey, i.e. on the probe
+    # scan side — not inside any join condition
+    assert any(
+        "element_at" in l and "o_custkey" in l for l in p.splitlines()
+    ), "literal-array bit tests not found as a probe-side filter condition"
 
 
 def test_zorder_audit_demonstrates_secondary_pruning(spark, sf_dir):
