@@ -433,23 +433,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint)"),
     )
-    bits = (
-        th.select(
-            "doc_id", "cnt", "h",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.col("cnt")
-                * F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias("s")
-        )
-    )
-    fp = bits.groupBy("doc_id").agg(
+    # ONE 17-buffer aggregate computes all 32 bit-position sums (r8; the
+    # r6 shape exploded every (doc, token) row 32x and paid an extra
+    # (doc_id, j) shuffle + 32x hash-aggregate probes). Two identities:
+    # the signed sum s_j = sum(cnt * (bit_j ? 1 : -1)) equals
+    # 2*B_j - T with B_j = sum(cnt * bit_j), T = sum(cnt) — exact
+    # integers, so s_j > 0  <=>  2*B_j > T; and B_j, B_{j+16} pack into
+    # ONE 64-bit accumulator (B_j << 32 | B_{j+16}) with no carry while
+    # tokens-per-doc < 2^31 (any real document is orders of magnitude
+    # below). 16 packed buffers + T stays ON the Spark 4.1 codegen fast
+    # path (the straight 32-buffer rewrite measured SLOWER in r7 — the
+    # wide-aggregate cliff).
+    packed = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0))
-        ).alias("simhash")
+            F.col("cnt")
+            * F.expr(
+                f"shiftleft(shiftright(h, {j}) & 1, 32)"
+                f" + (shiftright(h, {j + 16}) & 1)"
+            )
+        ).alias(f"p{j}")
+        for j in range(16)
+    ]
+    agg = th.groupBy("doc_id").agg(F.sum("cnt").alias("tot"), *packed)
+    bit_terms = []
+    for j in range(16):
+        bit_terms.append(
+            F.when(F.expr(f"2 * shiftright(p{j}, 32) > tot"), F.lit(1 << j))
+            .otherwise(F.lit(0))
+        )
+        bit_terms.append(
+            F.when(F.expr(f"2 * (p{j} & 4294967295) > tot"), F.lit(1 << (j + 16)))
+            .otherwise(F.lit(0))
+        )
+    fp = agg.select(
+        "doc_id", sum(bit_terms[1:], bit_terms[0]).cast("bigint").alias("simhash")
     )
     # Pigeonhole banding instead of the all-pairs self-join: split the
     # 32-bit fingerprint into 4 bands of 8 bits — any pair with hamming <= 3
@@ -1534,6 +1551,11 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # don't compute things twice)
     sh = _doc_shingles(spark, sf_dir).cache()
     sig = _mh_signatures(sh).cache()
+    # NOTE (r8, measured-and-rejected): caching cand here — it fans out
+    # into est + common — A/B'd SLOWER (1.62 -> 1.99 s): the duplicated
+    # subtree below the fan-out is only the band explode + self-join +
+    # distinct over the already-cached sig, and the eager cache fill
+    # barrier costs more than recomputing it twice.
     cand = _mh_band_candidates(sh, sig=sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"h{i}").alias(f"a{i}") for i in range(len(_MH_PARAMS))])

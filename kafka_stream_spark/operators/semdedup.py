@@ -134,12 +134,23 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", F.expr(_to_double("embedding")).alias("e"))
 
-    # coarse quantizer: per-label mean vector (k x 64 doubles -> broadcast).
-    # 64 per-dim avg aggregates in ONE groupBy — no posexplode row blowup,
-    # one shuffle of k x 64 partials instead of two full-width exchanges
+    # coarse quantizer: per-label mean vector (k x 64 doubles -> collect).
+    # posexplode -> (label, pos) avg -> re-assemble: the one-groupBy
+    # 64-avg-buffer formulation falls off Spark 4.1's codegen fast path
+    # (the r7 wide-aggregate cliff measured on ann_ivf_topk/dedup_simhash)
+    # — the row blowup is 64x
+    # |corpus| NARROW rows into a partial-aggregating shuffle of k x 64
+    # partials, cheaper than interpreted-mode 64-buffer updates.
+    expl = v.select("label", F.posexplode("e").alias("pos", "x"))
     cent = (
-        v.groupBy("label")
-        .agg(F.array(*[F.avg(F.col("e").getItem(i)) for i in range(64)]).alias("c"))
+        expl.groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("c")
+        )
         .select(F.col("label").alias("cid"), "c")
     )
 
