@@ -459,6 +459,23 @@ def test_containment_verify_shares_jaccard_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in p  # the two size-dim joins
 
 
+def test_minhash_band_join_reads_cached_bands(spark, sf_dir):
+    """The LSH band self-join's two sides (broadcast build + streamed
+    scan) never share work, so without the bands cache the 16-min
+    signature aggregate runs TWICE — the r8 fix for the driver-observed
+    8.4s bimodal tail. Pin: the partial 16-min aggregate appears exactly
+    ONCE in the plan (both join sides read the cached band table)."""
+    # incremental_dedup_documents has one extra legitimate partial_min:
+    # the exact layer's min(bdoc) keeper aggregate
+    for q, want in (("dedup_minhash_lsh", 1), ("dedup_edit_distance", 1),
+                    ("incremental_dedup_documents", 2)):
+        p = plan_of(spark, sf_dir, q)
+        assert p.count("partial_min") == want, (
+            f"{q}: expected {want} partial_min aggregate(s), "
+            f"got {p.count('partial_min')}"
+        )
+
+
 def test_incremental_dedup_batch_scales_with_increment(spark, sf_dir):
     """Cross-corpus LSH: band candidates come from an equi-join on
     (band, band_sig) restricted to incoming x corpus — no cartesian, no
