@@ -165,7 +165,11 @@ def mine_bitext(v: DataFrame, exact: bool = False) -> DataFrame:
         sig = pool.select(
             "vec_id", "label", F.expr(banded_sig_spark()).alias("s")
         )
-        bands = banded_bands(sig, "vec_id", "label")
+        # cache: the src/tgt band join consumes bands on BOTH sides
+        # (broadcast build + streamed scan — different node types, no
+        # reuse), so the 24-plane signature expression would evaluate
+        # twice over the pool (r8, same fix as dedup._mh_band_candidates)
+        bands = banded_bands(sig, "vec_id", "label").cache()
         cand = (
             bands.filter(F.col("label") == 0)
             .alias("a")

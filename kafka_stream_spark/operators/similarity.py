@@ -428,7 +428,10 @@ def embedding_near_dup(
     else:
         v = v.cache()
         sig = v.select("vec_id", F.expr(banded_sig_spark()).alias("s"))
-        bands = banded_bands(sig, "vec_id")
+        # cache: the self-join's broadcast build and streamed sides never
+        # share work, so the 24-plane signature expression would run
+        # twice (r8, same fix as bitext/_mh_band_candidates)
+        bands = banded_bands(sig, "vec_id").cache()
         cand = (
             bands.alias("a")
             .join(
@@ -485,7 +488,8 @@ def embedding_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.expr(_to_double("embedding")).alias("e")).cache()
     sig = v.select("vec_id", F.expr(banded_sig_spark()).alias("s"))
-    bands = banded_bands(sig, "vec_id")
+    # cache: same self-join no-reuse fix as embedding_near_dup (r8)
+    bands = banded_bands(sig, "vec_id").cache()
     cand = (
         bands.alias("a")
         .join(

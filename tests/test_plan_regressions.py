@@ -465,14 +465,19 @@ def test_minhash_band_join_reads_cached_bands(spark, sf_dir):
     signature aggregate runs TWICE — the r8 fix for the driver-observed
     8.4s bimodal tail. Pin: the partial 16-min aggregate appears exactly
     ONCE in the plan (both join sides read the cached band table)."""
-    # incremental_dedup_documents has one extra legitimate partial_min:
-    # the exact layer's min(bdoc) keeper aggregate
+    # Count FORMATTED-plan detail lines (one block per operator id — the
+    # tree-string form reprints a cached relation's child once per scan,
+    # which would double-count). incremental_dedup_documents has one
+    # extra legitimate partial_min line: the exact layer's min(bdoc).
     for q, want in (("dedup_minhash_lsh", 1), ("dedup_edit_distance", 1),
                     ("incremental_dedup_documents", 2)):
-        p = plan_of(spark, sf_dir, q)
-        assert p.count("partial_min") == want, (
-            f"{q}: expected {want} partial_min aggregate(s), "
-            f"got {p.count('partial_min')}"
+        df = SPECS[q].build(spark, sf_dir)
+        p = spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        got = sum("partial_min" in l for l in p.splitlines())
+        assert got == want, (
+            f"{q}: expected {want} partial_min aggregate line(s), got {got}"
         )
 
 
